@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults chosen for the driver environment (single-JVM `local[32]`,
+  * 128 GiB) but expressed so the same settings transfer to a real
+  * cluster: AQE on (runtime re-plan of shuffles, skew-join splitting,
+  * broadcast demotion/promotion), shuffle partitions sized to cores
+  * rather than the 200 default, UTC timezone pinned for oracle parity
+  * (reference analytics run in PG default UTC — see SURVEY.md §1.3).
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

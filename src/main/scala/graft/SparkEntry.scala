@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB oracle in
+  * [[oracleSql]] (same parquet tables, same column names) unless the
+  * operator is not SQL-expressible, in which case the driver records a
+  * weaker rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    BestPerformingProduct(t.lineitem, t.orders, t.part)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- parity: the reference's three analytics transforms ---------
+    "agg_public_holiday" -> ((s, dir) => {
+      val t = Tables(s, dir); AggPublicHoliday(t.orders)
+    }),
+    "agg_shipments" -> ((s, dir) => {
+      val t = Tables(s, dir); AggShipments(t.lineitem, t.orders)
+    }),
+    "best_performing_product" -> ((s, dir) => {
+      val t = Tables(s, dir); BestPerformingProduct(t.lineitem, t.orders, t.part)
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "agg_public_holiday"      -> AggPublicHoliday.oracle,
+    "agg_shipments"           -> AggShipments.oracle,
+    "best_performing_product" -> BestPerformingProduct.oracle
+  )
 }
