@@ -21,7 +21,9 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = parity ++ Relational.queries
+
+  private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- parity: the reference's three analytics transforms ---------
     "agg_public_holiday" -> ((s, dir) => {
       val t = Tables(s, dir); AggPublicHoliday(t.orders)
@@ -41,5 +43,5 @@ object SparkEntry {
     "agg_public_holiday"      -> AggPublicHoliday.oracle,
     "agg_shipments"           -> AggShipments.oracle,
     "best_performing_product" -> BestPerformingProduct.oracle
-  )
+  ) ++ Relational.oracles
 }

@@ -21,7 +21,21 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` the
+    * column surfaces as epoch-nanos LongType and is normalized here to
+    * a proper microsecond TimestampType.
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.Tables
+
+/** Relational operator coverage pack — one query per remaining row of
+  * SURVEY.md §2's inventory (joins J1–J8, aggs A1–A9, window W1,
+  * top-k O1/O2, predicates P4–P14), expressed as TPC-H-style analytics
+  * over the testdata star schema, each with a DuckDB oracle.
+  *
+  * Float-safety convention shared with the oracles: money aggregates
+  * accumulate in exact decimal (input values have fixed decimal
+  * scale), then cast to double once — bit-identical across engines
+  * regardless of summation order, which plain double sums are not.
+  */
+object Relational {
+
+  /** sum(x) with exact decimal accumulation, surfaced as double. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def sqlDsum(expr: String, scale: Int): String =
+    s"cast(sum(cast($expr AS decimal(18,$scale))) AS double)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3 wide group-by agg with avg/sum/count (TPC-H Q1 shape)
+    "q1_pricing_summary" -> ((s, dir) => {
+      val l = Tables(s, dir).lineitem
+      l.filter(to_date(col("l_shipdate")) <= lit("2001-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                 * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P4/P13 range predicates + scalar agg (TPC-H Q6 shape)
+    "q6_revenue_forecast" -> ((s, dir) => {
+      val l = Tables(s, dir).lineitem
+      l.filter(
+          to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+    }),
+
+    // J2 fact-fact + broadcast dim join, group + top-k (TPC-H Q3 shape)
+    "q3_top_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(to_date(col("o_orderdate")) < lit("1998-01-01") &&
+                to_date(col("l_shipdate")) > lit("1996-01-01"))
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // J6-style 6-table join chain (TPC-H Q5 shape)
+    "q5_region_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      broadcast(t.region.filter(col("r_name") === "ASIA"))
+        .join(broadcast(t.nation), col("r_regionkey") === col("n_regionkey"))
+        .join(t.customer, col("n_nationkey") === col("c_nationkey"))
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(t.supplier,
+              col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // W1 ratio-to-report window over aggregated rows
+    "window_ratio_report" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pct",
+          round(lit(100.0) * col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 4))
+    }),
+
+    // A9 SELECT DISTINCT over a join
+    "distinct_segments" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("o_orderpriority"))
+        .distinct()
+    }),
+
+    // J4/P11 equi-join through an explicit cast chain (VARCHAR::INT)
+    "cast_join_parts" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .withColumn("pk_str", col("l_partkey").cast("string"))
+        .join(broadcast(t.part), col("pk_str").cast("int") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // O1 top-1 with deterministic tie-break
+    "top1_customer" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice"), 2).as("total_spend"))
+        .orderBy(desc("total_spend"), asc("o_custkey"))
+        .limit(1)
+    }),
+
+    // P6 IS NULL via left join against a filtered distinct subquery
+    "left_join_nulls" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val heavy = t.lineitem.filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey")).distinct()
+      t.orders
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .agg(
+          sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("n_orders_no_heavy"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // time bucketing + multi-agg over the events table
+    "events_hourly" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 2).as("sum_value"))
+    }),
+
+    // semi-structured extraction from the JSON-ish props column
+    "events_json_extract" -> ((s, dir) => {
+      Tables(s, dir).events
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         |  sum(l_quantity) / count(*) AS avg_qty,
+         |  ${sqlDsum("l_extendedprice", 2)} / count(*) AS avg_price,
+         |  ${sqlDsum("l_discount", 2)} / count(*) AS avg_disc,
+         |  cast(count(*) AS bigint) AS count_order
+         |FROM lineitem
+         |WHERE cast(l_shipdate AS date) <= date '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_revenue_forecast" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue
+         |FROM lineitem
+         |WHERE cast(l_shipdate AS date) >= date '1996-01-01'
+         |  AND cast(l_shipdate AS date) < date '1997-01-01'
+         |  AND l_discount BETWEEN 0.03 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT o_orderkey, cast(o_orderdate AS date) AS order_date,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND cast(o_orderdate AS date) < date '1998-01-01'
+         |  AND cast(l_shipdate AS date) > date '1996-01-01'
+         |GROUP BY o_orderkey, cast(o_orderdate AS date)
+         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM region
+         |JOIN nation ON r_regionkey = n_regionkey
+         |JOIN customer ON n_nationkey = c_nationkey
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "window_ratio_report" ->
+      """SELECT l_returnflag, cnt,
+        |  round(100.0::DOUBLE * cnt / sum(cnt) OVER (), 4) AS pct
+        |FROM (SELECT l_returnflag, cast(count(*) AS bigint) AS cnt
+        |      FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+    "distinct_segments" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "cast_join_parts" ->
+      """SELECT p_brand, cast(count(*) AS bigint) AS cnt
+        |FROM lineitem
+        |JOIN part ON cast(cast(l_partkey AS varchar) AS int) = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "top1_customer" ->
+      s"""SELECT o_custkey, ${sqlDsum("o_totalprice", 2)} AS total_spend
+         |FROM orders GROUP BY o_custkey
+         |ORDER BY total_spend DESC, o_custkey ASC LIMIT 1""".stripMargin,
+    "left_join_nulls" ->
+      """SELECT
+        |  cast(sum(CASE WHEN h.l_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_orders_no_heavy,
+        |  cast(count(*) AS bigint) AS n_orders
+        |FROM orders o
+        |LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45) h
+        |  ON o.o_orderkey = h.l_orderkey""".stripMargin,
+    "events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  cast(count(*) AS bigint) AS cnt,
+         |  ${sqlDsum("value", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_json_extract" ->
+      """SELECT k % 10 AS k_bucket, cast(count(*) AS bigint) AS cnt,
+        |  cast(sum(k) AS bigint) AS sum_k
+        |FROM (SELECT try_cast(regexp_extract(props, '"k": (\d+)', 1) AS int) AS k
+        |      FROM events)
+        |GROUP BY k % 10""".stripMargin
+  )
+}
