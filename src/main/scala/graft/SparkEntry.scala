@@ -21,7 +21,9 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = parity ++ Relational.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parity ++ Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
 
   private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- parity: the reference's three analytics transforms ---------
@@ -43,5 +45,6 @@ object SparkEntry {
     "agg_public_holiday"      -> AggPublicHoliday.oracle,
     "agg_shipments"           -> AggShipments.oracle,
     "best_performing_product" -> BestPerformingProduct.oracle
-  ) ++ Relational.oracles
+  ) ++ Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+    Similarity.oracles
 }

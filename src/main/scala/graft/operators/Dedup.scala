@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash, the core dedup toolbox of a
+  * training-data pipeline.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on a 128-bit content hash; group sizes
+  *    are bounded by true duplicate multiplicity, no skew risk.
+  *  - jaccard pairs: pairwise compare is quadratic, so it only ever
+  *    runs inside small blocking groups (here lang×source); at 100 TB
+  *    the blocker keys keep each block driver-independent and bounded.
+  *  - minhash_lsh: the scale path — cost is linear in tokens (hash ×
+  *    permutations, map-side min-combine), candidate generation is a
+  *    self-equi-join on band signatures (shuffle keyed by signature,
+  *    only colliding docs meet), and the quadratic verify runs only on
+  *    candidates. This is the standard shingle→minhash→band→bucket
+  *    pipeline.
+  *  - simhash: linear fingerprinting; near-dup lookup becomes a
+  *    Hamming-distance comparison on 60-bit ints.
+  *
+  * All hash functions are md5-derived 60-bit ints so the DuckDB
+  * oracles reproduce them bit-for-bit (`('0x'||substr(md5(x),1,15))`
+  * ≡ Spark `conv(substring(md5(x),1,15),16,10)`).
+  */
+object Dedup {
+
+  private val NumPerms = 16
+  private val BandRows = 8 // 2 bands of 8 → candidates need high sim
+  private val JaccardThreshold = 0.8
+
+  /** md5-derived 60-bit hash of a string column (both-engine-stable). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct whitespace tokens per doc. */
+  private def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content-hash grouping, canonical = min doc_id
+    "dedup_exact" -> ((s, dir) => {
+      val w = Window.partitionBy(col("h"))
+      Tables(s, dir).documents
+        .withColumn("h", md5(col("text")))
+        .select(col("doc_id"), col("h"),
+          min(col("doc_id")).over(w).as("canonical_id"),
+          count(lit(1)).over(w).as("dup_count"))
+        .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+    }),
+
+    // n-gram (word-set) Jaccard near-dup pairs inside blocking groups
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val t = docs.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+      val a = t.select(col("lang"), col("source"),
+        col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = t.select(col("lang"), col("source"),
+        col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    }),
+
+    // MinHash + LSH banding: linear-cost candidate generation, then
+    // exact Jaccard verification on candidates only
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = tokenSets(docs)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+      val minhashes = toks
+        .withColumn("i", explode(sequence(lit(0), lit(NumPerms - 1))))
+        .withColumn("h", h60(concat(col("i").cast("string"), lit(":"), col("w"))))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(col("h")).as("mh"))
+      val bands = minhashes
+        .withColumn("band", (col("i") / BandRows).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+                    x => x.getField("mh").cast("string")), ",").as("sig"))
+      val cands = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sets = tokenSets(docs)
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+        .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    }),
+
+    // SimHash: 60-bit per-doc fingerprint from token hash bit votes
+    "simhash" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = tokenSets(docs)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .withColumn("h", h60(col("w")))
+      toks
+        .withColumn("bit", explode(sequence(lit(0), lit(59))))
+        .withColumn("vote",
+          when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(col("vote")).as("votes"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("votes") > 0,
+          expr("shiftleft(cast(1 AS bigint), bit)")).otherwise(0L))
+          .as("simhash"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  cast(count(*) OVER (PARTITION BY md5(text)) AS bigint) AS dup_count,
+        |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |        / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+         |  FROM documents),
+         |minhashes AS (
+         |  SELECT doc_id, i,
+         |         min(('0x' || substr(md5(i::varchar || ':' || w), 1, 15))::bigint) AS mh
+         |  FROM toks, range(0, $NumPerms) r(i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, (i // $BandRows)::int AS band,
+         |         string_agg(mh::varchar, ',' ORDER BY i) AS sig
+         |  FROM minhashes GROUP BY doc_id, i // $BandRows),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+         |  FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+         |        / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4) AS jaccard
+         |FROM cands c
+         |JOIN sets a ON a.doc_id = c.doc_a
+         |JOIN sets b ON b.doc_id = c.doc_b
+         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+         |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= $JaccardThreshold""".stripMargin,
+    "simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, bit,
+        |    cast(sum(CASE WHEN ((('0x' || substr(md5(w), 1, 15))::bigint >> bit) & 1) = 1
+        |             THEN 1 ELSE -1 END) AS bigint) AS votes
+        |  FROM toks, range(0, 60) r(bit)
+        |  GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  cast(sum(CASE WHEN votes > 0 THEN (1::bigint << bit) ELSE 0 END) AS bigint) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Similarity search over the `embeddings` table
+  * (`embedding: array<float>`, dim 64).
+  *
+  *  - `ann_cosine_topk`: brute-force cosine top-k — the exactness
+  *    baseline. The query side is a tiny broadcast; the corpus is
+  *    scanned once, per-partition, and the global top-k per query is
+  *    a shuffle of only (queries × k) candidate rows via the window
+  *    rank. At 100 TB the corpus scan dominates and parallelizes
+  *    perfectly; no pairwise corpus×corpus blowup.
+  *  - `ann_lsh_topk`: the scale path — random-hyperplane LSH. Each
+  *    vector gets a deterministic b-bit signature (hyperplane weights
+  *    are ±1 derived from md5, so the oracle reproduces them); search
+  *    touches only the query's bucket. Cuts the scanned fraction to
+  *    ~1/2^b per probe at the cost of recall, the standard ANN
+  *    trade-off (recall is measured against the brute-force baseline
+  *    in the test suite).
+  *
+  * Dot products run in double precision with left-to-right
+  * accumulation in both engines (Spark `aggregate` over the zipped
+  * array ≡ DuckDB `list_sum(list_transform(...))`), so cosines are
+  * bit-identical and the top-k rankings agree exactly.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NumQueries = 10 // vec_id < 10 are the query vectors
+  private val Planes = 6      // LSH signature bits
+
+  /** Σ a[i]·b[i] in double, sequential accumulation. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+                   lit(0.0), (acc, v) => acc + v))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-k per query vector
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          dot(col("qe"), col("embedding")) /
+            (norm(col("qe")) * norm(col("embedding"))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("vec_id"), col("rank"),
+                round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // random-hyperplane LSH bucketing, then top-k within the bucket
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      // deterministic ±1 hyperplane weights: sign from md5(plane:dim)
+      val sig = (0 until Planes)
+        .map { p =>
+          val planeDot = aggregate(
+            transform(col("embedding"), (x, j) =>
+              x.cast("double") * when(
+                conv(substring(md5(concat(lit(s"$p:"), j.cast("string"))), 1, 15), 16, 10)
+                  .cast("long") % 2 === 0, 1.0).otherwise(-1.0)),
+            lit(0.0), (acc, v) => acc + v)
+          when(planeDot >= 0, expr(s"shiftleft(cast(1 AS bigint), $p)")).otherwise(0L)
+        }
+        .reduce(_ + _)
+      val signed = emb.withColumn("bucket", sig)
+      val q = signed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+                col("bucket").as("qbucket"))
+      val scored = signed.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          dot(col("qe"), col("embedding")) /
+            (norm(col("qe")) * norm(col("embedding"))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("vec_id"), col("bucket"), col("rank"),
+                round(col("cosine"), 4).as("cosine"))
+    })
+  )
+
+  private val sqlDot =
+    "list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))"
+  private def sqlNorm(c: String) =
+    s"sqrt(list_sum(list_transform($c, x -> x::DOUBLE * x::DOUBLE)))"
+  private val sqlBucket =
+    s"""(SELECT sum(CASE WHEN list_sum(list_transform(range(1, len(v.embedding) + 1),
+       |      j -> v.embedding[j]::DOUBLE *
+       |           (CASE WHEN ('0x' || substr(md5(p::varchar || ':' || (j - 1)::varchar), 1, 15))::bigint % 2 = 0
+       |                 THEN 1.0 ELSE -1.0 END))) >= 0
+       |      THEN (1::bigint << p) ELSE 0 END)
+       | FROM range(0, $Planes) r(p))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id != q.qid)
+         |SELECT qid, vec_id,
+         |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
+         |  round(cosine, 4) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH signed AS (
+         |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |      FROM signed WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.bucket,
+         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+         |  FROM signed e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.qid)
+         |SELECT qid, vec_id, bucket,
+         |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
+         |  round(cosine, 4) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin
+  )
+}

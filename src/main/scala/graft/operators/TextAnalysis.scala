@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * text-side half of a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, and document
+  * fingerprinting. Every operator is a narrow per-row map (+ one
+  * map-side-combined groupBy for the fingerprint), so all of them
+  * scale linearly with no full shuffle — at 100 TB they are pure
+  * scan-transform-write passes.
+  *
+  * Each query has an exactly-mirrored DuckDB oracle; all arithmetic
+  * is integer or single-rounded double so results are bit-identical.
+  */
+object TextAnalysis {
+
+  /** Occurrences of literal `needle` in `' '||text||' '` via the
+    * length-difference trick — identical semantics in both engines.
+    */
+  private def hits(needle: String): Column =
+    ((length(concat(lit(" "), col("text"), lit(" "))) -
+      length(expr(s"replace(concat(' ', text, ' '), '$needle', '')"))) /
+      lit(needle.length)).cast("long")
+
+  private def sqlHits(needle: String): String =
+    s"(length(' '||text||' ') - length(replace(' '||text||' ', '$needle', ''))) // ${needle.length}"
+
+  /** Whitespace token count, 0 for blank text. */
+  private val nWords: Column =
+    when(length(trim(col("text"))) === 0, 0)
+      .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long")
+  private val sqlNWords: String =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+
+  // BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs.
+  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace + BPE-ish regex tokenization
+    "text_tokens" -> ((s, dir) => {
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        nWords.as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"))
+    }),
+
+    // quality scoring: word stats, stopword ratio, quality bucket
+    "text_quality" -> ((s, dir) => {
+      val stop = hits(" the ") + hits(" a ") + hits(" of ") + hits(" and ")
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"), nWords.as("n_words"), stop.as("stop_hits"),
+          length(expr("replace(text, ' ', '')")).cast("long").as("n_letter_chars"))
+        .select(
+          col("doc_id"), col("n_words"), col("stop_hits"),
+          round(col("n_letter_chars").cast("double") /
+            greatest(col("n_words"), lit(1L)), 4).as("avg_word_len"),
+          round(col("stop_hits").cast("double") /
+            greatest(col("n_words"), lit(1L)), 4).as("stop_ratio"),
+          when(col("n_words") >= 20 && col("stop_hits") > 0, "good")
+            .when(col("n_words") >= 5, "short").otherwise("junk")
+            .as("quality_bucket"))
+    }),
+
+    // language-ID: marker-n-gram scores with deterministic argmax
+    "lang_id" -> ((s, dir) => {
+      val sEn = hits(" the ") + hits(" a ")
+      val sDe = hits(" der ") + hits(" und ")
+      val sEs = hits(" el ") + hits(" y ")
+      val sFr = hits(" le ") + hits(" et ")
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), sEn.as("s_en"), sDe.as("s_de"),
+                sEs.as("s_es"), sFr.as("s_fr"))
+        .withColumn("predicted_lang",
+          when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+            .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+    }),
+
+    // document fingerprint: min-hash over 8-char rolling shingles
+    // (winnowing-style content signature; md5-derived 60-bit ints)
+    "doc_fingerprint" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))))
+            .as("pos"),
+          col("text"))
+        .select(col("doc_id"),
+          conv(substring(md5(expr("substring(text, pos, 8)")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("h")).as("fingerprint"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  cast($sqlNWords AS bigint) AS n_ws_tokens,
+         |  cast(len(regexp_extract_all(text, '$bpePattern')) AS bigint) AS n_bpe_tokens,
+         |  cast(length(text) AS bigint) AS n_chars_computed
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    cast($sqlNWords AS bigint) AS n_words,
+         |    cast(${sqlHits(" the ")} + ${sqlHits(" a ")} + ${sqlHits(" of ")} + ${sqlHits(" and ")} AS bigint) AS stop_hits,
+         |    cast(length(replace(text, ' ', '')) AS bigint) AS n_letter_chars
+         |  FROM documents)
+         |SELECT doc_id, n_words, stop_hits,
+         |  round(n_letter_chars::DOUBLE / greatest(n_words, 1), 4) AS avg_word_len,
+         |  round(stop_hits::DOUBLE / greatest(n_words, 1), 4) AS stop_ratio,
+         |  CASE WHEN n_words >= 20 AND stop_hits > 0 THEN 'good'
+         |       WHEN n_words >= 5 THEN 'short' ELSE 'junk' END AS quality_bucket
+         |FROM base""".stripMargin,
+    "lang_id" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |    cast(${sqlHits(" the ")} + ${sqlHits(" a ")} AS bigint) AS s_en,
+         |    cast(${sqlHits(" der ")} + ${sqlHits(" und ")} AS bigint) AS s_de,
+         |    cast(${sqlHits(" el ")} + ${sqlHits(" y ")} AS bigint) AS s_es,
+         |    cast(${sqlHits(" le ")} + ${sqlHits(" et ")} AS bigint) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+         |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+         |FROM scores""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  min(('0x' || substr(md5(substring(text, pos, 8)), 1, 15))::bigint) AS fingerprint
+        |FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS pos
+        |      FROM documents)
+        |GROUP BY doc_id""".stripMargin
+  )
+}
