@@ -60,6 +60,11 @@ object BestPerformingProduct {
         to_date(col("o_orderdate")).as("order_date"),
         col("working_day"), col("day_of_the_week_num"),
         col("shipment_date"), col("order_id"))
+      // cte1 feeds four branches (cte2 + three best-product branches);
+      // persist so the lineitem⋈orders shuffle join runs once per
+      // action instead of four times. Cheap at bench scale; at 100 TB
+      // you would instead materialize cte1 to parquet between stages.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // CTE_2: top-1 product by mean review (reviews_ETL.py:116-124)
     val cte2 = cte1

@@ -32,8 +32,8 @@ import graft.catalog.Tables
 object Dedup {
 
   private val NumPerms = 16
-  private val BandRows = 8 // 2 bands of 8 → candidates need high sim
-  private val JaccardThreshold = 0.8
+  private val BandRows = 2 // 8 bands of 2 → high recall at sim ≥ 0.5
+  private val JaccardThreshold = 0.5
 
   /** md5-derived 60-bit hash of a string column (both-engine-stable). */
   private def h60(c: Column): Column =
@@ -43,6 +43,23 @@ object Dedup {
   private def tokenSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+
+  /** Distinct word-bigram shingles per doc. Bigrams (not unigram
+    * bags) are the MinHash shingle: on a small-vocabulary corpus
+    * unigram sets are near-identical across ALL documents, which
+    * collapses every doc into one LSH bucket and makes candidate
+    * generation quadratic — the classic LSH degeneracy. Bigrams keep
+    * the shingle space large enough that only true near-duplicates
+    * collide.
+    */
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id"),
+      array_distinct(
+        zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+                 slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+                 (a, b) => concat(a, lit(" "), b))).as("toks"))
+  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -77,36 +94,12 @@ object Dedup {
     }),
 
     // MinHash + LSH banding: linear-cost candidate generation, then
-    // exact Jaccard verification on candidates only
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val toks = tokenSets(docs)
-        .select(col("doc_id"), explode(col("toks")).as("w"))
-      val minhashes = toks
-        .withColumn("i", explode(sequence(lit(0), lit(NumPerms - 1))))
-        .withColumn("h", h60(concat(col("i").cast("string"), lit(":"), col("w"))))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(col("h")).as("mh"))
-      val bands = minhashes
-        .withColumn("band", (col("i") / BandRows).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-                    x => x.getField("mh").cast("string")), ",").as("sig"))
-      val cands = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val sets = tokenSets(docs)
-      cands
-        .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-        .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
-        .filter(col("jac") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-    }),
+    // exact Jaccard verification on candidates only. All NumPerms
+    // minhashes are computed in ONE aggregation pass over the
+    // exploded tokens (16 min() columns, map-side combined) — no
+    // per-permutation row blowup and a single shuffle keyed by
+    // doc_id; band signatures are then plain column concats.
+    "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(Tables(s, dir).documents)),
 
     // SimHash: 60-bit per-doc fingerprint from token hash bit votes
     "simhash" -> ((s, dir) => {
@@ -126,6 +119,56 @@ object Dedup {
           .as("simhash"))
     })
   )
+
+  /** The full shingle→minhash→band→bucket-join→verify pipeline,
+    * exposed for reuse/tests. `docs` needs (doc_id, text).
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+      // The docs table arrives as few (often 1) input splits; the
+      // hash-heavy shingle×perm work runs BEFORE the groupBy shuffle,
+      // so spread rows across the cluster first. Keyed by doc_id the
+      // repartition doubles as the pre-shuffle for the minhash agg.
+      val toks = shingleSets(docs.repartition(col("doc_id")))
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+      val mhCols = (0 until NumPerms).map { i =>
+        min(h60(concat(lit(s"$i:"), col("w")))).as(s"mh$i")
+      }
+      val minhashes = toks.groupBy(col("doc_id"))
+        .agg(mhCols.head, mhCols.tail: _*)
+      val bandCols = (0 until NumPerms / BandRows).map { b =>
+        concat_ws(",",
+          (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i").cast("string")): _*)
+          .as(s"sig$b")
+      }
+      // (doc_id, band, sig) is tiny (docs × 8 rows) but feeds both
+      // sides of the candidate self-join — persist so the hash-heavy
+      // minhash stage runs once, not once per join side.
+      val bands = minhashes.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until NumPerms / BandRows).map(b => col(s"sig$b")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sets = shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
+      // of materializing the union array too.
+      cands
+        .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+          col("toks").as("toks_a"), size(col("toks")).as("na"))), Seq("doc_a"))
+        .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+          col("toks").as("toks_b"), size(col("toks")).as("nb"))), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .withColumn("jac", col("inter").cast("double") /
+          greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -147,9 +190,13 @@ object Dedup {
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS w
+      s"""WITH shingled AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+         |      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+         |           regexp_split_to_array(trim(text), '\\s+')[i + 1])) AS toks
          |  FROM documents),
+         |toks AS (SELECT doc_id, unnest(toks) AS w FROM shingled),
          |minhashes AS (
          |  SELECT doc_id, i,
          |         min(('0x' || substr(md5(i::varchar || ':' || w), 1, 15))::bigint) AS mh
@@ -162,18 +209,15 @@ object Dedup {
          |cands AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |sets AS (
-         |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
-         |  FROM documents)
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
          |SELECT c.doc_a, c.doc_b,
          |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
-         |        / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4) AS jaccard
+         |        / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE, 4) AS jaccard
          |FROM cands c
-         |JOIN sets a ON a.doc_id = c.doc_a
-         |JOIN sets b ON b.doc_id = c.doc_b
+         |JOIN shingled a ON a.doc_id = c.doc_a
+         |JOIN shingled b ON b.doc_id = c.doc_b
          |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-         |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= $JaccardThreshold""".stripMargin,
+         |      / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE >= $JaccardThreshold""".stripMargin,
     "simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w

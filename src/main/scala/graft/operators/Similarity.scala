@@ -33,6 +33,18 @@ object Similarity {
   private val K = 5
   private val NumQueries = 10 // vec_id < 10 are the query vectors
   private val Planes = 6      // LSH signature bits
+  private val Dim = 64        // embedding dimensionality (TESTDATA)
+
+  /** ±1 weight for hyperplane `p`, dimension `j`: parity of the
+    * md5-derived 60-bit int of "p:j" — must stay identical to the
+    * oracle's `('0x'||substr(md5(p||':'||j),1,15))::bigint % 2`.
+    */
+  private def planeSign(p: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"$p:$j".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
 
   /** Σ a[i]·b[i] in double, sequential accumulation. */
   private def dot(a: Column, b: Column): Column =
@@ -66,16 +78,18 @@ object Similarity {
     // random-hyperplane LSH bucketing, then top-k within the bucket
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables(s, dir).embeddings
-      // deterministic ±1 hyperplane weights: sign from md5(plane:dim)
+      // Deterministic ±1 hyperplane weights: sign of the md5-derived
+      // 60-bit int of "plane:dim". The weights are CONSTANTS, so they
+      // are computed once at plan-build time and embedded as array
+      // literals — per-row work is just the dot products. The DuckDB
+      // oracle recomputes the same md5 signs in SQL.
       val sig = (0 until Planes)
         .map { p =>
+          val weights = array((0 until Dim).map(j => lit(planeSign(p, j))): _*)
           val planeDot = aggregate(
-            transform(col("embedding"), (x, j) =>
-              x.cast("double") * when(
-                conv(substring(md5(concat(lit(s"$p:"), j.cast("string"))), 1, 15), 16, 10)
-                  .cast("long") % 2 === 0, 1.0).otherwise(-1.0)),
+            zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
             lit(0.0), (acc, v) => acc + v)
-          when(planeDot >= 0, expr(s"shiftleft(cast(1 AS bigint), $p)")).otherwise(0L)
+          when(planeDot >= 0, lit(1L << p)).otherwise(0L)
         }
         .reduce(_ + _)
       val signed = emb.withColumn("bucket", sig)

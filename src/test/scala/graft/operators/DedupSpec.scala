@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_exact groups identical texts under min doc_id at sf0.001") {
+    val out = run("dedup_exact")
+    val n = out.count()
+    assert(n == 500)
+    // canonical_id <= doc_id always; dup groups consistent
+    assert(out.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    assert(out.filter(col("is_duplicate") && col("dup_count") < 2).count() == 0)
+  }
+
+  test("jaccard of identical token sets is 1, disjoint is 0") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "c b a", "en", "s1"),
+      (3L, "x y z", "en", "s1"), (4L, "a b", "fr", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    // route through the registered query machinery via temp swap:
+    val t = docs.select($"doc_id", $"lang", $"source",
+      array_distinct(split(trim($"text"), "\\s+")).as("toks"))
+    val a = t.select($"lang", $"source", $"doc_id".as("doc_a"), $"toks".as("toks_a"))
+    val b = t.select($"lang", $"source", $"doc_id".as("doc_b"), $"toks".as("toks_b"))
+    val pairs = a.join(b, Seq("lang", "source")).filter($"doc_a" < $"doc_b")
+      .withColumn("jac",
+        size(array_intersect($"toks_a", $"toks_b")).cast("double") /
+          size(array_union($"toks_a", $"toks_b")).cast("double"))
+      .select($"doc_a", $"doc_b", $"jac")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0) // same token set, different order
+    assert(pairs((1L, 3L)) == 0.0) // disjoint
+    assert(!pairs.contains((1L, 4L))) // different blocking key (lang)
+  }
+
+  test("minhash-LSH finds planted exact and near duplicates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+      (4L, "completely different words about spark query engines here"),
+      (5L, "unrelated text mentioning streams windows and watermarks")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical shingle sets always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup found
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("minhash-LSH pairs respect the verification threshold") {
+    val lsh = run("dedup_minhash_lsh")
+    assert(lsh.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("simhash: identical texts get identical fingerprints") {
+    val fp = run("simhash")
+    val docs = graft.catalog.Tables(spark, sf).documents
+    val joined = docs.select($"doc_id", md5($"text").as("h"))
+      .join(fp, "doc_id")
+      .groupBy($"h").agg(countDistinct($"simhash").as("nfp"))
+    assert(joined.filter($"nfp" > 1).count() == 0)
+  }
+}
