@@ -58,14 +58,14 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k per query vector
     "ann_cosine_topk" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
       val emb = Tables(s, dir).embeddings
       val q = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cosine",
-          dot(col("qe"), col("embedding")) /
-            (norm(col("qe")) * norm(col("embedding"))))
+          graft.functions.CosineSimilarity.cosine_sim(col("qe"), col("embedding")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(desc("cosine"), asc("vec_id"))
       scored
@@ -77,6 +77,7 @@ object Similarity {
 
     // random-hyperplane LSH bucketing, then top-k within the bucket
     "ann_lsh_topk" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
       val emb = Tables(s, dir).embeddings
       // Deterministic ±1 hyperplane weights: sign of the md5-derived
       // 60-bit int of "plane:dim". The weights are CONSTANTS, so they
@@ -99,8 +100,7 @@ object Similarity {
       val scored = signed.join(broadcast(q),
           col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
         .withColumn("cosine",
-          dot(col("qe"), col("embedding")) /
-            (norm(col("qe")) * norm(col("embedding"))))
+          graft.functions.CosineSimilarity.cosine_sim(col("qe"), col("embedding")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(desc("cosine"), asc("vec_id"))
       scored

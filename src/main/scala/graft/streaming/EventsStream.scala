@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference is batch-only (`schedule_interval='@once'`,
+  * `orders_ETL.py:37`) — its natural streaming upgrade is a
+  * file-source stream with `Trigger.AvailableNow`: each run drains
+  * whatever landed since the last checkpoint and stops, giving the
+  * reference's one-shot semantics plus incremental re-runs for free
+  * (SURVEY.md §1.2).
+  *
+  * Scale notes: windowed aggregation state is bounded by the
+  * watermark horizon; sessionization state is per-user and dropped on
+  * timeout. Both shuffle once on the grouping key — identical plan
+  * shape to the batch equivalents, so the 100 TB sizing story
+  * (partitions, skew, AQE) carries over.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Long,
+                           start: java.sql.Timestamp, end: java.sql.Timestamp,
+                           total_value: Double)
+
+  /** File-source stream of events.parquet under `dir`, normalized to
+    * microsecond timestamps (the parquet carries TIMESTAMP(NANOS),
+    * surfaced as epoch-nano longs — see Tables.events).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streams take a directory; select just the events
+    // table out of the shared sf directory
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Hourly tumbling-window counts with a watermark — the streaming
+    * twin of the batch `events_hourly` query (late data beyond 1h is
+    * dropped deterministically once the watermark passes).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Per-user gap-based sessionization via flatMapGroupsWithState:
+    * events more than `gapMinutes` apart start a new session. Emits
+    * closed sessions (Append mode); open sessions survive in state.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Event], state: GroupState[List[Event]]) =>
+          val sorted = (state.getOption.getOrElse(Nil) ++ events.toList)
+            .sortBy(_.ts.getTime)
+          // split into gap-separated runs; keep the last run open in state
+          val runs = sorted.foldLeft(List.empty[List[Event]]) {
+            case (Nil, e) => List(List(e))
+            case (cur :: done, e) =>
+              if (e.ts.getTime - cur.head.ts.getTime > gapMs) List(e) :: cur :: done
+              else (e :: cur) :: done
+          }.map(_.reverse).reverse
+          val (closed, open) = runs.splitAt(math.max(runs.length - 1, 0))
+          state.update(open.flatten)
+          closed.iterator.map { run =>
+            Session(userId, run.length.toLong, run.head.ts, run.last.ts,
+              run.map(_.value).sum)
+          }
+      }
+  }
+
+  /** Drain-everything-now run to an in-memory table; returns once all
+    * available files are processed (Trigger.AvailableNow).
+    */
+  def runAvailableNow(df: DataFrame, queryName: String,
+                      outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ck-$queryName").toString)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming sink to parquet for production runs. */
+  def runToParquet(df: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet").option("path", path)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+}
