@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.Tables
+
+/** Advanced relational operators beyond the reference's surface:
+  * batch sessionization, as-of join, rollup, set operations,
+  * semi/anti joins, exact percentiles — the rest of what a complete
+  * analytics engine offers, each DuckDB-oracle-verified.
+  *
+  * Scale notes: sessionization and as-of join are single-shuffle
+  * window plans (partition by the entity key, order within
+  * partition) — state never leaves the executor, no driver
+  * involvement, and skew is bounded by per-user event counts. The
+  * as-of join is the standard Spark-first composition: tag the two
+  * streams, union, and carry the last-seen right-side row forward
+  * with an ignore-nulls window — no custom physical operator needed
+  * because the semantics decompose onto sort-within-partition.
+  */
+object Advanced {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private val SessionGapMin = 30
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // gap-based sessionization, batch form (streaming twin lives in
+    // graft.streaming): flag gaps > 30 min, running-sum the flags
+    // into session ids, aggregate per session
+    "events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = SessionGapMin * 60L * 1000000L
+      Tables(s, dir).events
+        .withColumn("gap_flag",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("gap_flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          dsum(col("value"), 2).as("total_value"))
+    }),
+
+    // as-of join: for every non-purchase event, the same user's most
+    // recent purchase at or before it (union + ignore-nulls window)
+    "asof_last_purchase" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, dir).events
+        .withColumn("last_purchase_ts",
+          last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("last_purchase_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_purchase_ts")))
+            .as("micros_since_purchase"))
+    }),
+
+    // rollup with grouping flags (subtotals + grand total)
+    "rollup_revenue" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+          count(lit(1)).as("cnt"))
+        .select(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"), col("revenue"), col("cnt"))
+    }),
+
+    // INTERSECT / EXCEPT composition over customer segments
+    "set_ops_customers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val openOrderers = t.orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(openOrderers).withColumn("tag", lit("both"))
+        .unionAll(building.except(openOrderers).withColumn("tag", lit("building_only")))
+    }),
+
+    // left-semi / left-anti joins (EXISTS / NOT EXISTS)
+    "semi_anti_parts" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val heavy = t.lineitem.filter(col("l_quantity") >= 40)
+      val used = t.part.join(heavy, col("p_partkey") === col("l_partkey"), "left_semi")
+      val unused = t.part.join(heavy, col("p_partkey") === col("l_partkey"), "left_anti")
+      used.agg(count(lit(1)).as("n_parts_heavy"))
+        .crossJoin(unused.agg(count(lit(1)).as("n_parts_not_heavy")))
+    }),
+
+    // exact interpolated percentiles per group
+    "value_percentiles" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+          countDistinct(col("user_id")).as("n_users"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${SessionGapMin * 60L * 1000000L}
+         |         THEN 1 ELSE 0 END AS gap_flag
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, cast(session_id AS bigint) AS session_id,
+         |  cast(count(*) AS bigint) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "asof_last_purchase" ->
+      """SELECT event_id, user_id, ts, event_type, last_purchase_ts,
+        |  epoch_us(ts) - epoch_us(last_purchase_ts) AS micros_since_purchase
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+        |  FROM events)
+        |WHERE event_type != 'purchase'""".stripMargin,
+    "rollup_revenue" ->
+      """SELECT cast(grouping(l_returnflag) AS int) AS g_flag,
+        |  cast(grouping(l_linestatus) AS int) AS g_status,
+        |  l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+        |  cast(count(*) AS bigint) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "set_ops_customers" ->
+      """SELECT custkey, 'both' AS tag FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT custkey, 'building_only' AS tag FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+    "semi_anti_parts" ->
+      """SELECT
+        |  (SELECT cast(count(*) AS bigint) FROM part
+        |   WHERE EXISTS (SELECT 1 FROM lineitem
+        |                 WHERE l_partkey = p_partkey AND l_quantity >= 40)) AS n_parts_heavy,
+        |  (SELECT cast(count(*) AS bigint) FROM part
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                     WHERE l_partkey = p_partkey AND l_quantity >= 40)) AS n_parts_not_heavy""".stripMargin,
+    "value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value::DOUBLE, 0.5), 4) AS p50,
+        |  round(quantile_cont(value::DOUBLE, 0.95), 4) AS p95,
+        |  cast(count(DISTINCT user_id) AS bigint) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch sessionization covers every event exactly once") {
+    val sessions = run("events_sessionize")
+    val total = graft.catalog.Tables(spark, sf).events.count()
+    assert(sessions.agg(sum($"n_events")).as[Long].collect()(0) == total)
+    // session bounds ordered
+    assert(sessions.filter($"session_start" > $"session_end").count() == 0)
+  }
+
+  test("as-of join: purchase timestamps never in the future of the event") {
+    val out = run("asof_last_purchase")
+    assert(out.count() > 0)
+    assert(out.filter($"last_purchase_ts" > $"ts").count() == 0)
+    assert(out.filter($"micros_since_purchase" < 0).count() == 0)
+    // users with no prior purchase yield nulls, not dropped rows
+    assert(out.filter($"last_purchase_ts".isNull).count() >= 0)
+  }
+
+  test("as-of join picks the LATEST prior purchase (literal check)") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "purchase", 1.0),
+      (2L, "2024-01-01 11:00:00", 7L, "purchase", 2.0),
+      (3L, "2024-01-01 12:00:00", 7L, "click", 0.0),
+      (4L, "2024-01-01 09:00:00", 8L, "click", 0.0)
+    ).toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"tss")).drop("tss")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = events
+      .withColumn("last_purchase_ts",
+        last(when($"event_type" === "purchase", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" =!= "purchase")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.sql.Timestamp]("last_purchase_ts"))).toMap
+    assert(out(3L).get.toString.startsWith("2024-01-01 11:00:00")) // latest, not first
+    assert(out(4L).isEmpty) // no prior purchase
+  }
+
+  test("rollup: grand total row equals sum of detail rows") {
+    val out = run("rollup_revenue").collect()
+    val grand = out.find(r => r.getInt(0) == 1 && r.getInt(1) == 1).get
+    val detail = out.filter(r => r.getInt(0) == 0 && r.getInt(1) == 0)
+    assert(math.abs(detail.map(_.getAs[Double]("revenue")).sum -
+      grand.getAs[Double]("revenue")) < 1e-4)
+    assert(detail.map(_.getAs[Long]("cnt")).sum == grand.getAs[Long]("cnt"))
+  }
+
+  test("set ops partition the BUILDING segment") {
+    val out = run("set_ops_customers")
+    val both = out.filter($"tag" === "both").count()
+    val only = out.filter($"tag" === "building_only").count()
+    val building = graft.catalog.Tables(spark, sf).customer
+      .filter($"c_mktsegment" === "BUILDING").count()
+    assert(both + only == building)
+    // disjoint
+    assert(out.groupBy($"custkey").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("semi + anti partition the part table") {
+    val r = run("semi_anti_parts").collect()(0)
+    val total = graft.catalog.Tables(spark, sf).part.count()
+    assert(r.getAs[Long]("n_parts_heavy") + r.getAs[Long]("n_parts_not_heavy") == total)
+  }
+}
