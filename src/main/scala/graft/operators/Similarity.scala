@@ -75,6 +75,30 @@ object Similarity {
                 round(col("cosine"), 4).as("cosine"))
     }),
 
+    // identical results to ann_cosine_topk via the bounded-heap
+    // TypedImperativeAggregate — the scale path for global top-k:
+    // per-partition k-element heaps, map-side combined, so only
+    // k rows per partition reach the shuffle (vs every scored row
+    // for the window formulation)
+    "ann_topk_agg" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.TopKByScore.register(s)
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          graft.functions.CosineSimilarity.cosine_sim(col("qe"), col("embedding")))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topk_by_score(col("cosine"), col("vec_id"), K)
+          .as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.id").as("vec_id"),
+          (col("pos") + 1).cast("int").as("rank"),
+          round(col("col.score"), 4).as("cosine"))
+    }),
+
     // random-hyperplane LSH bucketing, then top-k within the bucket
     "ann_lsh_topk" -> ((s, dir) => {
       graft.functions.CosineSimilarity.register(s)
@@ -123,18 +147,21 @@ object Similarity {
        |      THEN (1::bigint << p) ELSE 0 END)
        | FROM range(0, $Planes) r(p))""".stripMargin
 
+  private lazy val bruteForceOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+       |  FROM embeddings e, q WHERE e.vec_id != q.qid)
+       |SELECT qid, vec_id,
+       |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
+       |  round(cosine, 4) AS cosine
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "ann_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
-         |scored AS (
-         |  SELECT q.qid, e.vec_id,
-         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
-         |  FROM embeddings e, q WHERE e.vec_id != q.qid)
-         |SELECT qid, vec_id,
-         |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
-         |  round(cosine, 4) AS cosine
-         |FROM scored
-         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin,
+    "ann_cosine_topk" -> bruteForceOracle,
+    "ann_topk_agg" -> bruteForceOracle,
     "ann_lsh_topk" ->
       s"""WITH signed AS (
          |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),
