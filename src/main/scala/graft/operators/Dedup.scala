@@ -101,6 +101,26 @@ object Dedup {
     // doc_id; band signatures are then plain column concats.
     "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(Tables(s, dir).documents)),
 
+    // embedding-cosine near-dup: pairwise cosine inside label blocks
+    // (the label plays the IVF coarse-quantizer cell — at 100 TB the
+    // blocking key bounds the quadratic compare exactly like
+    // lang×source does for text pairs)
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = Tables(s, dir).embeddings
+      val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          graft.functions.CosineSimilarity.cosine_sim(col("emb_a"), col("emb_b")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("label"), col("vec_a"), col("vec_b"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+
     // SimHash: 60-bit per-doc fingerprint from token hash bit votes
     "simhash" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
@@ -171,6 +191,17 @@ object Dedup {
   }
 
   def oracles: Map[String, String] = Map(
+    "dedup_embedding_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, vec_a, vec_b, round(cosine, 4) AS cosine
+        |FROM pairs WHERE cosine >= 0.4""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
