@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers: salted equi-join for hot keys.
+  *
+  * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+  * on in GraftSession) handles most skew at runtime; explicit salting
+  * remains the tool when one side must replicate — e.g. a fact table
+  * where 1% of keys carry 50% of rows joined to a medium right side
+  * that is too big to broadcast.
+  *
+  * `saltedJoin` replicates each RIGHT row `salt` times and scatters
+  * LEFT rows uniformly across the salt space, so a hot key's rows
+  * spread over `salt` reducers instead of one.
+  */
+object Skew {
+
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val saltedRight = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Diagnostic: rows-per-key histogram quantiles, to decide whether
+    * salting is warranted before paying for it.
+    */
+  def keySkew(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("rows"))
+      .agg(max(col("rows")).as("max_rows"),
+        expr("percentile(rows, 0.99)").as("p99_rows"),
+        avg(col("rows")).as("avg_rows"))
+}

@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows under heavy skew") {
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val right = (1L to 2000L).map(k => (k, s"r$k")).toDF("k", "payload")
+    val plain = left.join(right, Seq("k")).select($"k", $"v", $"payload")
+    val salted = Skew.saltedJoin(left, right, "k").select($"k", $"v", $"payload")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("keySkew reports the hot key") {
+    val df = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
+    val r = Skew.keySkew(df, $"k").collect()(0)
+    assert(r.getAs[Long]("max_rows") == 900L)
+  }
+}
