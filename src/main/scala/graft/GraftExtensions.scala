@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimilarity, TopKByScore}
+
+/** Session-extension registration for the engine's custom Catalyst
+  * pieces — enables `--conf spark.sql.extensions=graft.GraftExtensions`
+  * on any cluster (the per-session `register(spark)` helpers remain
+  * for ad-hoc use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+  }
+}
