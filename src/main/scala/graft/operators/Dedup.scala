@@ -220,35 +220,7 @@ object Dedup {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH shingled AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
-         |      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-         |           regexp_split_to_array(trim(text), '\\s+')[i + 1])) AS toks
-         |  FROM documents),
-         |toks AS (SELECT doc_id, unnest(toks) AS w FROM shingled),
-         |minhashes AS (
-         |  SELECT doc_id, i,
-         |         min(('0x' || substr(md5(i::varchar || ':' || w), 1, 15))::bigint) AS mh
-         |  FROM toks, range(0, $NumPerms) r(i)
-         |  GROUP BY doc_id, i),
-         |bands AS (
-         |  SELECT doc_id, (i // $BandRows)::int AS band,
-         |         string_agg(mh::varchar, ',' ORDER BY i) AS sig
-         |  FROM minhashes GROUP BY doc_id, i // $BandRows),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
-         |        / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE, 4) AS jaccard
-         |FROM cands c
-         |JOIN shingled a ON a.doc_id = c.doc_a
-         |JOIN shingled b ON b.doc_id = c.doc_b
-         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-         |      / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE >= $JaccardThreshold""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracleSql("documents"),
     "simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
@@ -263,4 +235,45 @@ object Dedup {
         |  cast(sum(CASE WHEN votes > 0 THEN (1::bigint << bit) ELSE 0 END) AS bigint) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin
   )
+
+  /** The minhash-LSH oracle CTE chain over an arbitrary source
+    * relation (doc_id, text) — reused by the corpus-curation oracle.
+    */
+  private[operators] def minhashOracleSql(src: String): String =
+    s"""WITH ${minhashOracleCtes(src)}
+       |SELECT doc_a, doc_b, jaccard FROM mh_pairs""".stripMargin
+
+  /** CTE block (no WITH keyword) computing `mh_pairs(doc_a, doc_b,
+    * jaccard)` from relation `src`.
+    */
+  private[operators] def minhashOracleCtes(src: String): String =
+    s"""shingled AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+       |      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+       |           regexp_split_to_array(trim(text), '\\s+')[i + 1])) AS toks
+       |  FROM $src),
+       |toks AS (SELECT doc_id, unnest(toks) AS w FROM shingled),
+       |minhashes AS (
+       |  SELECT doc_id, i,
+       |         min(('0x' || substr(md5(i::varchar || ':' || w), 1, 15))::bigint) AS mh
+       |  FROM toks, range(0, $NumPerms) r(i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, (i // $BandRows)::int AS band,
+       |         string_agg(mh::varchar, ',' ORDER BY i) AS sig
+       |  FROM minhashes GROUP BY doc_id, i // $BandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |mh_pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(len(list_intersect(a.toks, b.toks))::DOUBLE
+       |          / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE, 4) AS jaccard
+       |  FROM cands c
+       |  JOIN shingled a ON a.doc_id = c.doc_a
+       |  JOIN shingled b ON b.doc_id = c.doc_b
+       |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+       |        / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE >= $JaccardThreshold)""".stripMargin
 }

@@ -21,19 +21,19 @@ object TextAnalysis {
   /** Occurrences of literal `needle` in `' '||text||' '` via the
     * length-difference trick — identical semantics in both engines.
     */
-  private def hits(needle: String): Column =
+  private[operators] def hits(needle: String): Column =
     ((length(concat(lit(" "), col("text"), lit(" "))) -
       length(expr(s"replace(concat(' ', text, ' '), '$needle', '')"))) /
       lit(needle.length)).cast("long")
 
-  private def sqlHits(needle: String): String =
+  private[operators] def sqlHits(needle: String): String =
     s"(length(' '||text||' ') - length(replace(' '||text||' ', '$needle', ''))) // ${needle.length}"
 
   /** Whitespace token count, 0 for blank text. */
-  private val nWords: Column =
+  private[operators] val nWords: Column =
     when(length(trim(col("text"))) === 0, 0)
       .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long")
-  private val sqlNWords: String =
+  private[operators] val sqlNWords: String =
     "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 
   // BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs.
