@@ -121,24 +121,55 @@ object Dedup {
           round(col("cosine"), 4).as("cosine"))
     }),
 
-    // SimHash: 60-bit per-doc fingerprint from token hash bit votes
-    "simhash" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val toks = tokenSets(docs)
-        .select(col("doc_id"), explode(col("toks")).as("w"))
-        .withColumn("h", h60(col("w")))
-      toks
-        .withColumn("bit", explode(sequence(lit(0), lit(59))))
-        .withColumn("vote",
-          when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(col("vote")).as("votes"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("votes") > 0,
-          expr("shiftleft(cast(1 AS bigint), bit)")).otherwise(0L))
-          .as("simhash"))
+    // SimHash: 60-bit per-doc fingerprint from shingle hash bit votes
+    "simhash" -> ((s, dir) => simhashFingerprints(Tables(s, dir).documents)),
+
+    // SimHash near-dup pairs via pigeonhole banding: hamming <= 3
+    // over 4 bands of 15 bits means at least one band is untouched,
+    // so banded candidate generation has EXACT recall (unlike
+    // probabilistic minhash bands) at LSH cost
+    "simhash_pairs" -> ((s, dir) => {
+      val fp = simhashFingerprints(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandCols = (0 until 4).map(b =>
+        expr(s"(simhash >> ${15 * b}) & 32767").as(s"bv$b"))
+      val bands = fp.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until 4).map(b => col(s"bv$b")): _*)))
+        .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_val")
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))), Seq("doc_a"))
+        .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))), Seq("doc_b"))
+        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
     })
   )
+
+  /** 60-bit SimHash per doc over word-bigram shingles (same shingle
+    * space as MinHash — unigram votes degenerate on a tiny
+    * vocabulary exactly like unigram minhash buckets do).
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = shingleSets(docs.repartition(col("doc_id")))
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .withColumn("h", h60(col("w")))
+    toks
+      .withColumn("bit", explode(sequence(lit(0), lit(59))))
+      .withColumn("vote",
+        when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("votes") > 0,
+        expr("shiftleft(cast(1 AS bigint), bit)")).otherwise(0L))
+        .as("simhash"))
+  }
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,
     * exposed for reuse/tests. `docs` needs (doc_id, text).
@@ -222,19 +253,44 @@ object Dedup {
         |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql("documents"),
     "simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
-        |  FROM documents),
-        |votes AS (
-        |  SELECT doc_id, bit,
-        |    cast(sum(CASE WHEN ((('0x' || substr(md5(w), 1, 15))::bigint >> bit) & 1) = 1
-        |             THEN 1 ELSE -1 END) AS bigint) AS votes
-        |  FROM toks, range(0, 60) r(bit)
-        |  GROUP BY doc_id, bit)
-        |SELECT doc_id,
-        |  cast(sum(CASE WHEN votes > 0 THEN (1::bigint << bit) ELSE 0 END) AS bigint) AS simhash
-        |FROM votes GROUP BY doc_id""".stripMargin
+      s"""WITH $simhashOracleCtes
+         |SELECT doc_id, simhash FROM fp""".stripMargin,
+    "simhash_pairs" ->
+      s"""WITH $simhashOracleCtes,
+         |bands AS (
+         |  SELECT doc_id, b, (simhash >> (15 * b)) & 32767 AS band_val
+         |  FROM fp, range(0, 4) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  cast(bit_count(xor(fa.simhash, fb.simhash)) AS int) AS hamming
+         |FROM cands c
+         |JOIN fp fa ON fa.doc_id = c.doc_a
+         |JOIN fp fb ON fb.doc_id = c.doc_b
+         |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3""".stripMargin
   )
+
+  /** CTE block computing `fp(doc_id, simhash)` over bigram shingles
+    * of `documents` — shared by the simhash and simhash_pairs oracles.
+    */
+  private val simhashOracleCtes: String =
+    """shingled AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+'))),
+      |    i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+      |         regexp_split_to_array(trim(text), '\s+')[i + 1]))) AS w
+      |  FROM documents),
+      |votes AS (
+      |  SELECT doc_id, bit,
+      |    cast(sum(CASE WHEN ((('0x' || substr(md5(w), 1, 15))::bigint >> bit) & 1) = 1
+      |             THEN 1 ELSE -1 END) AS bigint) AS votes
+      |  FROM shingled, range(0, 60) r(bit)
+      |  GROUP BY doc_id, bit),
+      |fp AS (
+      |  SELECT doc_id,
+      |    cast(sum(CASE WHEN votes > 0 THEN (1::bigint << bit) ELSE 0 END) AS bigint) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
 
   /** The minhash-LSH oracle CTE chain over an arbitrary source
     * relation (doc_id, text) — reused by the corpus-curation oracle.
