@@ -142,6 +142,19 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), dsum(col("value"), 2).as("sum_value"))
     }),
 
+    // native pivot (the idiomatic form of the reference's manual
+    // 12× SUM(CASE WHEN month=m) — SURVEY.md §2.4 A1 notes
+    // groupBy().pivot() as the Spark-first alternative; explicit
+    // value list keeps it one pass, no distinct-values pre-query)
+    "pivot_priority_status" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .na.fill(0L, Seq("n_f", "n_o", "n_p"))
+    }),
+
     // semi-structured extraction from the JSON-ish props column
     "events_json_extract" -> ((s, dir) => {
       Tables(s, dir).events
@@ -223,6 +236,12 @@ object Relational {
          |  cast(count(*) AS bigint) AS cnt,
          |  ${sqlDsum("value", 2)} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "pivot_priority_status" ->
+      """SELECT o_orderpriority,
+        |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bigint) AS n_f,
+        |  cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS bigint) AS n_o,
+        |  cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS bigint) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "events_json_extract" ->
       """SELECT k % 10 AS k_bucket, cast(count(*) AS bigint) AS cnt,
         |  cast(sum(k) AS bigint) AS sum_k

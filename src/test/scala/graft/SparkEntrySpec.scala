@@ -1,0 +1,36 @@
+package graft
+
+/** Driver-contract guards: entry() smoke, query/oracle key
+  * consistency, and name hygiene (the driver joins queries to
+  * oracleSql by exact key).
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; every query has an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    // rows-only queries are allowed but must be a conscious choice —
+    // currently every query is oracle-backed
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
+  }
+
+  test("oracle SQL never references tables outside the testdata set") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // collect CTE names to exclude them
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        assert(tables.contains(t) || ctes.contains(t) || t == "range",
+          s"$name references unknown relation '$t'")
+      }
+    }
+  }
+}
