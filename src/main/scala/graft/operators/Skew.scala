@@ -26,6 +26,24 @@ object Skew {
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Two-phase aggregation for skewed group keys: partial-aggregate
+    * on (key, salt) — spreading a hot key over `salt` reducers — then
+    * final-aggregate on key. Only decomposable aggregates (sum/count/
+    * min/max) survive the split; this helper does sum.
+    *
+    * Spark's own partial aggregation usually makes this unnecessary
+    * (map-side combine already bounds reducer input by distinct keys
+    * per partition); it pays off when the DISTINCT KEY COUNT per
+    * partition is huge but one key dominates row counts.
+    */
+  def saltedSumAgg(df: DataFrame, key: String, valueCol: String,
+                   salt: Int = 8): DataFrame =
+    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
   /** Diagnostic: rows-per-key histogram quantiles, to decide whether
     * salting is warranted before paying for it.
     */

@@ -17,6 +17,19 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("salted two-phase sum equals direct sum") {
+    val df = (1 to 5000).map(i => (if (i % 5 == 0) i.toLong else 3L, i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(org.apache.spark.sql.functions.sum($"v").as("sum_v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSumAgg(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == direct.keySet)
+    // integral doubles: sums are exact regardless of grouping order
+    salted.foreach { case (k, v) => assert(v == direct(k)) }
+  }
+
   test("keySkew reports the hot key") {
     val df = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
     val r = Skew.keySkew(df, $"k").collect()(0)
