@@ -82,13 +82,17 @@ object Dedup {
       val docs = Tables(s, dir).documents
       val t = docs.select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+        .withColumn("n", size(col("toks")))
       val a = t.select(col("lang"), col("source"),
-        col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+        col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n").as("na"))
       val b = t.select(col("lang"), col("source"),
-        col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+        col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n").as("nb"))
+      // |A∪B| via |A|+|B|-|A∩B|: one array op per pair, no union array
       a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
     }),
@@ -156,19 +160,22 @@ object Dedup {
     * vocabulary exactly like unigram minhash buckets do).
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
+    // One aggregation pass with 60 vote columns (±1 per bit of the
+    // shingle hash) instead of a 60× row explosion — the hash is
+    // computed once per shingle and the per-doc shuffle carries 60
+    // longs, map-side combined.
     val toks = shingleSets(docs.repartition(col("doc_id")))
       .select(col("doc_id"), explode(col("toks")).as("w"))
       .withColumn("h", h60(col("w")))
-    toks
-      .withColumn("bit", explode(sequence(lit(0), lit(59))))
-      .withColumn("vote",
-        when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("votes"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("votes") > 0,
-        expr("shiftleft(cast(1 AS bigint), bit)")).otherwise(0L))
-        .as("simhash"))
+    val voteCols = (0 until 60).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val fingerprint = (0 until 60).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,
@@ -246,11 +253,11 @@ object Dedup {
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
-        |        / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4) AS jaccard
+        |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE, 4) AS jaccard
         |FROM t a JOIN t b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-        |      / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql("documents"),
     "simhash" ->
       s"""WITH $simhashOracleCtes
