@@ -105,6 +105,9 @@ object Dedup {
     // doc_id; band signatures are then plain column concats.
     "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(Tables(s, dir).documents)),
 
+    // connected components over the near-dup graph (cluster ids)
+    "dedup_clusters" -> ((s, dir) => minhashClusters(Tables(s, dir).documents)),
+
     // embedding-cosine near-dup: pairwise cosine inside label blocks
     // (the label plays the IVF coarse-quantizer cell — at 100 TB the
     // blocking key bounds the quadratic compare exactly like
@@ -176,6 +179,45 @@ object Dedup {
     toks.groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** Connected components over the near-dup pair graph: every doc
+    * labeled with the min doc_id reachable through minhash-LSH pairs
+    * (singletons label themselves) — the cluster view a curation
+    * pipeline keeps one canonical per.
+    *
+    * Iterative min-label propagation; each round is one join + one
+    * aggregate over (docs + 2·edges) rows, and the loop stops when
+    * the monotonically-decreasing label sum is stable. Cluster
+    * diameters are small in practice, so this converges in a few
+    * rounds; at 100 TB each round is a bounded shuffle keyed by
+    * doc_id (this is the standard large-graph CC recipe).
+    */
+  def minhashClusters(docs: DataFrame): DataFrame = {
+    val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val undirected = edges
+      .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+    var converged = false
+    while (!converged) {
+      val msgs = undirected
+        .join(labels, undirected("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("cluster_id"))
+      val next = labels.select(col("doc_id"), col("cluster_id"))
+        .unionAll(msgs)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum // labels only decrease; equal sum = fixpoint
+      prevSum = nextSum
+    }
+    labels
   }
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,
@@ -259,6 +301,21 @@ object Dedup {
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql("documents"),
+    // true connected components via recursive label reachability —
+    // UNION (not UNION ALL) dedups rows so the recursion terminates
+    // on the cyclic undirected graph
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes("documents")},
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a)
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id
+         |FROM reach GROUP BY doc""".stripMargin,
     "simhash" ->
       s"""WITH $simhashOracleCtes
          |SELECT doc_id, simhash FROM fp""".stripMargin,

@@ -51,6 +51,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("clusters: transitive near-dups collapse to one component") {
+    // 1≈2 (exact), 2≈3 (near) — 3 must join 1's cluster transitively
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words about spark query engines here"),
+      (5L, "unrelated text mentioning streams windows and watermarks")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.minhashClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L && clusters(5L) == 5L)
+  }
+
   test("minhash-LSH pairs respect the verification threshold") {
     val lsh = run("dedup_minhash_lsh")
     assert(lsh.filter(col("jaccard") < 0.5).count() == 0)
