@@ -100,6 +100,28 @@ object Advanced {
         .crossJoin(unused.agg(count(lit(1)).as("n_parts_not_heavy")))
     }),
 
+    // GROUP BY ... HAVING over a fact join (TPC-H Q18 shape)
+    "having_large_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150) // HAVING
+      big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("total_qty"))
+    }),
+
+    // correlated min-per-group pattern (TPC-H Q2 shape) via a window
+    // min instead of a correlated subquery re-scan
+    "cheapest_per_brand" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+      Tables(s, dir).part
+        .withColumn("min_price", min(col("p_retailprice")).over(w))
+        .filter(col("p_retailprice") === col("min_price"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+    }),
+
     // exact interpolated percentiles per group
     "value_percentiles" -> ((s, dir) => {
       Tables(s, dir).events
@@ -165,6 +187,16 @@ object Advanced {
         |  (SELECT cast(count(*) AS bigint) FROM part
         |   WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                     WHERE l_partkey = p_partkey AND l_quantity >= 40)) AS n_parts_not_heavy""".stripMargin,
+    "having_large_orders" ->
+      """SELECT o_orderkey, o_custkey, cast(o_orderdate AS date) AS order_date, total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+        |JOIN orders ON b.l_orderkey = o_orderkey""".stripMargin,
+    "cheapest_per_brand" ->
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = p.p_brand)""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value::DOUBLE, 0.5), 4) AS p50,
