@@ -61,10 +61,6 @@ object Dedup {
                  (a, b) => concat(a, lit(" "), b))).as("toks"))
   }
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash grouping, canonical = min doc_id
     "dedup_exact" -> ((s, dir) => {

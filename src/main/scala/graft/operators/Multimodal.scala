@@ -68,6 +68,47 @@ object Multimodal {
     }
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  final case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+                               target_w: Int, target_h: Int, scale: Double)
+
+  /** Frame sampling: every `stride`-th 16-byte slice of the payload
+    * becomes a "frame" row (1→N explode with bounded memory — the
+    * slice, not the whole payload, flows downstream). Real video
+    * decode would replace the slicing; the iterator shape is the
+    * point.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = r.content.length / 16 + 1
+        (0 until nFrames by stride).iterator.map { i =>
+          val from = math.min(i * 16, r.content.length)
+          val until = math.min(from + 16, r.content.length)
+          Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.content, from, until))
+        }
+      }
+    }
+  }
+
+  /** Resize stub: computes the target geometry (fit into maxDim,
+    * aspect preserved) from the fake decoded dims — the ??? real
+    * pixel resample is the stubbed step; the metadata math and
+    * batched execution shape are real.
+    */
+  def resizeMeta(features: Dataset[MediaFeatures], maxDim: Int = 224): Dataset[ResizedMeta] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      ResizedMeta(f.doc_id, f.width, f.height,
+        math.max(1, math.round(f.width * scale).toInt),
+        math.max(1, math.round(f.height * scale).toInt), scale)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> ((s, dir) => {
       extractFeatures(mediaTable(Tables(s, dir).documents)).toDF()

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.Tables
+
+/** Product-analytics patterns over `events`/star tables: conversion
+  * funnel, weekly cohort retention, grouped top-k — the standard
+  * event-analytics battery. Every query is a single-shuffle-per-stage
+  * plan keyed on user/cohort/nation; no driver-side iteration.
+  */
+object ProductAnalytics {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // signup → purchase funnel: per-user first timestamps, ordered
+    // conversion counted only when the purchase follows the signup
+    "events_funnel" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("first_signup").isNotNull, 1).otherwise(0)).as("n_signed_up"),
+          sum(when(col("first_signup").isNotNull &&
+                   col("first_purchase") > col("first_signup"), 1).otherwise(0))
+            .as("n_converted"))
+    }),
+
+    // weekly cohort retention: users grouped by first-activity week,
+    // counted as retained in each later week they appear
+    "retention_cohorts" -> ((s, dir) => {
+      val events = Tables(s, dir).events
+      val cohorts = events.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = events
+        .select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+        .distinct()
+      activity.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("activity_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // grouped top-k: top-3 customers by spend within every nation
+    "top_customers_per_nation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val spend = t.orders.groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total_spend"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(desc("total_spend"), asc("o_custkey"))
+      spend
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("n_name"), col("rk").cast("int").as("rk"),
+          col("o_custkey"), col("total_spend"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """SELECT cast(count(*) AS bigint) AS n_users,
+        |  cast(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_signed_up,
+        |  cast(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+        |           THEN 1 ELSE 0 END) AS bigint) AS n_converted
+        |FROM (SELECT user_id,
+        |        min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |        min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |      FROM events GROUP BY user_id)""".stripMargin,
+    "retention_cohorts" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events)
+        |SELECT cohort_week, activity_week,
+        |  cast(count(DISTINCT a.user_id) AS bigint) AS n_users
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY cohort_week, activity_week""".stripMargin,
+    "top_customers_per_nation" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name,
+        |  cast(row_number() OVER w AS int) AS rk, o_custkey, total_spend
+        |FROM spend
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY total_spend DESC, o_custkey ASC)
+        |QUALIFY row_number() OVER w <= 3""".stripMargin
+  )
+}

@@ -46,15 +46,6 @@ object Similarity {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
   }
 
-  /** Σ a[i]·b[i] in double, sequential accumulation. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-                   lit(0.0), (acc, v) => acc + v))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k per query vector
     "ann_cosine_topk" -> ((s, dir) => {
