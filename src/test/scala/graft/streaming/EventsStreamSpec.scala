@@ -45,6 +45,44 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("watermark drops late data across incremental drains (append mode)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-wm").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-wm-ck").toString
+    def drop(name: String, rows: String*): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$src/$name").toPath,
+        ("event_id,ts,user_id,event_type,value" +: rows).mkString("\n"))
+    val out = java.nio.file.Files.createTempDirectory("graft-wm-out").toString + "/agg"
+    def drain(): Unit = {
+      val events = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(src)
+      val agg = EventsStream.hourlyCounts(events)
+      // parquet sink: append-mode emits each window once it is
+      // finalized by the watermark, and recovers from the checkpoint
+      val q = agg.writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck).start()
+      q.awaitTermination()
+    }
+    // batch 1 advances the watermark to 11:30 - 1h = 10:30; the
+    // 09:00 window closes and is emitted
+    drop("b1.csv",
+      "1,2024-01-01 09:10:00,1,click,1.0",
+      "2,2024-01-01 09:20:00,1,click,1.0",
+      "3,2024-01-01 11:30:00,1,click,1.0")
+    drain()
+    // batch 2: a 09:40 event arrives AFTER the 09:00 window closed —
+    // it must be dropped, not re-open the emitted window
+    drop("b2.csv", "4,2024-01-01 09:40:00,1,click,1.0")
+    drain()
+    val nineOclock = spark.read.parquet(out)
+      .filter($"hour" === to_timestamp(lit("2024-01-01 09:00:00")))
+      .select($"cnt").as[Long].collect()
+    assert(nineOclock.toSeq == Seq(2L), s"got ${nineOclock.toSeq}") // late row dropped
+  }
+
   test("session event counts cover all but the open tail sessions") {
     val sessions = EventsStream.sessionize(
       EventsStream.readEvents(spark, sf), gapMinutes = 30)
