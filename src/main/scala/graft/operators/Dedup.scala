@@ -35,9 +35,11 @@ object Dedup {
   private val BandRows = 2 // 8 bands of 2 → high recall at sim ≥ 0.5
   private val JaccardThreshold = 0.5
 
-  /** md5-derived 60-bit hash of a string column (both-engine-stable). */
+  /** md5-derived 60-bit hash of a string column (both-engine-stable;
+    * single codegen'd expression — see functions.Md5Hash60).
+    */
   private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5_hash60(c)
 
   /** Distinct whitespace tokens per doc. */
   private def tokenSets(docs: DataFrame): DataFrame =
@@ -159,6 +161,7 @@ object Dedup {
     * vocabulary exactly like unigram minhash buckets do).
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Hash60.register(docs.sparkSession)
     // One aggregation pass with 60 vote columns (±1 per bit of the
     // shingle hash) instead of a 60× row explosion — the hash is
     // computed once per shingle and the per-doc shuffle carries 60
@@ -220,6 +223,7 @@ object Dedup {
     * exposed for reuse/tests. `docs` needs (doc_id, text).
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
+      graft.functions.Md5Hash60.register(docs.sparkSession)
       // The docs table arrives as few (often 1) input splits; the
       // hash-heavy shingle×perm work runs BEFORE the groupBy shuffle,
       // so spread rows across the cluster first. Keyed by doc_id the
