@@ -79,6 +79,20 @@ object Advanced {
           col("l_returnflag"), col("l_linestatus"), col("revenue"), col("cnt"))
     }),
 
+    // CUBE: all subtotal combinations with grouping flags
+    "cube_revenue" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+          count(lit(1)).as("cnt"))
+        .select(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"), col("revenue"), col("cnt"))
+    }),
+
     // INTERSECT / EXCEPT composition over customer segments
     "set_ops_customers" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -169,6 +183,14 @@ object Advanced {
         |  cast(count(*) AS bigint) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "cube_revenue" ->
+      """SELECT cast(grouping(l_returnflag) AS int) AS g_flag,
+        |  cast(grouping(l_linestatus) AS int) AS g_status,
+        |  l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+        |  cast(count(*) AS bigint) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "set_ops_customers" ->
       """SELECT custkey, 'both' AS tag FROM (
         |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
