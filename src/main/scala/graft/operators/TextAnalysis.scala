@@ -84,6 +84,32 @@ object TextAnalysis {
             .otherwise("fr"))
     }),
 
+    // vocabulary statistics (BPE/vocab-training prep): corpus-wide
+    // token frequency + document frequency, top 50 by count
+    "vocab_token_freq" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("tf"), asc("w"))
+        .limit(50)
+    }),
+
+    // deterministic train/val/test split: md5-hash of the doc id
+    // buckets rows stably (reproducible across runs and engines) —
+    // the standard leakage-safe dataset split
+    "dataset_split" -> ((s, dir) => {
+      graft.functions.Md5Hash60.register(s)
+      val bucket = pmod(
+        graft.functions.Md5Hash60.md5_hash60(col("doc_id").cast("string")), lit(100L))
+      Tables(s, dir).documents
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    }),
+
     // document fingerprint: min-hash over 8-char rolling shingles
     // (winnowing-style content signature; md5-derived 60-bit ints)
     "doc_fingerprint" -> ((s, dir) => {
@@ -133,6 +159,22 @@ object TextAnalysis {
          |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM scores""".stripMargin,
+    "vocab_token_freq" ->
+      """SELECT w, cast(count(*) AS bigint) AS tf,
+        |  cast(count(DISTINCT doc_id) AS bigint) AS df
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY tf DESC, w ASC LIMIT 50""".stripMargin,
+    "dataset_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(n_chars) AS bigint) AS n_chars
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  min(('0x' || substr(md5(substring(text, pos, 8)), 1, 15))::bigint) AS fingerprint

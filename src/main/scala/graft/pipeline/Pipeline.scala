@@ -47,7 +47,8 @@ trait Pipeline {
   * exactly the reference's shape with the driver-marshalling removed.
   */
 object ReferencePipelines {
-  import graft.catalog.ReferenceSchemas._
+  import graft.catalog.{Constraints, ReferenceSchemas}
+  import ReferenceSchemas._
   import graft.sources.Csv
   import graft.transforms.ReferenceTransforms
 
@@ -63,7 +64,12 @@ object ReferencePipelines {
     def transform(df: DataFrame): DataFrame =
       ReferenceTransforms.aggPublicHoliday(
         df, Csv.read(spark, s"$inDir/dim_dates.csv", dimDates))
-    def load(df: DataFrame): Unit = Csv.writeSingle(df, s"$outDir/agg_public_holiday")
+    def load(df: DataFrame): Unit = {
+      // DDL constraints become post-transform assertions (§1.4)
+      Constraints.enforce(df, "agg_public_holiday",
+        primaryKey = Seq("ingestion_date"), notNull = Seq("ingestion_date"))
+      Csv.writeSingle(df, s"$outDir/agg_public_holiday")
+    }
   }
 
   final case class AggShipmentsPipeline(inDir: String, outDir: String) extends Pipeline {
@@ -75,7 +81,11 @@ object ReferencePipelines {
     def transform(df: DataFrame): DataFrame =
       ReferenceTransforms.aggShipments(
         df, Csv.read(spark, s"$inDir/orders.csv", orders))
-    def load(df: DataFrame): Unit = Csv.writeSingle(df, s"$outDir/agg_shipments")
+    def load(df: DataFrame): Unit = {
+      Constraints.enforce(df, "agg_shipments",
+        primaryKey = Seq("ingestion_date"), notNull = Seq("ingestion_date"))
+      Csv.writeSingle(df, s"$outDir/agg_shipments")
+    }
   }
 
   final case class BestPerformingProductPipeline(inDir: String, outDir: String) extends Pipeline {
@@ -91,6 +101,10 @@ object ReferencePipelines {
         Csv.read(spark, s"$inDir/orders.csv", orders),
         Csv.read(spark, s"$inDir/dim_dates.csv", dimDates),
         Csv.read(spark, s"$inDir/shipments_deliveries.csv", shipmentsDeliveries))
-    def load(df: DataFrame): Unit = Csv.writeSingle(df, s"$outDir/best_performing_product")
+    def load(df: DataFrame): Unit = {
+      Constraints.enforce(df, "best_performing_product",
+        primaryKey = Seq("ingestion_date"), notNull = Seq("ingestion_date", "product_name"))
+      Csv.writeSingle(df, s"$outDir/best_performing_product")
+    }
   }
 }
