@@ -136,6 +136,26 @@ object Advanced {
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
     }),
 
+    // z-score outliers with exact-decimal moments: mean and variance
+    // from decimal Σx and Σx² so the statistics (and therefore the
+    // outlier set) are order-independent and engine-identical
+    "value_outliers" -> ((s, dir) => {
+      val events = Tables(s, dir).events
+      val stats = events.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 4))).cast("double")
+          .as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+      events.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+    }),
+
     // exact interpolated percentiles per group
     "value_percentiles" -> ((s, dir) => {
       Tables(s, dir).events
@@ -219,6 +239,18 @@ object Advanced {
         |FROM part p
         |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
         |                       WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "value_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    cast(sum(cast(value AS decimal(18,2))) AS double) AS sx,
+        |    cast(sum(cast(value * value AS decimal(28,4))) AS double) AS sxx
+        |  FROM events GROUP BY event_type),
+        |enriched AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    (e.value - s.sx / s.n) / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS z
+        |  FROM events e JOIN stats s ON e.event_type = s.event_type)
+        |SELECT event_id, event_type, value, round(z, 4) AS z
+        |FROM enriched WHERE abs(z) > 3.0""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value::DOUBLE, 0.5), 4) AS p50,

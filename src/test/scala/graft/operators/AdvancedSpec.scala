@@ -44,6 +44,19 @@ class AdvancedSpec extends SparkSpec {
     assert(out(4L).isEmpty) // no prior purchase
   }
 
+  test("approx_count_distinct (HLL sketch) lands within 5% of exact") {
+    val li = graft.catalog.Tables(spark, sf).lineitem
+    val exact = li.select($"l_partkey").distinct().count()
+    val approx = li.agg(approx_count_distinct($"l_partkey")).as[Long].collect()(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("outlier z-scores are extreme by construction") {
+    val out = run("value_outliers")
+    assert(out.filter(abs($"z") <= 3.0).count() == 0)
+  }
+
   test("rollup: grand total row equals sum of detail rows") {
     val out = run("rollup_revenue").collect()
     val grand = out.find(r => r.getInt(0) == 1 && r.getInt(1) == 1).get
