@@ -45,6 +45,23 @@ object ProductAnalytics {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // market-basket co-occurrence: part pairs bought in the same
+    // order; the self-join is keyed on the order and the quadratic
+    // blowup is bounded by per-order basket size (≤ a handful of
+    // lines), so cost stays linear in orders at any scale
+    "part_cooccurrence" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
+        .limit(20)
+    }),
+
     // grouped top-k: top-3 customers by spend within every nation
     "top_customers_per_nation" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -83,6 +100,14 @@ object ProductAnalytics {
         |  cast(count(DISTINCT a.user_id) AS bigint) AS n_users
         |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
         |GROUP BY cohort_week, activity_week""".stripMargin,
+    "part_cooccurrence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  cast(count(*) AS bigint) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
     "top_customers_per_nation" ->
       """WITH spend AS (
         |  SELECT o_custkey,
