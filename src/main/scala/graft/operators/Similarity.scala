@@ -131,11 +131,11 @@ object Similarity {
   private def sqlNorm(c: String) =
     s"sqrt(list_sum(list_transform($c, x -> x::DOUBLE * x::DOUBLE)))"
   private val sqlBucket =
-    s"""(SELECT sum(CASE WHEN list_sum(list_transform(range(1, len(v.embedding) + 1),
+    s"""(SELECT cast(sum(CASE WHEN list_sum(list_transform(range(1, len(v.embedding) + 1),
        |      j -> v.embedding[j]::DOUBLE *
        |           (CASE WHEN ('0x' || substr(md5(p::varchar || ':' || (j - 1)::varchar), 1, 15))::bigint % 2 = 0
        |                 THEN 1.0 ELSE -1.0 END))) >= 0
-       |      THEN (1::bigint << p) ELSE 0 END)
+       |      THEN (1::bigint << p) ELSE 0 END) AS bigint)
        | FROM range(0, $Planes) r(p))""".stripMargin
 
   private lazy val bruteForceOracle: String =
