@@ -93,6 +93,20 @@ object Advanced {
           col("l_returnflag"), col("l_linestatus"), col("revenue"), col("cnt"))
     }),
 
+    // explicit GROUPING SETS: exactly the two one-dimension rollups,
+    // no cross terms (cheaper than CUBE when the lattice isn't needed)
+    "grouping_sets_revenue" -> ((s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT cast(grouping(l_returnflag) AS int) AS g_flag,
+          |  cast(grouping(l_linestatus) AS int) AS g_status,
+          |  l_returnflag, l_linestatus,
+          |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+          |  count(*) AS cnt
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+    }),
+
     // INTERSECT / EXCEPT composition over customer segments
     "set_ops_customers" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -211,6 +225,14 @@ object Advanced {
         |  cast(count(*) AS bigint) AS cnt
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "grouping_sets_revenue" ->
+      """SELECT cast(grouping(l_returnflag) AS int) AS g_flag,
+        |  cast(grouping(l_linestatus) AS int) AS g_status,
+        |  l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+        |  cast(count(*) AS bigint) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "set_ops_customers" ->
       """SELECT custkey, 'both' AS tag FROM (
         |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
