@@ -105,6 +105,23 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Arbitrary-sink streaming via foreachBatch: each micro-batch is
+    * handed to `f` as a plain DataFrame with its batch id, so sinks
+    * Spark lacks natively (idempotent upserts, JDBC merges, multi-
+    * table writes) reuse the whole batch API. AvailableNow + the
+    * checkpoint give exactly-once batch ids across restarts.
+    */
+  def runForeachBatch(df: DataFrame, checkpoint: String)
+                     (f: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .foreachBatch(f)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming sink to parquet for production runs. */
   def runToParquet(df: DataFrame, path: String, checkpoint: String): Unit = {
     val q = df.writeStream

@@ -83,6 +83,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(nineOclock.toSeq == Seq(2L), s"got ${nineOclock.toSeq}") // late row dropped
   }
 
+  test("foreachBatch hands every row to the custom sink exactly once") {
+    val ck = java.nio.file.Files.createTempDirectory("graft-fb-ck").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    EventsStream.runForeachBatch(
+      EventsStream.readEvents(spark, sf), ck) { (batch, _) =>
+      seen.addAndGet(batch.count())
+      batches.incrementAndGet()
+    }
+    assert(seen.get() == Tables(spark, sf).events.count())
+    assert(batches.get() >= 1)
+    // second drain with the same checkpoint: nothing new to process
+    val seen2 = new java.util.concurrent.atomic.AtomicLong(0)
+    EventsStream.runForeachBatch(
+      EventsStream.readEvents(spark, sf), ck) { (batch, _) =>
+      seen2.addAndGet(batch.count())
+    }
+    assert(seen2.get() == 0)
+  }
+
   test("session event counts cover all but the open tail sessions") {
     val sessions = EventsStream.sessionize(
       EventsStream.readEvents(spark, sf), gapMinutes = 30)
