@@ -30,8 +30,13 @@ object CorpusCuration {
         TextAnalysis.hits(" of ") + TextAnalysis.hits(" and ")).as("stop_hits"))
     val kept1 = scored.filter(col("n_words") >= 20 && col("stop_hits") > 0)
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    // kept2 feeds THREE consumers (LSH band generation, LSH verify
+    // shingles, and the final anti-join's left side) — persist it or
+    // the regex scoring + md5 window shuffle above runs three times
+    // (r01 bench: that recompute alone was ~4× the whole baseline).
     val kept2 = kept1.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDupLosers = Dedup.minhashPairs(kept2.select(col("doc_id"), col("text")))
       .select(col("doc_b").as("doc_id")).distinct()
     kept2.join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -147,9 +147,16 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+      // Verify joins are keyed on doc_id and SHUFFLE-hashed, never
+      // broadcast: fp is the full corpus, and broadcasting it means
+      // collecting every fingerprint to the driver — fine at sf0.1,
+      // fatal at 100 TB. Shuffle-hash (not sort-merge) because the
+      // join is a pure equi-lookup and cands ≪ fp.
       cands
-        .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))), Seq("doc_a"))
-        .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))), Seq("doc_b"))
+        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+          .hint("shuffle_hash"), Seq("doc_a"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+          .hint("shuffle_hash"), Seq("doc_b"))
         .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
@@ -193,14 +200,25 @@ object Dedup {
     * doc_id (this is the standard large-graph CC recipe).
     */
   def minhashClusters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val undirected = edges
       .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
-    var converged = false
+      .persist(MEMORY_AND_DISK)
+    // Propagate labels over edge-touched vertices ONLY. The near-dup
+    // graph is a tiny fraction of the corpus (dup rate ≪ 100%), so
+    // each round shuffles |dup vertices| rows instead of the whole
+    // corpus — at 100 TB that is the difference between a corpus-wide
+    // shuffle per round and a trivial one. Singleton docs never enter
+    // the loop; they label themselves in the final left join.
+    var labels = undirected.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(MEMORY_AND_DISK)
+    // coalesce: sum over an empty vertex set (no near-dup pairs at
+    // small SFs) is NULL, and an empty set is already converged
+    var prevSum = labels.agg(coalesce(sum(col("cluster_id")), lit(0L)))
+      .head().getLong(0)
+    var converged = prevSum == 0L
     while (!converged) {
       val msgs = undirected
         .join(labels, undirected("doc_a") === labels("doc_id"))
@@ -209,14 +227,16 @@ object Dedup {
         .unionAll(msgs)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum // labels only decrease; equal sum = fixpoint
       prevSum = nextSum
     }
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,
@@ -258,11 +278,17 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
       // of materializing the union array too.
+      // Verify joins are SHUFFLE-hash on doc_id, never broadcast:
+      // `sets` is the whole corpus's shingle arrays, and a broadcast
+      // would collect the corpus to the driver — a scale-killer at
+      // 100 TB. Candidates ≪ corpus, so the shuffle is cheap.
       cands
-        .join(broadcast(sets.select(col("doc_id").as("doc_a"),
-          col("toks").as("toks_a"), size(col("toks")).as("na"))), Seq("doc_a"))
-        .join(broadcast(sets.select(col("doc_id").as("doc_b"),
-          col("toks").as("toks_b"), size(col("toks")).as("nb"))), Seq("doc_b"))
+        .join(sets.select(col("doc_id").as("doc_a"),
+          col("toks").as("toks_a"), size(col("toks")).as("na"))
+          .hint("shuffle_hash"), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"),
+          col("toks").as("toks_b"), size(col("toks")).as("nb"))
+          .hint("shuffle_hash"), Seq("doc_b"))
         .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
         .withColumn("jac", col("inter").cast("double") /
           greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
