@@ -75,25 +75,10 @@ object Dedup {
         .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
     }),
 
-    // n-gram (word-set) Jaccard near-dup pairs inside blocking groups
-    "dedup_jaccard_pairs" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val t = docs.select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
-        .withColumn("n", size(col("toks")))
-      val a = t.select(col("lang"), col("source"),
-        col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n").as("na"))
-      val b = t.select(col("lang"), col("source"),
-        col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n").as("nb"))
-      // |A∪B| via |A|+|B|-|A∩B|: one array op per pair, no union array
-      a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-        .withColumn("jac", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-        .filter(col("jac") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-    }),
+    // n-gram (word-set) Jaccard near-dup pairs inside blocking groups,
+    // with the per-block skew guard (see jaccardPairsBlocked)
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      jaccardPairsBlocked(Tables(s, dir).documents)),
 
     // MinHash + LSH banding: linear-cost candidate generation, then
     // exact Jaccard verification on candidates only. All NumPerms
@@ -109,22 +94,9 @@ object Dedup {
     // embedding-cosine near-dup: pairwise cosine inside label blocks
     // (the label plays the IVF coarse-quantizer cell — at 100 TB the
     // blocking key bounds the quadratic compare exactly like
-    // lang×source does for text pairs)
-    "dedup_embedding_pairs" -> ((s, dir) => {
-      graft.functions.CosineSimilarity.register(s)
-      val emb = Tables(s, dir).embeddings
-      val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a"))
-      val b = emb.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b"))
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cosine",
-          graft.functions.CosineSimilarity.cosine_sim(col("emb_a"), col("emb_b")))
-        .filter(col("cosine") >= 0.4)
-        .select(col("label"), col("vec_a"), col("vec_b"),
-          round(col("cosine"), 4).as("cosine"))
-    }),
+    // lang×source does for text pairs), with the per-block skew guard
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      embeddingPairsBlocked(Tables(s, dir).embeddings)),
 
     // SimHash: 60-bit per-doc fingerprint from shingle hash bit votes
     "simhash" -> ((s, dir) => simhashFingerprints(Tables(s, dir).documents)),
@@ -142,7 +114,9 @@ object Dedup {
         .select(col("doc_id"),
           posexplode(array((0 until 4).map(b => col(s"bv$b")): _*)))
         .withColumnRenamed("pos", "b").withColumnRenamed("col", "band_val")
-      val cands = bands.as("x").join(bands.as("y"),
+      // bucket self-join shuffles on (b, band_val) — same scale
+      // argument as the minhash band join: never broadcast the corpus
+      val cands = bands.as("x").join(bands.as("y").hint("shuffle_hash"),
           col("x.b") === col("y.b") && col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -162,6 +136,124 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
     })
   )
+
+  /** Per-block row cap for the all-pairs compare. Blocking keeps the
+    * quadratic comparison bounded ONLY while every block stays small;
+    * one skewed key (a dominant lang×source or label) silently turns
+    * the plan quadratic at scale. Blocks over the cap are routed
+    * through LSH candidate generation inside the block instead —
+    * linear cost, recall ≈ 0.9 at the 0.5 Jaccard threshold
+    * (1−(1−s²)⁸ banding), exact verification so precision stays 1.
+    * The default never triggers at test SFs (max block ≈ 112 rows at
+    * sf0.1), so the exact all-pairs oracles still apply; the routing
+    * itself is proven by DedupSkewSpec on a synthetic hot block.
+    */
+  private[operators] val BlockPairCap = 10000
+
+  /** Blocked Jaccard near-dup pairs with the skew guard: blocks of at
+    * most `blockCap` docs compare all-pairs (exact); larger blocks
+    * generate candidates by MinHash banding *within* the block and
+    * only verify those.
+    */
+  def jaccardPairsBlocked(docs: DataFrame, blockCap: Int = BlockPairCap): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("lang"), col("source"))))
+
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+
+    val small = t.filter(col("bn") <= blockCap)
+    // |A∪B| via |A|+|B|-|A∩B|: one array op per pair, no union array
+    val smallPairs = verified(
+      small.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+          col("toks").as("toks_a"), col("n").as("na"))
+        .join(small.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+          col("toks").as("toks_b"), col("n").as("nb")), Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b")))
+
+    val big = t.filter(col("bn") > blockCap)
+    val bigPairs = verified(
+      bandedCandidates(big, Seq("lang", "source"))
+        .join(big.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+          col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+        .join(big.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+          col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b")))
+
+    smallPairs.unionAll(bigPairs)
+  }
+
+  /** Blocked embedding-cosine near-dup pairs with the skew guard:
+    * label blocks up to `blockCap` compare all-pairs; larger blocks
+    * are sub-bucketed by the random-hyperplane LSH signature
+    * (Similarity.hyperplaneBucket), so only same-signature vectors
+    * meet — the standard cosine-LSH recall/cost trade, verified
+    * exactly.
+    */
+  def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.4,
+                            blockCap: Int = BlockPairCap): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val t = emb.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("label"))))
+
+    def pairsWithin(src: DataFrame, keys: Seq[String]): DataFrame =
+      src.select((keys.map(col) :+ col("vec_id").as("vec_a") :+
+          col("embedding").as("emb_a")): _*)
+        .join(src.select((keys.map(col) :+ col("vec_id").as("vec_b") :+
+          col("embedding").as("emb_b")): _*), keys)
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          graft.functions.CosineSimilarity.cosine_sim(col("emb_a"), col("emb_b")))
+        .filter(col("cosine") >= threshold)
+        .select(col("label"), col("vec_a"), col("vec_b"),
+          round(col("cosine"), 4).as("cosine"))
+
+    val smallPairs = pairsWithin(t.filter(col("bn") <= blockCap), Seq("label"))
+    val bigPairs = pairsWithin(
+      t.filter(col("bn") > blockCap)
+        .withColumn("sig", Similarity.hyperplaneBucket(col("embedding"))),
+      Seq("label", "sig"))
+    smallPairs.unionAll(bigPairs)
+  }
+
+  /** MinHash-banded candidate pairs *within* blocking-key groups over
+    * a pre-tokenized relation `(keys..., doc_id, toks)` — the overflow
+    * path for oversized blocks. Same banding parameters as
+    * [[minhashPairs]] (which shingles raw text instead and persists
+    * its intermediates for multi-consumer reuse).
+    */
+  private[operators] def bandedCandidates(t: DataFrame, keys: Seq[String]): DataFrame = {
+    graft.functions.Md5Hash60.register(t.sparkSession)
+    val keyCols = keys.map(col)
+    val toks = t.select((keyCols :+ col("doc_id") :+
+      explode(col("toks")).as("w")): _*)
+    val mhCols = (0 until NumPerms).map { i =>
+      min(h60(concat(lit(s"$i:"), col("w")))).as(s"mh$i")
+    }
+    val minhashes = toks.groupBy((keyCols :+ col("doc_id")): _*)
+      .agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until NumPerms / BandRows).map { b =>
+      concat_ws(",",
+        (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i").cast("string")): _*)
+        .as(s"sig$b")
+    }
+    val bands = minhashes.select((keyCols :+ col("doc_id")) ++ bandCols: _*)
+      .select((keyCols :+ col("doc_id") :+
+        posexplode(array((0 until NumPerms / BandRows).map(b => col(s"sig$b")): _*))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val joinCond = (keys ++ Seq("band", "sig"))
+      .map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"), joinCond)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** 60-bit SimHash per doc over word-bigram shingles (same shingle
     * space as MinHash — unigram votes degenerate on a tiny
@@ -268,8 +360,10 @@ object Dedup {
           posexplode(array((0 until NumPerms / BandRows).map(b => col(s"sig$b")): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the bucket self-join shuffles on (band, sig) — bands is
+      // corpus×8 rows, so a broadcast of either side can't scale
       val cands = bands.as("x")
-        .join(bands.as("y"),
+        .join(bands.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

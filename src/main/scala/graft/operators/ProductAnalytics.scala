@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -62,21 +61,28 @@ object ProductAnalytics {
         .limit(20)
     }),
 
-    // grouped top-k: top-3 customers by spend within every nation
+    // grouped top-k: top-3 customers by spend within every nation.
+    // Planned through the bounded-heap TypedImperativeAggregate
+    // (functions.TopKByScore) instead of a window rank: the window
+    // formulation shuffles EVERY customer row into the per-nation
+    // sort, while the heap keeps k entries per partition per nation
+    // and combines map-side — only partitions×k rows cross the wire.
+    // Same results (score DESC, id ASC tie-break in both).
     "top_customers_per_nation" -> ((s, dir) => {
+      graft.functions.TopKByScore.register(s)
       val t = Tables(s, dir)
       val spend = t.orders.groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total_spend"))
-      val w = Window.partitionBy(col("n_name"))
-        .orderBy(desc("total_spend"), asc("o_custkey"))
       spend
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("n_name"), col("rk").cast("int").as("rk"),
-          col("o_custkey"), col("total_spend"))
+        .groupBy(col("n_name"))
+        .agg(graft.functions.TopKByScore
+          .topk_by_score(col("total_spend"), col("o_custkey"), 3).as("top"))
+        .select(col("n_name"), posexplode(col("top")))
+        .select(col("n_name"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("o_custkey"), col("col.score").as("total_spend"))
     })
   )
 

@@ -34,12 +34,14 @@ object Similarity {
   private val NumQueries = 10 // vec_id < 10 are the query vectors
   private val Planes = 6      // LSH signature bits
   private val Dim = 64        // embedding dimensionality (TESTDATA)
+  private[operators] val Cells = 8  // IVF coarse-quantizer cells
+  private val LloydIters = 3        // fixed k-means refinement passes
 
   /** ±1 weight for hyperplane `p`, dimension `j`: parity of the
     * md5-derived 60-bit int of "p:j" — must stay identical to the
     * oracle's `('0x'||substr(md5(p||':'||j),1,15))::bigint % 2`.
     */
-  private def planeSign(p: Int, j: Int): Double = {
+  private[operators] def planeSign(p: Int, j: Int): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
     val hex = d.digest(s"$p:$j".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(15)
@@ -94,21 +96,7 @@ object Similarity {
     "ann_lsh_topk" -> ((s, dir) => {
       graft.functions.CosineSimilarity.register(s)
       val emb = Tables(s, dir).embeddings
-      // Deterministic ±1 hyperplane weights: sign of the md5-derived
-      // 60-bit int of "plane:dim". The weights are CONSTANTS, so they
-      // are computed once at plan-build time and embedded as array
-      // literals — per-row work is just the dot products. The DuckDB
-      // oracle recomputes the same md5 signs in SQL.
-      val sig = (0 until Planes)
-        .map { p =>
-          val weights = array((0 until Dim).map(j => lit(planeSign(p, j))): _*)
-          val planeDot = aggregate(
-            zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
-            lit(0.0), (acc, v) => acc + v)
-          when(planeDot >= 0, lit(1L << p)).otherwise(0L)
-        }
-        .reduce(_ + _)
-      val signed = emb.withColumn("bucket", sig)
+      val signed = emb.withColumn("bucket", hyperplaneBucket(col("embedding")))
       val q = signed.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
                 col("bucket").as("qbucket"))
@@ -123,8 +111,124 @@ object Similarity {
         .filter(col("rank") <= K)
         .select(col("qid"), col("vec_id"), col("bucket"), col("rank"),
                 round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // IVF ANN: k-means coarse quantizer trained on the corpus
+    // (deterministic seed init + fixed Lloyd passes), vectors bucketed
+    // by nearest centroid, queries probe their `nprobe` nearest cells.
+    // The CORRECTNESS entry runs recall-complete (nprobe = Cells) so
+    // the brute-force oracle matches bit-for-bit while the full IVF
+    // machinery — train, assign, probe-rank, per-cell search — is
+    // exercised; IvfSpec measures the recall/scan trade-off at
+    // nprobe < Cells.
+    "ann_ivf_topk" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = Tables(s, dir).embeddings
+      ivfTopK(emb, trainCentroids(emb), nprobe = Cells)
     })
   )
+
+  /** Random-hyperplane LSH bucket of an `array<float>` embedding:
+    * deterministic ±1 hyperplane weights (sign of the md5-derived
+    * 60-bit int of "plane:dim"). The weights are CONSTANTS, computed
+    * once at plan-build time and embedded as array literals — per-row
+    * work is just the dot products. The DuckDB oracle recomputes the
+    * same md5 signs in SQL; Dedup reuses this as the sub-blocking key
+    * for oversized embedding blocks.
+    */
+  private[operators] def hyperplaneBucket(embCol: Column): Column =
+    (0 until Planes).map { p =>
+      val weights = array((0 until Dim).map(j => lit(planeSign(p, j))): _*)
+      val planeDot = aggregate(
+        zip_with(embCol, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(planeDot >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Squared-L2 distance from an `array<float>` column to a constant
+    * centroid — the centroid folds to an array literal, so per-row
+    * work is one codegen'd fused multiply-subtract pass.
+    */
+  private def l2sq(embCol: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(embCol, array(c.map(lit): _*),
+        (x, cv) => (x.cast("double") - cv) * (x.cast("double") - cv)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid cell id (ties → lowest cell). */
+  private[operators] def cellOf(embCol: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map(c => l2sq(embCol, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The query's `nprobe` nearest cells, nearest first (struct sort on
+    * (distance, cell) gives a deterministic probe order).
+    */
+  private def probeCells(qe: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(l2sq(qe, c).as("d"), lit(i).as("cell"))
+      }: _*)), 1, nprobe),
+      e => e("cell"))
+
+  /** IVF coarse quantizer: distributed Lloyd iterations from a
+    * deterministic seed (the embeddings of the first `Cells` non-query
+    * vec_ids). Assignment and per-cell/per-dimension means are wide
+    * scans + one aggregate each; only the model itself (Cells × Dim
+    * doubles) is collected, which is how any ANN index ships its
+    * quantizer to the executors.
+    */
+  private[operators] def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = emb
+      .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + Cells)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until LloydIters) {
+      val means = emb
+        .withColumn("cell", cellOf(col("embedding"), centroids))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            m
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Probe-then-search: corpus bucketed by nearest centroid, each
+    * query explodes into its `nprobe` nearest cells, and only those
+    * cells' members are scored. The query side (queries × nprobe rows)
+    * broadcasts; the corpus is scanned once with a codegen'd cell
+    * assignment — no corpus×corpus blowup at any scale.
+    */
+  private[operators] def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]],
+                                 nprobe: Int): DataFrame = {
+    val indexed = emb.withColumn("cell", cellOf(col("embedding"), centroids))
+    val q = indexed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        explode(probeCells(col("qe"), centroids, nprobe)).as("cell"))
+    val scored = indexed.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosine_sim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
 
   private val sqlDot =
     "list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))"
@@ -153,6 +257,9 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> bruteForceOracle,
     "ann_topk_agg" -> bruteForceOracle,
+    // recall-complete IVF (nprobe = all cells) scores exactly the
+    // brute-force candidate set, so the exact oracle applies
+    "ann_ivf_topk" -> bruteForceOracle,
     "ann_lsh_topk" ->
       s"""WITH signed AS (
          |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),

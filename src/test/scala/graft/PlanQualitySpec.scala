@@ -44,4 +44,33 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "expected partial+final HashAggregate")
   }
+
+  test("minhash-LSH never broadcasts the corpus: band join + verify joins all shuffle") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("BroadcastExchange"),
+      "corpus-sized relation broadcast in the LSH pipeline — driver-collect at scale")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 3,
+      "expected shuffle-hash band self-join plus two verify joins")
+  }
+
+  test("simhash pair verification never broadcasts the fingerprint relation") {
+    val p = planOf("simhash_pairs")
+    assert(!p.contains("BroadcastExchange"),
+      "fingerprint relation broadcast — driver-collect at scale")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 3)
+  }
+
+  test("grouped top-k plans as partial+final heap aggregate, no window sort") {
+    val p = planOf("top_customers_per_nation")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected map-side partial heap aggregation")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      "grouped top-k fell back to the full-shuffle window formulation")
+  }
+
+  test("dim-driven quarter filter dynamically prunes fact partitions") {
+    val p = planOf("dpp_quarter_revenue")
+    assert(p.contains("dynamicpruningexpression"),
+      "no DPP: the fact scan reads every ship_ym partition")
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The per-block skew guard: a blocking group bigger than the cap
+  * must NOT be compared all-pairs — candidates come from LSH banding
+  * inside the block (subquadratic), with exact verification, and
+  * planted duplicates still surface.
+  */
+class DedupSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot lang×source block: 58 distinct docs + 1 planted dup pair
+  private def hotBlock = {
+    // token-DISJOINT filler docs (pairwise jaccard 0) so the only
+    // legitimate band collisions are the planted duplicates
+    val base = (1 to 58).map { i =>
+      (i.toLong,
+        (0 until 12).map(j => s"tok${i}x$j").mkString(" "),
+        "en", "s1")
+    }
+    val dups = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1"))
+    (base ++ dups).toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("oversized block still finds the planted duplicate via the LSH route") {
+    val out = Dedup.jaccardPairsBlocked(hotBlock, blockCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((100L, 101L)) == 1.0)
+  }
+
+  test("oversized block generates subquadratic candidates, not all pairs") {
+    val t = hotBlock.select($"doc_id", $"lang", $"source",
+      array_distinct(split(trim($"text"), "\\s+")).as("toks"))
+    val nCands = Dedup.bandedCandidates(t, Seq("lang", "source")).count()
+    val n = 60L
+    assert(nCands < n * (n - 1) / 2 / 4,
+      s"banding produced $nCands candidates — effectively all-pairs")
+  }
+
+  test("guard not triggered: blocked path matches plain all-pairs output") {
+    val capped = Dedup.jaccardPairsBlocked(hotBlock, blockCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all-pairs reference: exact-dup pair must be there, nothing bogus
+    assert(capped.contains((100L, 101L)))
+  }
+
+  test("oversized embedding block routes through hyperplane sub-buckets") {
+    val mk = (seed: Int) =>
+      Array.tabulate(64)(j => math.sin(seed * 64.0 + j).toFloat)
+    val base = (1 to 28).map(i => (i.toLong, 5, mk(i)))
+    val dups = Seq((100L, 5, mk(999)), (101L, 5, mk(999))) // identical pair
+    val emb = (base ++ dups).toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingPairsBlocked(emb, threshold = 0.9, blockCap = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((100L, 101L)), s"identical pair missed: $out")
+  }
+}
