@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Tables
@@ -110,6 +111,46 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     }),
 
+    // TF-IDF top terms per document — the classic relevance weighting
+    // for corpus triage. Two map-side-combined aggregations (term
+    // frequency per doc, document frequency per term) + a term-keyed
+    // join; the corpus size joins in as a broadcast scalar, never a
+    // driver value. Ranking uses the ROUNDED score so a last-ulp ln()
+    // difference between engines can never flip ranks.
+    "tfidf_top_terms" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tfidf"), asc("term"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("int").as("rk"),
+          col("term"), col("tf"), col("tfidf"))
+    }),
+
+    // deterministic stratified downsampling: per-language keep rates
+    // applied through a stable hash of the doc id — reproducible
+    // across runs, engines, and partitionings, unlike RNG `sample()`;
+    // this is how a curation pipeline rebalances languages without
+    // losing re-run determinism
+    "stratified_sample" -> ((s, dir) => {
+      graft.functions.Md5Hash60.register(s)
+      val bucket = graft.functions.Md5Hash60.md5_hash60(
+        concat(lit("smpl:"), col("doc_id").cast("string"))) % 1000L
+      val keepPerMille = when(col("lang") === "en", 100L).otherwise(500L)
+      Tables(s, dir).documents
+        .filter(bucket < keepPerMille)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // document fingerprint: min-hash over 8-char rolling shingles
     // (winnowing-style content signature; md5-derived 60-bit ints)
     "doc_fingerprint" -> ((s, dir) => {
@@ -175,6 +216,25 @@ object TextAnalysis {
         |  lang, cast(count(*) AS bigint) AS n_docs,
         |  cast(sum(n_chars) AS bigint) AS n_chars
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf::DOUBLE * ln(n.n_docs / df.df::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, cast(row_number() OVER w AS int) AS rk, term, tf, tfidf
+        |FROM scored
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+        |QUALIFY row_number() OVER w <= 3""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5('smpl:' || doc_id::varchar), 1, 15))::bigint % 1000
+        |      < CASE WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  min(('0x' || substr(md5(substring(text, pos, 8)), 1, 15))::bigint) AS fingerprint

@@ -68,6 +68,12 @@ class PlanQualitySpec extends SparkSpec {
       "grouped top-k fell back to the full-shuffle window formulation")
   }
 
+  test("range join buckets to an equi-join: no nested-loop or cartesian operator") {
+    val p = planOf("range_join_shipments")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join fell back to O(n×m) pair generation")
+  }
+
   test("dim-driven quarter filter dynamically prunes fact partitions") {
     val p = planOf("dpp_quarter_revenue")
     assert(p.contains("dynamicpruningexpression"),
