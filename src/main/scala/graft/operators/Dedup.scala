@@ -293,10 +293,13 @@ object Dedup {
     */
   def minhashClusters(docs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the DIRECTED pair set: both unionAll branches and every
+    // propagation round read it — without this the whole LSH verify
+    // pipeline executes once per branch
     val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+      .persist(MEMORY_AND_DISK)
     val undirected = edges
       .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(MEMORY_AND_DISK)
     // Propagate labels over edge-touched vertices ONLY. The near-dup
     // graph is a tiny fraction of the corpus (dup rate ≪ 100%), so
     // each round shuffles |dup vertices| rows instead of the whole
