@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+import graft.functions.Md5Hash60
+
+/** Corpus-curation filters a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: repetition-based quality
+  * gating, train/benchmark decontamination, sliding-window chunking,
+  * PII redaction, and OOV masking.
+  *
+  * Scale notes (100 TB): every operator here is either a pure per-row
+  * map (`pii_redact`, chunk emission) or a doc_id/term-keyed
+  * aggregation with map-side combine. The decontamination join is
+  * keyed on a 60-bit n-gram hash — 8 bytes shuffled per n-gram
+  * instead of the n-gram string — and the benchmark side drops
+  * super-common n-grams (present in >10 benchmark docs) BEFORE the
+  * join, which is what prevents a boilerplate n-gram ("all rights
+  * reserved …") from becoming a quadratic hot key at corpus scale.
+  * The OOV vocabulary is a top-K aggregate (tiny by construction) and
+  * is broadcast to the token join.
+  */
+object CurationFilters {
+
+  /** Whitespace tokens of non-blank docs, exploded WITH position
+    * (1-based), plus the in-doc bigram at each position (null at the
+    * last token). Positions come from `explode(sequence(...))` +
+    * `element_at` so the DuckDB oracle (`ws[i]`) is a literal mirror.
+    */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")))).as("i"))
+      .select(col("doc_id"), col("i"),
+        element_at(col("ws"), col("i")).as("w"),
+        when(col("i") < size(col("ws")),
+          concat(element_at(col("ws"), col("i")), lit(" "),
+            element_at(col("ws"), col("i") + lit(1)))).as("bg"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition quality gate: fraction of duplicated
+    // words + share of the most frequent bigram. Two doc_id-keyed
+    // aggregations (map-side combined) + one doc_id join; thresholds
+    // compare the ROUNDED fractions so an ulp difference between
+    // engines can never flip the flag.
+    "quality_repetition" -> ((s, dir) => {
+      val tok = tokens(Tables(s, dir).documents)
+      val wstats = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          countDistinct(col("w")).as("n_distinct"))
+      val bstats = tok.filter(col("bg").isNotNull)
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bigram_cnt"), sum(col("c")).as("n_bigrams"))
+      val dupFrac = round(lit(1.0) -
+        col("n_distinct").cast("double") / col("n_words"), 4)
+      val bgFrac = round(coalesce(
+        col("top_bigram_cnt").cast("double") / col("n_bigrams"), lit(0.0)), 4)
+      wstats.join(bstats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          dupFrac.as("dup_word_frac"), bgFrac.as("top_bigram_frac"),
+          when(dupFrac > 0.6 || bgFrac > 0.1, "repetitive").otherwise("ok")
+            .as("repetition_flag"))
+    }),
+
+    // Train/benchmark decontamination: flag train-split docs sharing
+    // any 8-word n-gram with the held-out test split (same md5 bucket
+    // split as dataset_split). Join key is the 60-bit n-gram hash;
+    // benchmark n-grams in >10 benchmark docs are dropped first (see
+    // object Scaladoc — hot-key guard).
+    "decontaminate" -> ((s, dir) => {
+      Md5Hash60.register(s)
+      val bucket = pmod(
+        Md5Hash60.md5_hash60(col("doc_id").cast("string")), lit(100L))
+      val base = Tables(s, dir).documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"),
+          bucket.as("bucket"))
+        .filter(size(col("ws")) >= 8 && (col("bucket") < 80 || col("bucket") >= 90))
+      val ng = base
+        .select(col("doc_id"), col("bucket"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - lit(7))).as("i"))
+        .select(col("doc_id"), col("bucket"),
+          Md5Hash60.md5_hash60(
+            array_join(slice(col("ws"), col("i"), lit(8)), " ")).as("h"))
+      val trainNg = ng.filter(col("bucket") < 80)
+        .select(col("doc_id"), col("h")).distinct()
+      val benchNg = ng.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("bench_doc"), col("h")).distinct()
+      val keep = benchNg.groupBy(col("h"))
+        .agg(count(lit(1)).as("nb")).filter(col("nb") <= 10).select(col("h"))
+      trainNg.join(benchNg, Seq("h")).join(keep, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_ngrams"),
+          countDistinct(col("bench_doc")).as("n_bench_docs"))
+    }),
+
+    // Sliding-window chunking for a context-bounded tokenizer: 64
+    // tokens per chunk, stride 48 (16-token overlap). Pure per-row
+    // explode — no shuffle at all; at 100 TB this is a single
+    // scan-transform-write pass.
+    "doc_chunks" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")), lit(48))).as("s"))
+        .select(col("doc_id"),
+          expr("CAST((s - 1) DIV 48 AS BIGINT)").as("chunk_id"),
+          least(lit(64), size(col("ws")) - col("s") + lit(1)).cast("long")
+            .as("n_tokens"),
+          array_join(slice(col("ws"), col("s"), lit(64)), " ").as("chunk_text"))
+    }),
+
+    // PII redaction over the events payload: mask email-shaped spans
+    // then digit runs. Counts are taken on the ORIGINAL payload (an
+    // email's digits count once as an email). Per-row map, no shuffle.
+    "pii_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      Tables(s, dir).events.select(
+        col("event_id"),
+        regexp_replace(regexp_replace(col("props"), email, "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("props_redacted"),
+        size(regexp_extract_all(col("props"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_nums"))
+    }),
+
+    // OOV masking for tokenizer prep: tokens outside the top-25
+    // corpus vocabulary become <unk>; text is reassembled in token
+    // order. The vocabulary is tiny by construction (top-K of a
+    // corpus-wide count) — broadcast to the token join; reassembly is
+    // one doc_id-keyed aggregation sorting each doc's (pos, token)
+    // pairs inside the aggregate, not a global sort.
+    "oov_mask" -> ((s, dir) => {
+      val tok = tokens(Tables(s, dir).documents).select(
+        col("doc_id"), col("i"), col("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("w")).limit(25)
+        .select(col("w"), lit(1).as("in_vocab"))
+      val masked = tok.join(broadcast(vocab), Seq("w"), "left")
+        .select(col("doc_id"), col("i"),
+          when(col("in_vocab").isNotNull, col("w")).otherwise(lit("<unk>"))
+            .as("w2"))
+      masked.groupBy(col("doc_id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w2")))),
+          x => x.getField("w2")), " ").as("masked_text"),
+        sum(when(col("w2") === "<unk>", 1L).otherwise(0L)).as("n_unk"),
+        count(lit(1)).as("n_tokens"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "quality_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, ws[i] AS w,
+        |    CASE WHEN i < len(ws) THEN ws[i] || ' ' || ws[i+1] END AS bg
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM words)),
+        |wstats AS (
+        |  SELECT doc_id, cast(count(*) AS bigint) AS n_words,
+        |         cast(count(DISTINCT w) AS bigint) AS n_distinct
+        |  FROM tok GROUP BY 1),
+        |bg AS (SELECT doc_id, bg, count(*) AS c FROM tok WHERE bg IS NOT NULL GROUP BY 1, 2),
+        |bstats AS (
+        |  SELECT doc_id, cast(max(c) AS bigint) AS top_bigram_cnt,
+        |         cast(sum(c) AS bigint) AS n_bigrams
+        |  FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT w.doc_id, w.n_words, w.n_distinct,
+        |    round(1 - w.n_distinct::DOUBLE / w.n_words, 4) AS dup_word_frac,
+        |    round(coalesce(b.top_bigram_cnt::DOUBLE / b.n_bigrams, 0), 4) AS top_bigram_frac
+        |  FROM wstats w LEFT JOIN bstats b USING (doc_id))
+        |SELECT doc_id, n_words, n_distinct, dup_word_frac, top_bigram_frac,
+        |  CASE WHEN dup_word_frac > 0.6 OR top_bigram_frac > 0.1
+        |       THEN 'repetitive' ELSE 'ok' END AS repetition_flag
+        |FROM scored""".stripMargin,
+    "decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS bucket
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ng AS (
+        |  SELECT doc_id, bucket,
+        |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::bigint AS h
+        |  FROM (SELECT doc_id, bucket, ws, unnest(range(1, len(ws) - 7 + 1)) AS i
+        |        FROM base
+        |        WHERE len(ws) >= 8 AND (bucket < 80 OR bucket >= 90))),
+        |train_ng AS (SELECT DISTINCT doc_id, h FROM ng WHERE bucket < 80),
+        |bench_ng AS (SELECT DISTINCT doc_id AS bench_doc, h FROM ng WHERE bucket >= 90),
+        |keep AS (SELECT h FROM bench_ng GROUP BY h HAVING count(*) <= 10)
+        |SELECT t.doc_id, cast(count(DISTINCT t.h) AS bigint) AS n_shared_ngrams,
+        |  cast(count(DISTINCT b.bench_doc) AS bigint) AS n_bench_docs
+        |FROM train_ng t JOIN bench_ng b USING (h) JOIN keep USING (h)
+        |GROUP BY t.doc_id""".stripMargin,
+    "doc_chunks" ->
+      """SELECT doc_id,
+        |  (s - 1) // 48 AS chunk_id,
+        |  cast(least(64, len(ws) - s + 1) AS bigint) AS n_tokens,
+        |  array_to_string(list_slice(ws, s, least(s + 63, len(ws))), ' ') AS chunk_text
+        |FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 48)) AS s
+        |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |            FROM documents WHERE length(trim(text)) > 0))""".stripMargin,
+    "pii_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(
+        |    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS props_redacted,
+        |  cast(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_emails,
+        |  cast(len(regexp_extract_all(props, '[0-9]+')) AS bigint) AS n_nums
+        |FROM events""".stripMargin,
+    "oov_mask" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, i, ws[i] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM words)),
+        |vocab AS (
+        |  SELECT w FROM tok GROUP BY w
+        |  ORDER BY count(*) DESC, w ASC LIMIT 25),
+        |masked AS (
+        |  SELECT t.doc_id, t.i,
+        |    CASE WHEN v.w IS NOT NULL THEN t.w ELSE '<unk>' END AS w2
+        |  FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+        |SELECT doc_id,
+        |  string_agg(w2, ' ' ORDER BY i) AS masked_text,
+        |  cast(sum(CASE WHEN w2 = '<unk>' THEN 1 ELSE 0 END) AS bigint) AS n_unk,
+        |  cast(count(*) AS bigint) AS n_tokens
+        |FROM masked GROUP BY doc_id""".stripMargin
+  )
+}

@@ -90,6 +90,21 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup: drops re-deliveries of the same event_id
+    * arriving within the watermark horizon — the at-least-once →
+    * effectively-once repair stage a training-data ingest runs first.
+    * State is keyed on event_id and EVICTED once the watermark passes
+    * (`dropDuplicatesWithinWatermark`), so memory is O(events per
+    * horizon), not O(stream history) — the property that makes
+    * streaming dedup viable on an unbounded 100 TB/day feed. A
+    * duplicate arriving later than the horizon is by contract no
+    * longer detectable; size the horizon to the delivery-retry bound.
+    */
+  def dedupStream(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain-everything-now run to an in-memory table; returns once all
     * available files are processed (Trigger.AvailableNow).
     */

@@ -83,6 +83,41 @@ class EventsStreamSpec extends SparkSpec {
     assert(nineOclock.toSeq == Seq(2L), s"got ${nineOclock.toSeq}") // late row dropped
   }
 
+  test("streaming dedup drops redeliveries within the watermark horizon") {
+    val src = java.nio.file.Files.createTempDirectory("graft-dd").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-dd-ck").toString
+    def drop(name: String, rows: String*): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$src/$name").toPath,
+        ("event_id,ts,user_id,event_type,value" +: rows).mkString("\n"))
+    val out = java.nio.file.Files.createTempDirectory("graft-dd-out").toString + "/dedup"
+    def drain(): Unit = {
+      val events = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(src)
+      val q = EventsStream.dedupStream(events, horizon = "1 hour")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck).start()
+      q.awaitTermination()
+    }
+    // batch 1: id 1 delivered twice in-batch, id 2 once
+    drop("b1.csv",
+      "1,2024-01-01 09:10:00,1,click,1.0",
+      "1,2024-01-01 09:10:00,1,click,1.0",
+      "2,2024-01-01 09:20:00,1,click,1.0")
+    drain()
+    // batch 2: id 1 redelivered across batches (still inside the
+    // horizon — state remembers it); id 3 is new
+    drop("b2.csv",
+      "1,2024-01-01 09:12:00,1,click,1.0",
+      "3,2024-01-01 09:40:00,1,click,1.0")
+    drain()
+    val ids = spark.read.parquet(out).select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("foreachBatch hands every row to the custom sink exactly once") {
     val ck = java.nio.file.Files.createTempDirectory("graft-fb-ck").toString
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
