@@ -74,6 +74,33 @@ class PlanQualitySpec extends SparkSpec {
       "interval join fell back to O(n×m) pair generation")
   }
 
+  test("per-row curation ops stay shuffle-free: chunking and redaction are pure maps") {
+    val chunks = planOf("doc_chunks")
+    assert(!chunks.contains("Exchange"),
+      "doc_chunks introduced a shuffle — must stay a scan-transform pass")
+    val pii = planOf("pii_redact")
+    assert(!pii.contains("Exchange"),
+      "pii_redact introduced a shuffle — must stay a scan-transform pass")
+  }
+
+  test("oov_mask broadcasts only the tiny top-K vocabulary, not the token stream") {
+    val p = planOf("oov_mask")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab join lost its broadcast — token stream would shuffle on the word key")
+    // the token relation must never be shuffled onto the word key
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "token stream shuffled for the vocab join")
+  }
+
+  test("decontamination probes broadcast benchmark ngrams; train stream never shuffles pre-join") {
+    val p = planOf("decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the bounded benchmark ngram set broadcasts; the O(corpus) train
+    // ngram stream is probed map-side
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark ngram set lost its broadcast — train corpus would shuffle on h")
+  }
+
   test("dim-driven quarter filter dynamically prunes fact partitions") {
     val p = planOf("dpp_quarter_revenue")
     assert(p.contains("dynamicpruningexpression"),
