@@ -18,6 +18,27 @@ import graft.catalog.Tables
 object WindowsAndStrings {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // time-RANGE frame: per-user trailing-hour event count / spend.
+    // The frame is keyed on epoch MICROS (not seconds) so peer groups
+    // are identical in both engines; the sum accumulates in
+    // decimal(18,2) then casts once to double (order-independent),
+    // and the average divides the two exact values and rounds once.
+    // One shuffle on user_id; the frame scan is a single ordered pass
+    // per partition — at 100 TB this is the standard sliding-window
+    // feature-engineering shape (no self-join, no explode-per-window).
+    "events_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables(s, dir).events
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_events_1h"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("sum_value_1h"))
+        .withColumn("avg_value_1h",
+          round(col("sum_value_1h") / col("n_events_1h"), 4))
+    }),
+
     // rank / dense_rank / ntile / lag / running sum per customer
     "window_functions" -> ((s, dir) => {
       val byPrice = Window.partitionBy(col("o_custkey"))
@@ -51,6 +72,15 @@ object WindowsAndStrings {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_moving_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  cast(count(*) OVER w AS bigint) AS n_events_1h,
+        |  cast(sum(cast(value AS decimal(18,2))) OVER w AS double) AS sum_value_1h,
+        |  round(cast(sum(cast(value AS decimal(18,2))) OVER w AS double)
+        |        / count(*) OVER w, 4) AS avg_value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "window_functions" ->
       """SELECT o_custkey, o_orderkey,
         |  cast(rank() OVER wp AS bigint) AS price_rank,

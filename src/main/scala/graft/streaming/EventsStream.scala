@@ -105,6 +105,34 @@ object EventsStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join: each purchase joins the clicks
+    * the same user made in the preceding `windowMinutes`. Both sides
+    * carry a watermark and the join condition bounds click_ts to a
+    * closed interval around purchase_ts, so Spark can EVICT join
+    * state once the watermark passes — state is O(events per horizon)
+    * per side, the property that keeps an unbounded ad-attribution
+    * join viable. Physically this is one shuffle of each side onto
+    * user_id, identical to the batch interval-join shape.
+    */
+  def attributionJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("click_ts"), col("purchase_ts"),
+        col("value"))
+  }
+
   /** Drain-everything-now run to an in-memory table; returns once all
     * available files are processed (Trigger.AvailableNow).
     */

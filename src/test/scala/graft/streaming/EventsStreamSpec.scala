@@ -118,6 +118,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val joined = EventsStream.attributionJoin(
+      EventsStream.readEvents(spark, sf), windowMinutes = 30)
+    EventsStream.runAvailableNow(joined, "attr_test")
+    val streamed = spark.table("attr_test")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables(spark, sf).events
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"), $"event_id".as("cid"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("pid"))
+    val batch = p.join(c, $"pu" === $"cu" && $"cts" <= $"pts" &&
+        $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES"))
+      .select($"pid", $"cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed.nonEmpty, "no attributed purchases — window too narrow for testdata")
+    assert(streamed == batch)
+  }
+
   test("foreachBatch hands every row to the custom sink exactly once") {
     val ck = java.nio.file.Files.createTempDirectory("graft-fb-ck").toString
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
