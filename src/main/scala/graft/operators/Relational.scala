@@ -124,6 +124,46 @@ object Relational {
     }),
 
     // P6 IS NULL via left join against a filtered distinct subquery
+    // FULL OUTER reconciliation: per-customer spend in finished vs
+    // open orders; customers active on only one side surface with a
+    // zero on the other. Both inputs pre-aggregate to one row per key
+    // BEFORE the join, so the full-outer shuffle carries |customers|
+    // rows, not |orders| — the shape that matters when both sides are
+    // fact-scale.
+    "full_outer_recon" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val fin = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice"), 2).as("finished_spend"),
+          count(lit(1)).as("n_finished"))
+      val open = o.filter(col("o_orderstatus") === "O").groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice"), 2).as("open_spend"),
+          count(lit(1)).as("n_open"))
+      fin.join(open, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("finished_spend"), lit(0.0)).as("finished_spend"),
+          coalesce(col("n_finished"), lit(0L)).as("n_finished"),
+          coalesce(col("open_spend"), lit(0.0)).as("open_spend"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"))
+    }),
+
+    // UNPIVOT (wide→long): per-flag measures unstacked into
+    // (measure, value) rows via stack() — the melt step feeding any
+    // long-format metrics store. The stack runs AFTER the aggregate,
+    // so it triples a |flags|-row relation, never the fact table.
+    "unpivot_revenue" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"))
+        .selectExpr("l_returnflag",
+          """stack(3, 'sum_qty', sum_qty,
+            |         'sum_base_price', sum_base_price,
+            |         'sum_disc_price', sum_disc_price) AS (measure, value)"""
+            .stripMargin)
+    }),
+
     "left_join_nulls" -> ((s, dir) => {
       val t = Tables(s, dir)
       val heavy = t.lineitem.filter(col("l_quantity") >= 45)
@@ -224,6 +264,33 @@ object Relational {
       s"""SELECT o_custkey, ${sqlDsum("o_totalprice", 2)} AS total_spend
          |FROM orders GROUP BY o_custkey
          |ORDER BY total_spend DESC, o_custkey ASC LIMIT 1""".stripMargin,
+    "full_outer_recon" ->
+      s"""WITH fin AS (
+         |  SELECT o_custkey, ${sqlDsum("o_totalprice", 2)} AS finished_spend,
+         |    cast(count(*) AS bigint) AS n_finished
+         |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         |op AS (
+         |  SELECT o_custkey, ${sqlDsum("o_totalprice", 2)} AS open_spend,
+         |    cast(count(*) AS bigint) AS n_open
+         |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+         |SELECT o_custkey,
+         |  coalesce(finished_spend, 0) AS finished_spend,
+         |  coalesce(n_finished, 0) AS n_finished,
+         |  coalesce(open_spend, 0) AS open_spend,
+         |  coalesce(n_open, 0) AS n_open
+         |FROM fin FULL OUTER JOIN op USING (o_custkey)""".stripMargin,
+    "unpivot_revenue" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag,
+         |    ${sqlDsum("l_quantity", 2)} AS sum_qty,
+         |    ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+         |    ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_base_price', sum_base_price FROM agg
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM agg""".stripMargin,
     "left_join_nulls" ->
       """SELECT
         |  cast(sum(CASE WHEN h.l_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_orders_no_heavy,
