@@ -306,8 +306,13 @@ object Dedup {
     // corpus — at 100 TB that is the difference between a corpus-wide
     // shuffle per round and a trivial one. Singleton docs never enter
     // the loop; they label themselves in the final left join.
-    var labels = undirected.select(col("doc_a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Seed with propagation round 1 for free: label(v) = min(v, min
+    // neighbor). Pair clusters (the overwhelmingly common near-dup
+    // shape) are already at their fixpoint here, so the loop below
+    // typically runs once as pure verification instead of twice.
+    var labels = undirected
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(least(min(col("doc_b")), col("doc_a")).as("cluster_id"))
       .persist(MEMORY_AND_DISK)
     // coalesce: sum over an empty vertex set (no near-dup pairs at
     // small SFs) is NULL, and an empty set is already converged

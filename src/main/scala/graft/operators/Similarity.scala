@@ -179,12 +179,26 @@ object Similarity {
     * quantizer to the executors.
     */
   private[operators] def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = emb
+    graft.functions.Md5Hash60.register(emb.sparkSession)
+    // Train the coarse quantizer on a deterministic hash-gated sample
+    // persisted across the Lloyd passes: k-means needs O(100) points
+    // per cell, not the corpus — training on the full table at 100 TB
+    // would cost LloydIters extra full scans for zero recall gain
+    // (the index-build pass in ivfTopK still assigns every vector
+    // exactly once). The md5 gate keeps the sample identical across
+    // runs and partitionings; the seed rows stay in regardless.
+    val sample = emb.filter(
+      pmod(graft.functions.Md5Hash60.md5_hash60(
+        concat(lit("ivf:"), col("vec_id").cast("string"))), lit(100L)) < 50 ||
+        (col("vec_id") >= NumQueries && col("vec_id") < NumQueries + Cells))
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Double]] = sample
       .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + Cells)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until LloydIters) {
-      val means = emb
+      val means = sample
         .withColumn("cell", cellOf(col("embedding"), centroids))
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
@@ -201,6 +215,7 @@ object Similarity {
         }
       }
     }
+    sample.unpersist()
     centroids
   }
 
