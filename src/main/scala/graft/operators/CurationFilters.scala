@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Tables
@@ -137,6 +138,55 @@ object CurationFilters {
           .cast("long").as("n_nums"))
     }),
 
+    // Greedy sequence packing: per-source shards, docs in a
+    // deterministic hash-shuffled order, each assigned the 512-token
+    // bin its cumulative offset starts in (concat-and-split packing).
+    // One window pass per source partition — sources pack in
+    // parallel, the cumsum is exact integer math, and the md5 order
+    // makes the "shuffle" reproducible across runs and partitionings
+    // (RNG-free, like stratified_sample).
+    "sequence_packing" -> ((s, dir) => {
+      Md5Hash60.register(s)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hkey"), col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.nWords.as("n_tokens"),
+          Md5Hash60.md5_hash60(
+            concat(lit("pack:"), col("doc_id").cast("string"))).as("hkey"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          row_number().over(w).cast("long").as("pack_order"),
+          (sum(col("n_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)) -
+            col("n_tokens")).as("start_tok"))
+        .withColumn("bin", expr("start_tok DIV 512"))
+        .drop("start_tok")
+    }),
+
+    // Multilingual temperature sampling (T=0.7): per-language keep
+    // weights w_l ∝ (n_l/N)^0.7, the standard rebalancing that
+    // upsamples tail languages. The per-language relation after the
+    // aggregate is tiny, so the global normalization window is free;
+    // pow() is bit-identical across engines (both delegate to the
+    // platform libm) and the normalizer accumulates in decimal.
+    "lang_temperature_weights" -> ((s, dir) => {
+      val counts = Tables(s, dir).documents
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val total = Window.partitionBy()
+      val withP = counts
+        .withColumn("p", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(total))
+        .withColumn("pw", pow(col("p"), lit(0.7)))
+      withP
+        .withColumn("z",
+          sum(col("pw").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .over(total).cast("double"))
+        .select(col("lang"), col("n_docs"),
+          round(col("p"), 4).as("p_raw"),
+          round(col("pw") / col("z"), 4).as("p_temp"),
+          round(col("pw") / col("z") / col("p"), 4).as("boost"))
+    }),
+
     // OOV masking for tokenizer prep: tokens outside the top-25
     // corpus vocabulary become <unk>; text is reassembled in token
     // order. The vocabulary is tiny by construction (top-K of a
@@ -163,6 +213,32 @@ object CurationFilters {
   )
 
   def oracles: Map[String, String] = Map(
+    "sequence_packing" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    cast(${TextAnalysis.sqlNWords} AS bigint) AS n_tokens,
+         |    ('0x' || substr(md5('pack:' || doc_id::varchar), 1, 15))::bigint AS hkey
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |  cast(row_number() OVER w AS bigint) AS pack_order,
+         |  cast((sum(n_tokens) OVER w - n_tokens) // 512 AS bigint) AS bin
+         |FROM base
+         |WINDOW w AS (PARTITION BY source ORDER BY hkey, doc_id
+         |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "lang_temperature_weights" ->
+      """WITH counts AS (
+        |  SELECT lang, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY lang),
+        |p AS (
+        |  SELECT lang, n_docs,
+        |    n_docs::DOUBLE / (SELECT cast(sum(n_docs) AS bigint) FROM counts) AS p,
+        |    pow(n_docs::DOUBLE / (SELECT cast(sum(n_docs) AS bigint) FROM counts), 0.7) AS pw
+        |  FROM counts),
+        |z AS (SELECT cast(sum(cast(pw AS decimal(18,9))) AS double) AS z FROM p)
+        |SELECT lang, n_docs,
+        |  round(p, 4) AS p_raw,
+        |  round(pw / z, 4) AS p_temp,
+        |  round(pw / z / p, 4) AS boost
+        |FROM p, z""".stripMargin,
     "quality_repetition" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
