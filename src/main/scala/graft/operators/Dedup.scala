@@ -80,6 +80,11 @@ object Dedup {
     "dedup_jaccard_pairs" -> ((s, dir) =>
       jaccardPairsBlocked(Tables(s, dir).documents)),
 
+    // exact GLOBAL similarity join, no blocking key: prefix-filtered
+    // candidates + exact verify ≡ the quadratic all-pairs oracle
+    "jaccard_prefix_join" -> ((s, dir) =>
+      jaccardPrefixJoin(Tables(s, dir).documents)),
+
     // MinHash + LSH banding: linear-cost candidate generation, then
     // exact Jaccard verification on candidates only. All NumPerms
     // minhashes are computed in ONE aggregation pass over the
@@ -187,6 +192,58 @@ object Dedup {
           col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b")))
 
     smallPairs.unionAll(bigPairs)
+  }
+
+  /** Exact GLOBAL set-similarity join via prefix filtering — no
+    * blocking key at all, unlike [[jaccardPairsBlocked]] (whose
+    * lang×source blocks are unbounded on a real corpus). Standard
+    * prefix-filter argument: order every doc's shingles by one global
+    * (df asc, shingle asc) total order; two docs can reach Jaccard ≥ t
+    * only if their first `n − ceil(t·n) + 1` ordered shingles share a
+    * token. Candidates therefore join on single RARE shingles (the
+    * ascending-df order puts each doc's rarest shingles in the
+    * prefix), so bucket sizes are bounded by rare-token df, not by
+    * corpus size; a length filter (t·|A| ≤ |B| ≤ |A|/t) prunes
+    * further, and exact verification keeps precision 1 with NO recall
+    * loss — output is bit-identical to the quadratic all-pairs join
+    * the oracle runs. Every join shuffles on its key; nothing
+    * corpus-sized is broadcast or collected.
+    */
+  def jaccardPrefixJoin(docs: DataFrame,
+                        threshold: Double = JaccardThreshold): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sets = shingleSets(docs.repartition(col("doc_id")))
+    val tok = sets.select(col("doc_id"), explode(col("toks")).as("w"))
+    val tokDf = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // per-doc shingles in global (df, w) order + the filtering prefix;
+    // feeds the prefix explode AND both verify sides — persist once
+    val prep = tok.join(tokDf.hint("shuffle_hash"), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sorted"))
+      .select(col("doc_id"),
+        transform(col("sorted"), x => x.getField("w")).as("toks"),
+        size(col("sorted")).as("n"))
+      .withColumn("prefix", slice(col("toks"), lit(1),
+        (floor(col("n") * lit(1.0 - threshold)) + lit(1)).cast("int")))
+      .persist(MEMORY_AND_DISK)
+    val pf = prep.select(col("doc_id"), col("n"), explode(col("prefix")).as("w"))
+    val cands = pf.as("x")
+      .join(pf.as("y").hint("shuffle_hash"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n").cast("double") >= col("x.n") * threshold &&
+          col("x.n").cast("double") >= col("y.n") * threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(prep.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(prep.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
   /** Blocked embedding-cosine near-dup pairs with the skew guard:
@@ -428,6 +485,21 @@ object Dedup {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
+    // brute-force all-pairs at the same threshold — the prefix filter
+    // is exact, so the outputs must be identical
+    "jaccard_prefix_join" ->
+      s"""WITH shingled AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+         |      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+         |           regexp_split_to_array(trim(text), '\\s+')[i + 1])) AS toks
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+         |        / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE, 4) AS jaccard
+         |FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+         |      / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE >= $JaccardThreshold""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql("documents"),
     // true connected components via recursive label reachability —
     // UNION (not UNION ALL) dedups rows so the recursion terminates

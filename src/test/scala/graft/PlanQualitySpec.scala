@@ -101,6 +101,13 @@ class PlanQualitySpec extends SparkSpec {
       "benchmark ngram set lost its broadcast — train corpus would shuffle on h")
   }
 
+  test("prefix-filter similarity join never broadcasts a corpus-sized relation") {
+    val p = planOf("jaccard_prefix_join")
+    assert(!p.contains("BroadcastExchange"),
+      "corpus-sized relation broadcast in the prefix-join pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dim-driven quarter filter dynamically prunes fact partitions") {
     val p = planOf("dpp_quarter_revenue")
     assert(p.contains("dynamicpruningexpression"),
