@@ -56,6 +56,39 @@ object Relational {
     }),
 
     // J2 fact-fact + broadcast dim join, group + top-k (TPC-H Q3 shape)
+    // TPC-H Q4 shape: EXISTS(lineitem late) per order → LEFT SEMI
+    // join, then count by priority. The semi join shuffles on
+    // orderkey and short-circuits per key — never materializing the
+    // multiplicity a plain inner join would.
+    "q4_priority_count" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // testdata lacks commit/receipt dates; 'R'-returned lines play
+      // the correlated-EXISTS predicate with the same plan shape
+      val late = t.lineitem
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t.orders
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+                to_date(col("o_orderdate")) < lit("1997-01-01"))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q13 shape: per-customer order counts INCLUDING zero
+    // (left outer + conditional count), then the distribution of
+    // customers per count — the two-level re-aggregation pattern.
+    "q13_custdist" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.customer
+        .join(t.orders.filter(col("o_totalprice") < 100000),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     "q3_top_orders" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.customer.filter(col("c_mktsegment") === "BUILDING")
@@ -225,8 +258,26 @@ object Relational {
          |  AND cast(l_shipdate AS date) < date '1997-01-01'
          |  AND l_discount BETWEEN 0.03 AND 0.07
          |  AND l_quantity < 24""".stripMargin,
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+        |FROM orders
+        |WHERE cast(o_orderdate AS date) >= DATE '1996-01-01'
+        |  AND cast(o_orderdate AS date) <  DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, cast(count(o_orderkey) AS bigint) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_totalprice < 100000
+        |  GROUP BY c_custkey)
+        |SELECT c_count, cast(count(*) AS bigint) AS custdist
+        |FROM per_cust GROUP BY c_count""".stripMargin,
     "q3_top_orders" ->
-      s"""SELECT o_orderkey, cast(o_orderdate AS date) AS order_date,
+s"""SELECT o_orderkey, cast(o_orderdate AS date) AS order_date,
          |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
