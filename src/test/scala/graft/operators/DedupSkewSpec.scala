@@ -49,6 +49,29 @@ class DedupSkewSpec extends SparkSpec {
     assert(capped.contains((100L, 101L)))
   }
 
+  test("oversized embedding block keeps recall on NON-identical near-dups") {
+    // planted pairs at cos ≈ 0.949 (y = 3x + n, x ⊥-ish n of equal
+    // norm ⇒ cos = 3/√10): one 6-plane AND signature alone keeps
+    // ~40 % of such pairs; the OR-of-8-bands path must do much better
+    val mk = (seed: Int) =>
+      Array.tabulate(64)(j => math.sin(seed * 64.0 + j))
+    val base = (1 to 30).map(i => (i.toLong, 5, mk(i).map(_.toFloat)))
+    val planted = (0 until 20).map { i =>
+      val x = mk(1000 + i)
+      val n = mk(2000 + i)
+      (Seq((300L + 2 * i, 5, x.map(_.toFloat)),
+        (301L + 2 * i, 5, x.zip(n).map { case (a, b) => (3 * a + b).toFloat })),
+        (300L + 2 * i, 301L + 2 * i))
+    }
+    val emb = (base ++ planted.flatMap(_._1))
+      .toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingPairsBlocked(emb, threshold = 0.9, blockCap = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val found = planted.map(_._2).count(out.contains)
+    info(s"banded recall: $found/20")
+    assert(found >= 14, s"recall collapsed: $found/20 planted pairs found")
+  }
+
   test("oversized embedding block routes through hyperplane sub-buckets") {
     val mk = (seed: Int) =>
       Array.tabulate(64)(j => math.sin(seed * 64.0 + j).toFloat)

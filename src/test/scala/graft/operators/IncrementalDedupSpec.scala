@@ -30,4 +30,31 @@ class IncrementalDedupSpec extends SparkSpec {
     val kept3 = IncrementalDedup.dedupAgainstStore(b2, path)
     assert(kept3.count() == 0)
   }
+
+  test("null text is fingerprinted once, not re-kept every batch") {
+    val path = store()
+    val b = Seq((1L, null.asInstanceOf[String]), (2L, "alpha"))
+      .toDF("doc_id", "text")
+    val kept1 = IncrementalDedup.dedupAgainstStore(b, path)
+    assert(kept1.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // second batch: the null-text doc must be recognized as seen
+    val kept2 = IncrementalDedup.dedupAgainstStore(
+      Seq((10L, null.asInstanceOf[String])).toDF("doc_id", "text"), path)
+    assert(kept2.count() == 0, "null-text row re-kept — NULL hash leaked")
+  }
+
+  test("compaction collapses crash-replay duplicate fingerprints") {
+    val path = store()
+    val b = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    IncrementalDedup.dedupAgainstStore(b, path)
+    // simulate a crash-replay: same kept hashes appended again
+    spark.read.parquet(path).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    assert(IncrementalDedup.storeDuplication(spark, path) == 2.0)
+    IncrementalDedup.compactStore(spark, path)
+    assert(IncrementalDedup.storeDuplication(spark, path) == 1.0)
+    assert(spark.read.parquet(path).count() == 2)
+    // dedup still works against the compacted store
+    assert(IncrementalDedup.dedupAgainstStore(b, path).count() == 0)
+  }
 }
