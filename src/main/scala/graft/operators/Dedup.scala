@@ -103,6 +103,23 @@ object Dedup {
     "dedup_embedding_pairs" -> ((s, dir) =>
       embeddingPairsBlocked(Tables(s, dir).embeddings)),
 
+    // Leakage-safe train/val/test split: the split bucket hashes the
+    // near-dup CLUSTER id, not the doc id, so near-duplicates can
+    // never straddle train and test — the standard guard against
+    // contaminating eval sets with paraphrases of training docs.
+    // Same 80/10/10 md5 gate as dataset_split, same output shape.
+    "cluster_safe_split" -> ((s, dir) => {
+      graft.functions.Md5Hash60.register(s)
+      val docs = Tables(s, dir).documents
+      val bucket = pmod(graft.functions.Md5Hash60.md5_hash60(
+        col("cluster_id").cast("string")), lit(100L))
+      docs.join(minhashClusters(docs), Seq("doc_id"))
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    }),
+
     // SimHash: 60-bit per-doc fingerprint from shingle hash bit votes
     "simhash" -> ((s, dir) => simhashFingerprints(Tables(s, dir).documents)),
 
@@ -620,6 +637,30 @@ object Dedup {
          |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a)
          |SELECT doc AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY doc""".stripMargin,
+    // same component CTE as dedup_clusters, then the 80/10/10 md5
+    // gate on the CLUSTER id (leakage-safe split)
+    "cluster_safe_split" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes("documents")},
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a),
+         |clusters AS (
+         |  SELECT doc AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |b AS (
+         |  SELECT d.lang, d.n_chars,
+         |    ('0x' || substr(md5(c.cluster_id::varchar), 1, 15))::bigint % 100 AS bucket
+         |  FROM documents d JOIN clusters c USING (doc_id))
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(n_chars) AS bigint) AS n_chars
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "simhash" ->
       s"""WITH $simhashOracleCtes
          |SELECT doc_id, simhash FROM fp""".stripMargin,

@@ -103,6 +103,145 @@ object Relational {
         .limit(10)
     }),
 
+    // TPC-H Q7 shape: bidirectional trade volume between two nations
+    // — double nation-dim join (supplier's and customer's), a
+    // disjunctive nation-pair predicate, yearly grouping. Both
+    // nation joins broadcast; the fact chain shuffles on its keys.
+    "q7_nation_volume" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sn = t.nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val cn = t.nation.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      t.lineitem
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share inside a region for
+    // one part type — conditional-numerator / total-denominator on
+    // the same aggregate pass, by year.
+    "q8_market_share" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sn = t.nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      broadcast(t.region.filter(col("r_name") === "ASIA"))
+        .join(broadcast(t.nation), col("r_regionkey") === col("n_regionkey"))
+        .join(t.customer, col("n_nationkey") === col("c_nationkey"))
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0)))
+            .cast("double") /
+          sum(vol).cast("double"), 4).as("mkt_share"))
+    }),
+
+    // TPC-H Q10 shape: revenue lost to returned lines per customer in
+    // a quarter — 4-way join, wide group-by, top-20 with tie-break.
+    "q10_returned_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+                to_date(col("o_orderdate")) < lit("1996-07-01"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape: promo revenue share over a window — two
+    // decimal accumulations in one pass, one division at the end.
+    "q14_promo_share" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      t.lineitem
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+                to_date(col("l_shipdate")) < lit("1996-04-01"))
+        .join(broadcast(Tables(s, dir).part),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0)))
+              .cast("double") /
+            sum(vol).cast("double"), 4).as("promo_share"))
+    }),
+
+    // TPC-H Q15 shape: supplier(s) achieving the global max quarterly
+    // revenue — agg, then a window max over the 1-row-per-supplier
+    // aggregate (cheap: |suppliers| rows), equality on the exact
+    // decimal-derived double.
+    "q15_top_supplier" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val rev = t.lineitem
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+                to_date(col("l_shipdate")) < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("total_revenue"))
+      rev.withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+        .filter(col("total_revenue") === col("mx"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive brackets across the
+    // join — Catalyst pushes the common p-side/l-side conjuncts below
+    // the join and keeps the residual OR as the join filter.
+    "q19_bracket_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q22 shape: anti join against orders + a scalar subquery
+    // threshold (avg positive balance) — the scalar is a 1-row
+    // broadcast cross join, the anti join shuffles on custkey.
+    "q22_idle_customers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+      t.customer
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t.orders.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal"), 2).as("totacctbal"))
+    }),
+
     // J6-style 6-table join chain (TPC-H Q5 shape)
     "q5_region_revenue" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -287,6 +426,86 @@ s"""SELECT o_orderkey, cast(o_orderdate AS date) AS order_date,
          |  AND cast(l_shipdate AS date) > date '1996-01-01'
          |GROUP BY o_orderkey, cast(o_orderdate AS date)
          |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  cast(year(cast(l_shipdate AS date)) AS int) AS l_year,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+         |GROUP BY sn.n_name, cn.n_name, year(cast(l_shipdate AS date))""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT cast(year(cast(o_orderdate AS date)) AS int) AS o_year,
+         |  round(
+         |    cast(sum(CASE WHEN sn.n_name = 'NATION_1'
+         |      THEN cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))
+         |      ELSE 0 END) AS double) /
+         |    ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)}, 4) AS mkt_share
+         |FROM region
+         |JOIN nation ON r_regionkey = n_regionkey
+         |JOIN customer ON n_nationkey = c_nationkey
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |GROUP BY year(cast(o_orderdate AS date))""".stripMargin,
+    "q10_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND cast(o_orderdate AS date) >= date '1996-01-01'
+         |  AND cast(o_orderdate AS date) < date '1996-07-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT round(100.0::DOUBLE *
+         |  cast(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))
+         |    ELSE 0 END) AS double) /
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)}, 4) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE cast(l_shipdate AS date) >= date '1996-01-01'
+         |  AND cast(l_shipdate AS date) < date '1996-04-01'""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE cast(l_shipdate AS date) >= date '1996-01-01'
+         |    AND cast(l_shipdate AS date) < date '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q19_bracket_revenue" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      s"""SELECT c_nationkey, cast(count(*) AS bigint) AS numcust,
+         |  ${sqlDsum("c_acctbal", 2)} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (
+         |    SELECT ${sqlDsum("c_acctbal", 2)} / count(*)
+         |    FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_nationkey""".stripMargin,
     "q5_region_revenue" ->
       s"""SELECT n_name,
          |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue

@@ -144,6 +144,29 @@ object Similarity {
           round(col("cosine"), 4).as("cosine"))
     }),
 
+    // Hard-negative mining for contrastive training: per query, the
+    // top-k most-similar vectors with a DIFFERENT label — the
+    // "similar but wrong" examples a retrieval trainer wants. Same
+    // broadcast-queries/one-corpus-scan shape as ann_cosine_topk with
+    // the label exclusion pushed into the join condition.
+    "hard_negatives" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = Tables(s, dir).embeddings
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+      val scored = emb.join(broadcast(q), col("label") =!= col("qlabel"))
+        .withColumn("cosine",
+          graft.functions.CosineSimilarity.cosine_sim(col("qe"), col("embedding")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("vec_id"), col("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+
     // SemDeDup-style semantic dedup: hyperplane-bucket the corpus,
     // connect vectors with cosine ≥ 0.4 inside a bucket, collapse
     // connected components (min-label propagation over edge-touched
@@ -358,6 +381,18 @@ object Similarity {
     // recall-complete IVF (nprobe = all cells) scores exactly the
     // brute-force candidate set, so the exact oracle applies
     "ann_ivf_topk" -> bruteForceOracle,
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |           FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+         |  FROM embeddings e JOIN q ON e.label != q.qlabel)
+         |SELECT qid, vec_id,
+         |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
+         |  round(cosine, 4) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin,
     "ann_lsh_multiprobe" ->
       s"""WITH signed AS (
          |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),

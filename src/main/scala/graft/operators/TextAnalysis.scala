@@ -85,6 +85,34 @@ object TextAnalysis {
             .otherwise("fr"))
     }),
 
+    // Duplicated-span metric (Lee et al.'s substring-dedup signal,
+    // bounded to word 8-grams): per doc, the fraction of its distinct
+    // 8-gram shingles that occur in ANY other doc. Linear cost: one
+    // explode, one map-side-combined gram count, one gram-keyed join
+    // back — never a doc×doc compare. High dup_frac flags boilerplate
+    // and template text that exact/minhash dedup both miss.
+    "dup_ngram_spans" -> ((s, dir) => {
+      val w = split(trim(col("text")), "\\s+")
+      val grams8 = when(size(w) >= 8,
+        array_distinct(transform(sequence(lit(1), size(w) - 7),
+          i => concat_ws(" ", slice(w, i, lit(8))))))
+        .otherwise(array().cast("array<string>"))
+      val g = Tables(s, dir).documents
+        .select(col("doc_id"), explode(grams8).as("g"))
+      val counts = g.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      val perDoc = g.join(counts.hint("shuffle_hash"), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dups"))
+      Tables(s, dir).documents.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          round(coalesce(col("dups"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"), 4)
+            .as("dup_frac"))
+    }),
+
     // vocabulary statistics (BPE/vocab-training prep): corpus-wide
     // token frequency + document frequency, top 50 by count
     "vocab_token_freq" -> ((s, dir) => {
@@ -206,6 +234,27 @@ object TextAnalysis {
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         |      FROM documents)
         |GROUP BY w ORDER BY tf DESC, w ASC LIMIT 50""".stripMargin,
+    "dup_ngram_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(arr) >= 8
+        |      THEN list_transform(range(1, len(arr) - 6),
+        |             i -> array_to_string(arr[i:i+7], ' '))
+        |      ELSE []::VARCHAR[] END)) AS g
+        |  FROM w),
+        |counts AS (SELECT g, count(*) AS nd FROM grams GROUP BY g),
+        |per_doc AS (
+        |  SELECT doc_id, cast(count(*) AS bigint) AS n_grams,
+        |    cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS bigint) AS dups
+        |  FROM grams JOIN counts USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(coalesce(n_grams, 0) AS bigint) AS n_grams,
+        |  round(coalesce(dups, 0)::DOUBLE
+        |        / greatest(coalesce(n_grams, 0), 1)::DOUBLE, 4) AS dup_frac
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
     "dataset_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

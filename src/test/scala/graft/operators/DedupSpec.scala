@@ -71,6 +71,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh.filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("cluster_safe_split: near-dup pairs never straddle splits") {
+    graft.functions.Md5Hash60.register(spark)
+    val docs = graft.catalog.Tables(spark, sf).documents
+    val split = Dedup.minhashClusters(docs)
+      .withColumn("bucket", pmod(graft.functions.Md5Hash60.md5_hash60(
+        $"cluster_id".cast("string")), lit(100L)))
+      .withColumn("split", when($"bucket" < 80, "train")
+        .when($"bucket" < 90, "val").otherwise("test"))
+      .select($"doc_id", $"split")
+    val pairs = Dedup.minhashPairs(docs)
+    val straddling = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+    assert(straddling.count() == 0, "a near-dup pair crossed the split boundary")
+  }
+
   test("simhash: identical texts get identical fingerprints") {
     val fp = run("simhash")
     val docs = graft.catalog.Tables(spark, sf).documents
