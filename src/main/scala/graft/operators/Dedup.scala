@@ -253,8 +253,9 @@ object Dedup {
     val Seq(nw, nh) = tokDf
       .agg(count(lit(1)), count_distinct(xxhash64(col("w"))))
       .head().toSeq.map(_.asInstanceOf[Long])
+    val useHash = nw == nh
     val idOf: Column => Column =
-      if (nw == nh) xxhash64(_) else identity
+      if (useHash) xxhash64(_) else identity
     // per-doc shingles in global (df, w) order + the filtering prefix;
     // feeds the prefix explode AND both verify sides — persist once.
     // The (df asc, w asc) total order puts each doc's RAREST shingles
@@ -271,12 +272,18 @@ object Dedup {
     // by a third at t = 0.5. The 1e-9 slack guards the double floor.
     val probeLen = (floor(col("n") * lit(1.0 - 2 * threshold / (1 + threshold))
       + lit(1e-9)) + lit(1)).cast("int")
+    // `toks` stays in (df, w) order for prefix slicing; `vtoks` is
+    // the VALUE-sorted copy the verify stage merge-intersects (the
+    // codegen SortedIntersectCount needs ascending arrays). On the
+    // string fallback vtoks is unused.
     val prep = tok.join(tokDf.hint("shuffle_hash"), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sorted"))
       .select(col("doc_id"),
         transform(col("sorted"), x => idOf(x.getField("w"))).as("toks"),
         size(col("sorted")).as("n"))
+      .withColumn("vtoks",
+        if (useHash) array_sort(col("toks")) else col("toks"))
       .withColumn("prefix", slice(col("toks"), lit(1),
         (floor(col("n") * lit(1.0 - threshold) + lit(1e-9)) + lit(1)).cast("int")))
       .persist(MEMORY_AND_DISK)
@@ -311,12 +318,20 @@ object Dedup {
       .filter(col("tail").cast("double") >= needed)
       .select(least(col("id_x"), col("id_y")).as("doc_a"),
         greatest(col("id_x"), col("id_y")).as("doc_b"))
+    // Verify: |A∩B| by codegen two-pointer merge over the sorted
+    // hash arrays (O(|A|+|B|), no per-pair hash-set allocation);
+    // array_intersect only on the injectivity-collision fallback.
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val interOf: (Column, Column) => Column =
+      if (useHash)
+        (a, b) => graft.functions.SortedIntersectCount.sorted_intersect_count(a, b)
+      else (a, b) => size(array_intersect(a, b))
     cands
-      .join(prep.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      .join(prep.select(col("doc_id").as("doc_a"), col("vtoks").as("toks_a"),
         col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
-      .join(prep.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      .join(prep.select(col("doc_id").as("doc_b"), col("vtoks").as("toks_b"),
         col("n").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter", interOf(col("toks_a"), col("toks_b")))
       .withColumn("jac", col("inter").cast("double") /
         greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
       .filter(col("jac") >= threshold)
