@@ -235,11 +235,15 @@ object Dedup {
   def jaccardPrefixJoin(docs: DataFrame,
                         threshold: Double = JaccardThreshold): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sets = shingleSets(docs.repartition(col("doc_id")))
-    val tok = sets.select(col("doc_id"), explode(col("toks")).as("w"))
+    // (doc_id, shingle) rows feed BOTH the df count and the prep
+    // join — persist so the regex tokenize + shingle explode runs
+    // once, not once per consumer
+    val tok = shingleSets(docs.repartition(col("doc_id")))
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .persist(MEMORY_AND_DISK)
     // vocab-sized (one row per distinct shingle), feeds the
     // injectivity check AND the df-order join — persist so the
-    // corpus-wide tokenize+count runs once
+    // corpus-wide count runs once
     val tokDf = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .persist(MEMORY_AND_DISK)
     // Intersection size only needs token EQUALITY, so verify runs on

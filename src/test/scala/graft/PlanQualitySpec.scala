@@ -113,4 +113,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("dynamicpruningexpression"),
       "no DPP: the fact scan reads every ship_ym partition")
   }
+
+  test("q19: per-side conjuncts of the OR brackets push below the join") {
+    val p = planOf("q19_bracket_revenue")
+    // the disjunction of brands (common p-side conjunct) must reach
+    // the part scan as a pushed filter, and quantity bounds the
+    // lineitem scan
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(p_brand,Brand#11)"),
+      "brand disjunction not pushed to the part scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+           p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "derived quantity envelope not pushed to the lineitem scan")
+  }
+
+  test("multi-probe LSH fans out on the query side only: probes broadcast") {
+    val p = planOf("ann_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe relation lost its broadcast — corpus would shuffle on bucket")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus shuffled for the probe join")
+  }
+
+  test("q22: anti join stays a join (no per-row subquery), scalar is broadcast") {
+    val p = planOf("q22_idle_customers")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not plan as an anti join")
+    assert(!p.contains("CartesianProduct"),
+      "scalar threshold planned as a cartesian product")
+  }
+
+  test("dup_ngram_spans joins gram counts by key — no corpus broadcast, no doc x doc") {
+    val p = planOf("dup_ngram_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram-duplication metric degenerated to pairwise compare")
+  }
 }
