@@ -178,6 +178,54 @@ object Advanced {
           round(percentile(col("value"), lit(0.5)), 4).as("p50"),
           round(percentile(col("value"), lit(0.95)), 4).as("p95"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Equi-depth (decile) bucketing of order values — feature binning
+    // for training pipelines. Scale shape: exact percentile boundaries
+    // in ONE aggregate (not a global-ORDER ntile window, which funnels
+    // the whole table through a single window task), broadcast as a
+    // 1-row cross join, bucket assignment as a pure map over the
+    // boundary array. Boundaries are rounded to 4 dp on BOTH engines
+    // so interpolation ulps can't flip a row at a bucket edge.
+    "equi_depth_buckets" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val cuts = o.agg(transform(percentile(col("o_totalprice"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)),
+        c => round(c, 4)).as("cuts"))
+      o.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          (aggregate(transform(col("cuts"),
+            c => when(col("o_totalprice") > c, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v) + 1).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+    }),
+
+    // Exact Pearson correlation between price and quantity: all five
+    // moments accumulate in exact decimals in ONE pass, the closed
+    // form runs in double on the driver-free aggregate row — engine
+    // summation order can't perturb the result, unlike corr()'s
+    // streaming covariance.
+    "price_quantity_corr" -> ((s, dir) => {
+      val l = Tables(s, dir).lineitem
+      val x = col("l_extendedprice")
+      val y = col("l_quantity")
+      l.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(y.cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+        sum((y * y).cast(DecimalType(18, 2))).cast("double").as("syy"),
+        sum((x * y).cast(DecimalType(28, 4))).cast("double").as("sxy"))
+        .select(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("corr_price_qty"))
     })
   )
 
@@ -278,6 +326,36 @@ object Advanced {
         |  round(quantile_cont(value::DOUBLE, 0.5), 4) AS p50,
         |  round(quantile_cont(value::DOUBLE, 0.95), 4) AS p95,
         |  cast(count(DISTINCT user_id) AS bigint) AS n_users
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "equi_depth_buckets" ->
+      """WITH cuts AS (
+        |  SELECT list_transform(
+        |    quantile_cont(o_totalprice::DOUBLE,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    c -> round(c, 4)) AS cuts
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_totalprice,
+        |    1 + list_sum(list_transform(cuts,
+        |      c -> CASE WHEN o_totalprice > c THEN 1 ELSE 0 END)) AS bucket
+        |  FROM orders, cuts)
+        |SELECT cast(bucket AS int) AS bucket,
+        |  cast(count(*) AS bigint) AS n_orders,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS sum_price
+        |FROM b GROUP BY bucket""".stripMargin,
+    "price_quantity_corr" ->
+      """WITH m AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sx,
+        |    cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sy,
+        |    cast(sum(cast(l_extendedprice * l_extendedprice AS decimal(28,4))) AS double) AS sxx,
+        |    cast(sum(cast(l_quantity * l_quantity AS decimal(18,2))) AS double) AS syy,
+        |    cast(sum(cast(l_extendedprice * l_quantity AS decimal(28,4))) AS double) AS sxy
+        |  FROM lineitem)
+        |SELECT round((n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_price_qty
+        |FROM m""".stripMargin
   )
 }
