@@ -52,4 +52,31 @@ object Skew {
       .agg(max(col("rows")).as("max_rows"),
         expr("percentile(rows, 0.99)").as("p99_rows"),
         avg(col("rows")).as("avg_rows"))
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    // Salted two-phase aggregation over a 3-value (maximally skewed)
+    // group key, oracle-verified: partials accumulate in EXACT
+    // decimal, so the salt split — and the nondeterministic row→salt
+    // assignment — provably cannot perturb the result, which is what
+    // makes salting safe to deploy on money columns at all.
+    "skew_salted_agg" -> ((s, dir) => {
+      val l = graft.catalog.Tables(s, dir).lineitem
+      l.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(8)))
+        .groupBy(col("l_returnflag"), col("__salt"))
+        .agg(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))
+          .as("p"), count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("p")).cast("double").as("sum_price"),
+          sum(col("c")).as("n_lines"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price,
+        |  cast(count(*) AS bigint) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
 }
