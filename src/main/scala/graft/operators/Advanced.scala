@@ -180,6 +180,27 @@ object Advanced {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Robust (MAD-based) outlier counts per event type — the
+    // median-absolute-deviation variant of value_outliers' z-score:
+    // immune to the outliers it hunts. Two small aggregates (medians
+    // per type) + one broadcast join each; deviations are ROUNDED
+    // before thresholding on both engines so an interpolation ulp
+    // can't flip a row at the boundary.
+    "value_outliers_mad" -> ((s, dir) => {
+      val events = Tables(s, dir).events
+      val med = events.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 4).as("med"))
+      val withDev = events.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", round(abs(col("value") - col("med")), 4))
+      val mad = withDev.groupBy(col("event_type"))
+        .agg(round(percentile(col("dev"), lit(0.5)), 4).as("mad"))
+      withDev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3 * 1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
     // Equi-depth (decile) bucketing of order values — feature binning
     // for training pipelines. Scale shape: exact percentile boundaries
     // in ONE aggregate (not a global-ORDER ntile window, which funnels
@@ -327,6 +348,22 @@ object Advanced {
         |  round(quantile_cont(value::DOUBLE, 0.95), 4) AS p95,
         |  cast(count(DISTINCT user_id) AS bigint) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "value_outliers_mad" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value::DOUBLE, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, med, round(abs(e.value - med), 4) AS dev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, d.med, m.mad,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(CASE WHEN d.dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type, d.med, m.mad""".stripMargin,
     "equi_depth_buckets" ->
       """WITH cuts AS (
         |  SELECT list_transform(

@@ -85,6 +85,28 @@ object TextAnalysis {
             .otherwise("fr"))
     }),
 
+    // Unigram-LM negative log-likelihood per doc — the cheap
+    // perplexity proxy for LM-based quality filtering: documents with
+    // high avg NLL under the corpus's own unigram distribution are
+    // gibberish/rare-token soup; low NLL is boilerplate. One token
+    // count (map-side combined), one token-keyed join, one per-doc
+    // aggregate; the corpus total joins in as a 1-row broadcast.
+    // round(4) absorbs last-ulp ln()/summation differences between
+    // engines (same convention as tfidf_top_terms).
+    "unigram_logprob" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      val tf = toks.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      val total = tf.agg(sum(col("tf")).as("n_total"))
+      toks.join(tf.hint("shuffle_hash"), Seq("w"))
+        .crossJoin(broadcast(total))
+        .withColumn("nll",
+          -log(col("tf").cast("double") / col("n_total").cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(col("nll")), 4).as("avg_nll"))
+    }),
+
     // Duplicated-span metric (Lee et al.'s substring-dedup signal,
     // bounded to word 8-grams): per doc, the fraction of its distinct
     // 8-gram shingles that occur in ANY other doc. Linear cost: one
@@ -234,6 +256,16 @@ object TextAnalysis {
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         |      FROM documents)
         |GROUP BY w ORDER BY tf DESC, w ASC LIMIT 50""".stripMargin,
+    "unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT w, cast(count(*) AS bigint) AS tf FROM toks GROUP BY w),
+        |total AS (SELECT cast(sum(tf) AS bigint) AS n_total FROM tf)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_toks,
+        |  round(avg(-ln(tf::DOUBLE / n_total::DOUBLE)), 4) AS avg_nll
+        |FROM toks JOIN tf USING (w), total
+        |GROUP BY doc_id""".stripMargin,
     "dup_ngram_spans" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
