@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, TopKByScore}
+import graft.functions.{CosineSimilarity, SortedIntersectCount, TopKByScore}
 
 /** Session-extension registration for the engine's custom Catalyst
   * pieces — enables `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      exprs => SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

@@ -36,4 +36,38 @@ object IncrementalIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming corpus ingest with cross-run exact dedup: drain the
+    * unprocessed JSON-lines document drops from `srcDir` and keep,
+    * per micro-batch, only docs whose content hash is new — new
+    * within the batch AND against every doc ever ingested (the
+    * persisted fingerprint store, `operators.IncrementalDedup`).
+    * Kept rows append to `destDir`.
+    *
+    * Exactly-once story at scale: the checkpoint makes file pickup
+    * exactly-once; a replayed batch re-appends only fingerprints
+    * (harmless — the anti-join treats store dupes as one), and its
+    * kept rows overwrite-by-append the same content, so downstream
+    * consumers dedup on `h` if they need strict idempotence. State is
+    * 16 bytes per unique doc ever seen, NOT per-doc text — the store
+    * shuffles in the anti-join, nothing is collected or broadcast.
+    */
+  def ingestDocumentsDedup(spark: SparkSession, srcDir: String,
+                           schema: StructType, destDir: String,
+                           checkpointDir: String, storePath: String): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = graft.operators.IncrementalDedup
+          .dedupAgainstStore(batch.toDF(), storePath)
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(destDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -28,4 +28,39 @@ class IncrementalIngestSpec extends SparkSpec {
 
     assert(ingest() == 5) // idempotent re-run: nothing new, no dupes
   }
+
+  test("streaming document ingest dedups against all history across runs") {
+    val src = Files.createTempDirectory("graft-docland").toString
+    val dest = Files.createTempDirectory("graft-docdest").toString + "/docs"
+    val ck = Files.createTempDirectory("graft-docck").toString
+    val store = Files.createTempDirectory("graft-docfp").toString + "/fp"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def drop(name: String, rows: String*): Unit =
+      Files.writeString(new java.io.File(s"$src/$name").toPath,
+        rows.mkString("\n"))
+    def ingest(): Set[Long] = {
+      IncrementalIngest.ingestDocumentsDedup(spark, src, schema, dest, ck, store)
+      spark.read.parquet(dest).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+
+    // run 1: in-batch dup (2 is a copy of 1) collapses to canonical 1
+    drop("b1.jsonl",
+      """{"doc_id": 1, "text": "alpha beta"}""",
+      """{"doc_id": 2, "text": "alpha beta"}""",
+      """{"doc_id": 3, "text": "gamma"}""")
+    assert(ingest() == Set(1L, 3L))
+
+    // run 2: doc 10 repeats run 1's content (dropped via the STORE,
+    // not the batch); doc 11 is new
+    drop("b2.jsonl",
+      """{"doc_id": 10, "text": "alpha beta"}""",
+      """{"doc_id": 11, "text": "delta"}""")
+    assert(ingest() == Set(1L, 3L, 11L))
+  }
 }
