@@ -56,6 +56,50 @@ object WindowsAndStrings {
           .cast("double").as("running_spend"))
     }),
 
+    // SCD-2-style attribute history by gaps-and-islands: collapse
+    // each customer's consecutive runs of equal order priority
+    // (ordered by date, orderkey) into versioned validity ranges —
+    // the standard change-tracking shape for a slowly-changing
+    // dimension, computed in two ordered window passes over ONE
+    // shuffle on the customer key (no self-join, no per-version
+    // explode).
+    "priority_history_scd2" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .withColumn("chg",
+          when(lag(col("o_orderpriority"), 1).over(byDate).isNull ||
+            lag(col("o_orderpriority"), 1).over(byDate) =!= col("o_orderpriority"),
+            1L).otherwise(0L))
+        .withColumn("version",
+          sum(col("chg")).over(byDate.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("o_custkey"), col("version"), col("o_orderpriority"))
+        .agg(to_date(min(col("o_orderdate"))).as("valid_from"),
+          to_date(max(col("o_orderdate"))).as("last_seen"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Deterministic uniform k-per-group sample via the bounded-heap
+    // aggregate: score every doc by a 50-bit md5-derived integer
+    // (exactly representable in double, reproducible in SQL) and keep
+    // the top-3 per (lang, source) — per-group sampling with only k
+    // rows per partition per group reaching the shuffle, no full sort
+    // and no window pass over the corpus.
+    "per_group_sample" -> ((s, dir) => {
+      graft.functions.Md5Hash60.register(s)
+      graft.functions.TopKByScore.register(s)
+      val score = pmod(graft.functions.Md5Hash60.md5_hash60(
+        col("doc_id").cast("string")), lit(1L << 50)).cast("double")
+      Tables(s, dir).documents
+        .withColumn("score", score)
+        .groupBy(col("lang"), col("source"))
+        .agg(graft.functions.TopKByScore
+          .topk_by_score(col("score"), col("doc_id"), 3).as("top"))
+        .select(col("lang"), col("source"), posexplode(col("top")))
+        .select(col("lang"), col("source"),
+          (col("pos") + 1).cast("int").as("rk"), col("col.id").as("doc_id"))
+    }),
+
     // string-function battery over part names
     "string_functions" -> ((s, dir) => {
       Tables(s, dir).part.select(
@@ -94,6 +138,38 @@ object WindowsAndStrings {
         |WINDOW
         |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
         |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "priority_history_scd2" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority, 1) OVER wd IS NULL
+        |           OR lag(o_orderpriority, 1) OVER wd != o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |versioned AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    cast(sum(chg) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS bigint) AS version,
+        |    o_orderdate
+        |  FROM flagged)
+        |SELECT o_custkey, version, o_orderpriority,
+        |  cast(min(o_orderdate) AS date) AS valid_from,
+        |  cast(max(o_orderdate) AS date) AS last_seen,
+        |  cast(count(*) AS bigint) AS n_orders
+        |FROM versioned
+        |GROUP BY o_custkey, version, o_orderpriority""".stripMargin,
+    "per_group_sample" ->
+      """WITH scored AS (
+        |  SELECT lang, source, doc_id,
+        |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint
+        |      % 1125899906842624 AS score
+        |  FROM documents)
+        |SELECT lang, source,
+        |  cast(row_number() OVER w AS int) AS rk, doc_id
+        |FROM scored
+        |WINDOW w AS (PARTITION BY lang, source ORDER BY score DESC, doc_id ASC)
+        |QUALIFY row_number() OVER w <= 3""".stripMargin,
     "string_functions" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_upper,
