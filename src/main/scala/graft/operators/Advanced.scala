@@ -118,6 +118,25 @@ object Advanced {
         .unionAll(building.except(openOrderers).withColumn("tag", lit("building_only")))
     }),
 
+    // EXCEPT ALL / INTERSECT ALL — the multiset (bag) semantics the
+    // distinct variants above can't express: multiplicities subtract
+    // resp. take the minimum. Spark plans both as aggregate+generate
+    // (count per row value, then replicate), no join explosion.
+    "set_ops_all" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val open = t.orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority"))
+      val finished = t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority"))
+      open.exceptAll(finished).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("except_all"))
+        .unionAll(
+          open.intersectAll(finished).groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("tag", lit("intersect_all")))
+    }),
+
     // left-semi / left-anti joins (EXISTS / NOT EXISTS)
     "semi_anti_parts" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -312,6 +331,20 @@ object Advanced {
         |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+    "set_ops_all" ->
+      """SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+        |  'except_all' AS tag FROM (
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+        |  'intersect_all' AS tag FROM (
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY o_orderpriority""".stripMargin,
     "semi_anti_parts" ->
       """SELECT
         |  (SELECT cast(count(*) AS bigint) FROM part

@@ -61,6 +61,42 @@ object ProductAnalytics {
         .limit(20)
     }),
 
+    // Association rules over the co-occurrence pairs: support,
+    // confidence and lift for every directed rule a→b with at least
+    // 2 co-occurring orders — the classic market-basket metrics. All
+    // inputs are exact integer counts; the ratios divide exact
+    // doubles, so both engines agree bit-for-bit. The basket total
+    // joins in as a 1-row broadcast.
+    "association_rules" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairs = a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") =!= col("part_b")) // directed: keep both orders
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val total = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(itemN.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")),
+          Seq("part_a"))
+        .join(itemN.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")),
+          Seq("part_b"))
+        .crossJoin(broadcast(total))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab").cast("double") / col("n_orders").cast("double"), 4)
+            .as("support"),
+          round(col("n_ab").cast("double") / col("n_a").cast("double"), 4)
+            .as("confidence"),
+          round(col("n_ab").cast("double") * col("n_orders").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("lift"))
+        .orderBy(desc("lift"), asc("part_a"), asc("part_b"))
+        .limit(20)
+    }),
+
     // grouped top-k: top-3 customers by spend within every nation.
     // Planned through the bounded-heap TypedImperativeAggregate
     // (functions.TopKByScore) instead of a window rank: the window
@@ -114,6 +150,28 @@ object ProductAnalytics {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+    "association_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |item AS (SELECT l_partkey, cast(count(*) AS bigint) AS n_item
+        |         FROM li GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    cast(count(*) AS bigint) AS n_ab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |total AS (SELECT cast(count(DISTINCT l_orderkey) AS bigint) AS n_orders
+        |          FROM li)
+        |SELECT part_a, part_b, n_ab,
+        |  ia.n_item AS n_a, ib.n_item AS n_b,
+        |  round(n_ab::DOUBLE / n_orders::DOUBLE, 4) AS support,
+        |  round(n_ab::DOUBLE / ia.n_item::DOUBLE, 4) AS confidence,
+        |  round(n_ab::DOUBLE * n_orders::DOUBLE
+        |        / (ia.n_item::DOUBLE * ib.n_item::DOUBLE), 4) AS lift
+        |FROM pairs
+        |JOIN item ia ON part_a = ia.l_partkey
+        |JOIN item ib ON part_b = ib.l_partkey, total
+        |ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
     "top_customers_per_nation" ->
       """WITH spend AS (
         |  SELECT o_custkey,
