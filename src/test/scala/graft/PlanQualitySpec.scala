@@ -147,4 +147,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "gram-duplication metric degenerated to pairwise compare")
   }
+
+  test("per_group_sample goes through the heap aggregate, never a window sort") {
+    val p = planOf("per_group_sample")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final heap aggregation")
+    assert(!p.contains("Window"),
+      "sampling fell back to a full window pass over the corpus")
+  }
+
+  test("equi_depth_buckets assigns buckets by a broadcast boundary array, no global sort") {
+    val p = planOf("equi_depth_buckets")
+    assert(!p.contains("Window"),
+      "bucketing fell back to a global-ORDER ntile window (single-task funnel)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row boundary relation lost its broadcast")
+  }
+
+  test("salted agg plans as two aggregate levels with map-side combine") {
+    val p = planOf("skew_salted_agg")
+    // (key, salt) partial+final, then key partial+final = 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "salted two-phase aggregation collapsed")
+    assert(!p.contains("Window"))
+  }
 }
