@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Randomized exactness guard for jaccardPrefixJoin: on synthetic
+  * corpora the prefix-filtered + positionally-pruned + hash-verified
+  * pipeline must return EXACTLY the quadratic all-pairs answer —
+  * same pairs, same jaccard values. Three corpus shapes stress the
+  * different pruning paths: a degenerate tiny vocabulary (huge
+  * prefix buckets, the testdata shape), a wide vocabulary (sparse
+  * buckets, heavy length-filter pruning), and planted near-dup pairs
+  * at mixed lengths (asymmetric probe-prefix + positional-bound
+  * edge cases).
+  */
+class PrefixJoinPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Quadratic reference on bigram shingle sets, same rounding. */
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame) = {
+    val w = split(trim(col("text")), "\\s+")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("toks"))
+    sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.toks"), col("b.toks"))))
+      .withColumn("jac", col("inter").cast("double") /
+        greatest(size(col("a.toks")) + size(col("b.toks")) - col("inter"),
+          lit(1)).cast("double"))
+      .filter(col("jac") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("jac"), 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  private def check(docs: Seq[(Long, String)], label: String): Unit = {
+    val df = docs.toDF("doc_id", "text")
+    val fast = Dedup.jaccardPrefixJoin(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slow = bruteForce(df)
+    assert(fast == slow,
+      s"$label: prefix join diverged from brute force — " +
+        s"missing ${slow -- fast}, extra ${fast -- slow}")
+  }
+
+  test("tiny vocabulary (degenerate buckets) matches brute force") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (1L to 60L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    check(docs, "tiny-vocab")
+  }
+
+  test("wide vocabulary (sparse buckets) matches brute force") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 60L).map { id =>
+      id -> Seq.fill(8 + rnd.nextInt(25))(s"t${rnd.nextInt(4000)}")
+        .mkString(" ")
+    }
+    check(docs, "wide-vocab")
+  }
+
+  test("planted near-dups at mixed lengths match brute force") {
+    val rnd = new scala.util.Random(37)
+    val base = (1L to 30L).map { id =>
+      id -> Seq.fill(10 + rnd.nextInt(30))(s"x${rnd.nextInt(200)}")
+        .mkString(" ")
+    }
+    // near-dups: append a short suffix to an existing doc (high
+    // jaccard, different lengths — exercises the asymmetric prefix)
+    val dups = (0 until 10).map { i =>
+      val (srcId, text) = base(i * 3 % base.size)
+      (100L + i) -> (text + " " + Seq.fill(1 + i % 3)(s"y$i").mkString(" "))
+    }
+    check(base ++ dups, "planted-near-dups")
+  }
+}
