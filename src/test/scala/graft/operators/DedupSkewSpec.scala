@@ -49,6 +49,27 @@ class DedupSkewSpec extends SparkSpec {
     assert(capped.contains((100L, 101L)))
   }
 
+  test("small embedding blocks equal brute force exactly (randomized)") {
+    val rnd = new scala.util.Random(41)
+    val emb = (1L to 80L).map { id =>
+      (id, (id % 4).toInt, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    // low threshold so random vectors actually produce pairs
+    val fast = Dedup.embeddingPairsBlocked(emb, threshold = 0.1, blockCap = 1000)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    graft.functions.CosineSimilarity.register(spark)
+    val brute = emb.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"))
+      .join(emb.select($"label", $"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cosine", graft.functions.CosineSimilarity.cosine_sim($"ea", $"eb"))
+      .filter($"cosine" >= 0.1)
+      .select($"label", $"vec_a", $"vec_b", round($"cosine", 4).as("cosine"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(brute.nonEmpty, "threshold produced no pairs — test is vacuous")
+    assert(fast == brute,
+      s"blocked path diverged: missing ${brute -- fast}, extra ${fast -- brute}")
+  }
+
   test("oversized embedding block keeps recall on NON-identical near-dups") {
     // planted pairs at cos ≈ 0.949 (y = 3x + n, x ⊥-ish n of equal
     // norm ⇒ cos = 3/√10): one 6-plane AND signature alone keeps
