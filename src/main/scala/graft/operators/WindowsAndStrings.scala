@@ -100,6 +100,21 @@ object WindowsAndStrings {
           (col("pos") + 1).cast("int").as("rk"), col("col.id").as("doc_id"))
     }),
 
+    // Rank-based feature normalization: percent_rank and cume_dist of
+    // each event's value within its type — the monotone transform
+    // that makes features comparable across differently-scaled
+    // groups. Total order (value, event_id) keeps the ranks
+    // reproducible; both stats are exact rational numbers rounded
+    // once. One shuffle on event_type, one ordered pass per group.
+    "value_rank_normalize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables(s, dir).events.select(
+        col("event_id"), col("event_type"), col("value"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+    }),
+
     // string-function battery over part names
     "string_functions" -> ((s, dir) => {
       Tables(s, dir).part.select(
@@ -170,6 +185,12 @@ object WindowsAndStrings {
         |FROM scored
         |WINDOW w AS (PARTITION BY lang, source ORDER BY score DESC, doc_id ASC)
         |QUALIFY row_number() OVER w <= 3""".stripMargin,
+    "value_rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
     "string_functions" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_upper,
