@@ -173,9 +173,12 @@ object Similarity {
     // vertices only), keep the min-id representative per cluster.
     // Candidate edges route through embeddingPairsBlocked, so the
     // oversized-bucket skew guard (OR-of-bands) applies at scale for
-    // free; at verify scale every bucket is under the cap, so the
-    // recursive-CTE oracle sees the exact same edge set.
-    "semdedup" -> ((s, dir) => semDedup(Tables(s, dir).embeddings)),
+    // free. The oracle enumerates in-bucket pairs EXACTLY, so the
+    // verify path runs requireExact = true: if any bucket ever grew
+    // past the cap (where the plan switches to approximate banding)
+    // this fails loudly instead of silently hash-mismatching.
+    "semdedup" -> ((s, dir) =>
+      semDedup(Tables(s, dir).embeddings, requireExact = true)),
 
     // IVF ANN: k-means coarse quantizer trained on the corpus
     // (deterministic seed init + fixed Lloyd passes), vectors bucketed
@@ -197,15 +200,25 @@ object Similarity {
     * min vec_id of the vector's cosine-similarity component within
     * its hyperplane bucket, and kept marks the representative.
     */
-  def semDedup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def semDedup(emb: DataFrame, threshold: Double = 0.4,
+               requireExact: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     // the LSH bucket *is* the blocking key — reuse the skew-guarded
     // blocked pair generator with label := bucket
-    val edges = Dedup.embeddingPairsBlocked(
-      emb.select(hyperplaneBucket(col("embedding")).as("label"),
-        col("vec_id"), col("embedding")),
-      threshold)
+    val bucketed = emb.select(hyperplaneBucket(col("embedding")).as("label"),
+      col("vec_id"), col("embedding"))
+    if (requireExact) {
+      // oracle-comparison mode: blocks past the cap would flip the
+      // plan to approximate OR-of-bands candidates — refuse rather
+      // than diverge from an exact oracle without signal
+      val maxBn = bucketed.groupBy(col("label")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      require(maxBn <= Dedup.BlockPairCap,
+        s"semDedup(requireExact): a hyperplane bucket holds $maxBn vectors " +
+          s"(> cap ${Dedup.BlockPairCap}); pairs would be approximate")
+    }
+    val edges = Dedup.embeddingPairsBlocked(bucketed, threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       .persist(MEMORY_AND_DISK)
     val labels = Dedup.labelPropagation(edges)

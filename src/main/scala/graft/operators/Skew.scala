@@ -17,10 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt: hash of the row's full column content.
+    * `monotonically_increasing_id()` would distribute marginally
+    * better on duplicate-heavy data, but it is NONDETERMINISTIC —
+    * under a fetch-failure/stage-retry partial recompute, a row can
+    * be re-salted into a different bucket and be lost from one
+    * partial and double-counted in another (the SPARK-23207 hazard
+    * class). A content hash re-salts identically on recompute, at
+    * the cost that byte-identical duplicate rows share a bucket.
+    */
+  private def contentSalt(df: DataFrame, salt: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int = 8): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val saltedLeft = left.withColumn("__salt", contentSalt(left, salt))
     val saltedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
@@ -38,7 +49,7 @@ object Skew {
     */
   def saltedSumAgg(df: DataFrame, key: String, valueCol: String,
                    salt: Int = 8): DataFrame =
-    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    df.withColumn("__salt", contentSalt(df, salt))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
@@ -55,13 +66,14 @@ object Skew {
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     // Salted two-phase aggregation over a 3-value (maximally skewed)
-    // group key, oracle-verified: partials accumulate in EXACT
-    // decimal, so the salt split — and the nondeterministic row→salt
-    // assignment — provably cannot perturb the result, which is what
-    // makes salting safe to deploy on money columns at all.
+    // group key, oracle-verified: the salt is a DETERMINISTIC hash of
+    // the primary key (so stage retries re-salt identically — see
+    // contentSalt), and partials accumulate in EXACT decimal, so the
+    // salt split cannot perturb the sums regardless of which bucket a
+    // row lands in.
     "skew_salted_agg" -> ((s, dir) => {
       val l = graft.catalog.Tables(s, dir).lineitem
-      l.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(8)))
+      l.withColumn("__salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(8)))
         .groupBy(col("l_returnflag"), col("__salt"))
         .agg(sum(col("l_extendedprice")
           .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))

@@ -56,6 +56,30 @@ class SessionTimerStateSpec extends SparkSpec {
       drop("b3.csv", "3,2024-01-01 18:00:00")
       drain()
       assert(sessions() == Seq((1L, 3L), (2L, 1L)), s"got ${sessions()}")
+
+      // batch 4: REPLAY shape — one batch carries a user's whole
+      // history with events more than a gap apart. 19:00/19:05 and
+      // 20:30/20:31 are 85 min apart ⇒ must SPLIT into two sessions,
+      // not fold into one mega-session
+      // user 9's 23:00 event pushes the NEXT batch's watermark to
+      // 22:50, past both of user 4's close times (19:35, 21:01)
+      drop("b4.csv", "4,2024-01-01 19:00:00", "4,2024-01-01 19:05:00",
+        "4,2024-01-01 20:30:00", "4,2024-01-01 20:31:00",
+        "9,2024-01-01 23:00:00")
+      drain()
+      // batch 5: new data advances the watermark (to 22:50 for the
+      // data batch, then 2024-01-02 07:50 for the final no-data
+      // batch AvailableNow runs) — closes user 3's 18:00 session,
+      // both user 4 spans, and user 9's pusher session
+      drop("b5.csv", "3,2024-01-02 08:00:00")
+      drain()
+      assert(sessions() ==
+        Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 2L), (4L, 2L), (9L, 1L)),
+        s"got ${sessions()}")
+      val u4 = spark.read.parquet(out).collect()
+        .filter(_.getLong(0) == 4L).map(r => (r.getLong(1), r.getLong(2))).sorted
+      assert(u4.length == 2 && u4(0)._2 < u4(1)._1,
+        s"user 4 sessions not disjoint: ${u4.toSeq}")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
