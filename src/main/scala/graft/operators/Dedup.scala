@@ -173,11 +173,14 @@ object Dedup {
   private[operators] val BlockPairCap = 10000
 
   /** Memoized xxhash64-injectivity verdicts for [[jaccardPrefixJoin]],
-    * keyed by the input plan's semantic hash — one O(vocab) probe job
-    * per distinct input relation per JVM, not per call.
+    * keyed by the input's CANONICALIZED logical plan (structural
+    * equality — collision-impossible, unlike a 32-bit semantic hash:
+    * this check exists to guarantee exactness, so its cache key must
+    * not be able to alias two distinct inputs). One O(vocab) probe
+    * job per distinct input relation per JVM, not per call.
     */
-  private val injectivityVerdicts =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+  private val injectivityVerdicts = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
 
   /** Blocked Jaccard near-dup pairs with the skew guard: blocks of at
     * most `blockCap` docs compare all-pairs (exact); larger blocks
@@ -262,13 +265,14 @@ object Dedup {
     // vanishingly rare, but data-dependent — fall back to the string
     // arrays. The check is O(vocab), not O(corpus), and collision-free
     // hashing never changes the output. The verdict is memoized per
-    // input plan (semantic hash), so a re-invocation over the same
-    // relation — warm bench iterations, repeated pipeline stages —
-    // skips the extra job. (Caveat: replacing the files UNDER an
-    // identical plan within one JVM reuses the verdict — same
-    // staleness class as Spark's own file-index cache.)
+    // input plan (canonicalized — structural equality, so two
+    // distinct plans can never share an entry), so a re-invocation
+    // over the same relation — warm bench iterations, repeated
+    // pipeline stages — skips the extra job. (Caveat: replacing the
+    // files UNDER an identical plan within one JVM reuses the verdict
+    // — same staleness class as Spark's own file-index cache.)
     val useHash = injectivityVerdicts.computeIfAbsent(
-      docs.queryExecution.analyzed.semanticHash(),
+      docs.queryExecution.analyzed.canonicalized,
       _ => tokDf.agg(count(lit(1)) === count_distinct(xxhash64(col("w"))))
         .head().getBoolean(0))
     val idOf: Column => Column =
@@ -379,13 +383,26 @@ object Dedup {
     * for cost, nothing corpus-sized broadcast.
     */
   def embeddingPairsBlocked(emb: DataFrame, threshold: Double = 0.4,
-                            blockCap: Int = BlockPairCap): DataFrame = {
+                            blockCap: Int = BlockPairCap,
+                            requireExact: Boolean = false): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     // block sizes by groupBy+broadcast-join, not a window — same
     // single-hot-task skew reasoning as jaccardPairsBlocked
-    val t = emb.join(
-      broadcast(emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))),
-      Seq("label"))
+    val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+    // requireExact (oracle-comparison mode): a block past the cap
+    // would flip that block to approximate OR-of-bands candidates —
+    // fail loudly instead of silently diverging from an exact
+    // oracle. Piggybacked on the bn column the plan computes anyway
+    // (raise_error fires on first touch of an oversized block's
+    // rows), so exactness costs ZERO extra jobs — a separate
+    // pre-check pass was a +2.5 s bench regression.
+    val checked = if (!requireExact) sizes else sizes.withColumn("bn",
+      when(col("bn") > blockCap, raise_error(concat(
+        lit(s"embeddingPairsBlocked(requireExact): a block holds "),
+        col("bn").cast("string"),
+        lit(s" vectors (> cap $blockCap); pairs would be approximate"))))
+        .otherwise(col("bn")))
+    val t = emb.join(broadcast(checked), Seq("label"))
 
     def scored(pairs: DataFrame): DataFrame = pairs
       .withColumn("cosine",

@@ -208,17 +208,12 @@ object Similarity {
     // blocked pair generator with label := bucket
     val bucketed = emb.select(hyperplaneBucket(col("embedding")).as("label"),
       col("vec_id"), col("embedding"))
-    if (requireExact) {
-      // oracle-comparison mode: blocks past the cap would flip the
-      // plan to approximate OR-of-bands candidates — refuse rather
-      // than diverge from an exact oracle without signal
-      val maxBn = bucketed.groupBy(col("label")).count()
-        .agg(max(col("count"))).head.getLong(0)
-      require(maxBn <= Dedup.BlockPairCap,
-        s"semDedup(requireExact): a hyperplane bucket holds $maxBn vectors " +
-          s"(> cap ${Dedup.BlockPairCap}); pairs would be approximate")
-    }
-    val edges = Dedup.embeddingPairsBlocked(bucketed, threshold)
+    // requireExact rides inside the pair generator's own block-size
+    // computation (raise_error on an over-cap block) — exactness at
+    // zero extra jobs; a separate pre-check pass cost +2.5 s on the
+    // sf0.1 bench
+    val edges = Dedup.embeddingPairsBlocked(bucketed, threshold,
+        requireExact = requireExact)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       .persist(MEMORY_AND_DISK)
     val labels = Dedup.labelPropagation(edges)

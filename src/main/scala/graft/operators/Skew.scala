@@ -25,9 +25,31 @@ object Skew {
     * partial and double-counted in another (the SPARK-23207 hazard
     * class). A content hash re-salts identically on recompute, at
     * the cost that byte-identical duplicate rows share a bucket.
+    *
+    * Spark's `hash()` rejects MapType (map iteration order is
+    * undefined, so a map hash would itself be nondeterministic —
+    * exactly the hazard this salt avoids), so salt input is the
+    * row's HASHABLE columns only. If every column is a map the salt
+    * degenerates to a constant: correct (joins/aggs still work) but
+    * no skew mitigation — pass a PK-based salt column explicitly in
+    * that case, as `skew_salted_agg` does.
     */
-  private def contentSalt(df: DataFrame, salt: Int): Column =
-    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
+  private def contentSalt(df: DataFrame, salt: Int): Column = {
+    val hashable = df.schema.fields
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+    if (hashable.isEmpty) lit(0)
+    else pmod(hash(hashable.toIndexedSeq: _*), lit(salt))
+  }
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int = 8): DataFrame = {

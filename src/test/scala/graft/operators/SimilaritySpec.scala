@@ -48,6 +48,28 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.agg(max($"nb")).head().getLong(0) >= 1)
   }
 
+  test("requireExact raises on an over-cap block instead of going approximate") {
+    val emb = (1L to 6L).map(i => (0L, i, Array(1.0f, 0.0f)))
+      .toDF("label", "vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Dedup.embeddingPairsBlocked(emb, 0.4, blockCap = 5, requireExact = true)
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pairs would be approximate")), ex.toString)
+    // same data under the cap: exact pairs, no error
+    assert(Dedup.embeddingPairsBlocked(emb, 0.4, blockCap = 6,
+      requireExact = true).count() == 15)
+  }
+
+  test("semdedup requireExact handles an empty embeddings table") {
+    // max over zero buckets is NULL — the cap check must treat it as
+    // 0 and return an empty result, not throw
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty, requireExact = true).count() == 0)
+  }
+
   test("semdedup: clusters are consistent and representatives minimal") {
     val out = run("semdedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

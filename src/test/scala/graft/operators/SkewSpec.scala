@@ -30,6 +30,19 @@ class SkewSpec extends SparkSpec {
     salted.foreach { case (k, v) => assert(v == direct(k)) }
   }
 
+  test("salted join tolerates map columns (salt skips unhashable types)") {
+    // hash() rejects MapType — contentSalt must exclude the map
+    // column rather than fail analysis
+    val left = (1 to 200).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+      .withColumn("m", map(lit("a"), $"v"))
+    val right = (1L to 200L).map(k => (k, s"r$k")).toDF("k", "payload")
+    val plain = left.drop("m").join(right, Seq("k")).select($"k", $"v", $"payload")
+    val salted = Skew.saltedJoin(left, right, "k").select($"k", $"v", $"payload")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
   test("keySkew reports the hot key") {
     val df = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
     val r = Skew.keySkew(df, $"k").collect()(0)
