@@ -373,6 +373,132 @@ object Relational {
         .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+    }),
+
+    // TPC-H Q9 shape: product-line profit by supplier nation and
+    // order year — a LIKE-filtered part dim (broadcast, prunes the
+    // fact early), supplier→nation lookup, yearly re-grouping.
+    "q9_nation_profit" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").contains("gear"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(to_date(col("o_orderdate"))).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("profit"))
+    }),
+
+    // TPC-H Q11 shape: per-key value vs a global-scalar threshold —
+    // the scalar (exact decimal total × fraction) broadcasts into a
+    // cross join, so the HAVING-against-subquery never reshuffles
+    // the per-supplier aggregate.
+    "q11_supplier_share" -> ((s, dir) => {
+      val l = Tables(s, dir).lineitem
+      val value = dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+      val perSupp = l.groupBy(col("l_suppkey")).agg(value.as("value"))
+      val threshold = l.agg((value * lit(0.001)).as("threshold"))
+      perSupp.crossJoin(broadcast(threshold))
+        .filter(col("value") > col("threshold"))
+        .select(col("l_suppkey"), col("value"))
+    }),
+
+    // TPC-H Q12 shape: priority-class conditional counts by line
+    // status over the orders⋈lineitem join — the two SUM(CASE WHEN)
+    // columns ride one aggregation pass.
+    "q12_priority_class" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+                to_date(col("l_shipdate")) < lit("1997-01-01"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_count"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute
+    // with a NOT IN exclusion subquery — planned as a broadcast
+    // LEFT ANTI join (suppkey is non-null, so NOT IN ≡ anti join).
+    "q16_supplier_count" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val excluded = t.supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") =!= "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q17 shape: correlated per-part average — expressed as a
+    // per-part aggregate joined back to the fact. The sub-average
+    // comparison is kept in EXACT integer/decimal arithmetic
+    // (qty·2·cnt < sum_qty ⇔ qty < avg/2) so the row set cannot
+    // drift on float summation order between engines.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val lp = t.lineitem.join(
+        broadcast(t.part.filter(col("p_brand") === "Brand#11")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      val pa = lp.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 1))).as("sq"),
+          count(lit(1)).as("cq"))
+      lp.join(pa, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast(DecimalType(18, 1)) * lit(2) * col("cq")
+          < col("sq"))
+        .agg(dsum(col("l_extendedprice"), 2).as("small_qty_revenue"))
+    }),
+
+    // TPC-H Q20 shape: semi join against a HAVING-filtered aggregate
+    // subquery (suppliers who shipped > 100 units of any 'small%'
+    // part) — IN (GROUP BY … HAVING) ≡ LEFT SEMI on the agg output.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val heavy = t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").startsWith("small"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 1))).as("qty"))
+        .filter(col("qty") > 100)
+        .select(col("l_suppkey"))
+      t.supplier
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    }),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact —
+    // "the only supplier whose lines were returned on a finished
+    // multi-supplier order". Both correlated subqueries plan as
+    // shuffle SEMI/ANTI joins on orderkey with the suppkey
+    // inequality as a residual condition; nothing re-scans per row.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val l = t.lineitem
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .join(t.orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val otherSupp = l.select(col("l_orderkey").as("ok2"),
+        col("l_suppkey").as("sk2"))
+      val withOther = l1.join(otherSupp,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      val otherReturned = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      withOther.join(otherReturned,
+          col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+          "left_anti")
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
     })
   )
 
@@ -497,6 +623,79 @@ s"""SELECT o_orderkey, cast(o_orderdate AS date) AS order_date,
          |       AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q9_nation_profit" ->
+      s"""SELECT n_name AS nation,
+         |  cast(year(cast(o_orderdate AS date)) AS int) AS o_year,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY n_name, year(cast(o_orderdate AS date))""".stripMargin,
+    "q11_supplier_share" ->
+      s"""SELECT l_suppkey,
+         |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS value
+         |FROM lineitem
+         |GROUP BY l_suppkey
+         |HAVING ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} >
+         |  (SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)}
+         |     * 0.001::DOUBLE FROM lineitem)""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS bigint) AS high_count,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS bigint) AS low_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE cast(l_shipdate AS date) >= date '1996-01-01'
+        |  AND cast(l_shipdate AS date) < date '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_size,
+        |  cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""WITH lp AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#11'),
+         |pa AS (
+         |  SELECT l_partkey AS pk,
+         |    sum(cast(l_quantity AS decimal(18,1))) AS sq,
+         |    cast(count(*) AS bigint) AS cq
+         |  FROM lp GROUP BY l_partkey)
+         |SELECT ${sqlDsum("l_extendedprice", 2)} AS small_qty_revenue
+         |FROM lp JOIN pa ON l_partkey = pk
+         |WHERE cast(l_quantity AS decimal(18,1)) * 2 * cq < sq""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(cast(l_quantity AS decimal(18,1))) > 100)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, cast(count(*) AS bigint) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
     "q22_idle_customers" ->
       s"""SELECT c_nationkey, cast(count(*) AS bigint) AS numcust,
          |  ${sqlDsum("c_acctbal", 2)} AS totacctbal

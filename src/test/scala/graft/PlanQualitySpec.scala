@@ -171,4 +171,24 @@ class PlanQualitySpec extends SparkSpec {
       "salted two-phase aggregation collapsed")
     assert(!p.contains("Window"))
   }
+
+  test("q16: NOT IN exclusion plans as a broadcast anti join; LIKE-free dim filter pushed") {
+    val p = planOf("q16_supplier_count")
+    assert(p.contains("LeftAnti"), "NOT IN subquery lost its anti-join plan")
+    assert(p.contains("BroadcastHashJoin"),
+      "part/exclusion dims should broadcast, not shuffle the fact")
+  }
+
+  test("q21: correlated EXISTS/NOT EXISTS plan as semi + anti joins, no re-scan loops") {
+    val p = planOf("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), "EXISTS lost its semi-join plan")
+    assert(p.contains("LeftAnti"), "NOT EXISTS lost its anti-join plan")
+  }
+
+  test("q11: global-scalar threshold broadcasts; per-supplier agg has partial combine") {
+    val p = planOf("q11_supplier_share")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row threshold relation lost its broadcast")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
 }
