@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.Tables
+
+/** Table-maintenance and event-attribution operators: MERGE-style
+  * upsert semantics without a transactional table format, and
+  * time-window attribution joins over the events stream.
+  *
+  * Scale notes (100 TB):
+  * - The upsert is one full-outer shuffle join on the key — the same
+  *   plan a MERGE INTO executes under Delta/Iceberg minus the commit
+  *   protocol. Both sides pre-aggregate to one row per key BEFORE the
+  *   join (map-side combined), so the join input is keys, not facts.
+  *   A real deployment would bucket both tables by the key to make
+  *   this a zero-shuffle storage-partitioned join — see
+  *   `sources/Bucketing.scala`, which proves that plan.
+  * - Attribution joins on (user_id) — an equi key — and applies the
+  *   time window as a residual predicate, so it's a plain shuffle
+  *   hash join with per-user fan-out bounded by per-user event
+  *   counts, never a time-bin cross product. The latest-click pick
+  *   is max(struct(ts, id)) inside the aggregation — no window, no
+  *   second shuffle: the groupBy reuses the join's partitioning.
+  */
+object Maintenance {
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MERGE INTO target USING source ON key — SCD-1 accumulate:
+    // target = 1995–96 per-customer totals, source = 1997+ orders.
+    // Matched keys UPDATE (totals add), source-only keys INSERT,
+    // target-only keys stay. The action column makes the row
+    // provenance auditable, as a MERGE's metrics would be.
+    "merge_upsert_customer_totals" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .withColumn("od", to_date(col("o_orderdate")))
+      def totals(f: Column): DataFrame = o.filter(f)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice"), 2).as("total"),
+          count(lit(1)).as("n_orders"))
+      val target = totals(col("od") < lit("1997-01-01"))
+        .select(col("o_custkey"), col("total").as("t_total"),
+          col("n_orders").as("t_n"))
+      val source = totals(col("od") >= lit("1997-01-01"))
+        .select(col("o_custkey"), col("total").as("s_total"),
+          col("n_orders").as("s_n"))
+      target.join(source, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          round(coalesce(col("t_total"), lit(0.0)) +
+            coalesce(col("s_total"), lit(0.0)), 2).as("total"),
+          (coalesce(col("t_n"), lit(0L)) + coalesce(col("s_n"), lit(0L)))
+            .as("n_orders"),
+          when(col("t_total").isNull, "insert")
+            .when(col("s_total").isNull, "unchanged")
+            .otherwise("update").as("action"))
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click within the preceding 30 minutes (ties on ts break
+    // by click event_id — max(struct) gives the total order).
+    // Purchases with no qualifying click are kept with null credit —
+    // the LEFT join preserves the fact side's row count.
+    "click_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val windowUs = 30L * 60L * 1000000L
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            unix_micros(col("click_ts")) <= unix_micros(col("purchase_ts")) &&
+            unix_micros(col("click_ts")) >=
+              unix_micros(col("purchase_ts")) - lit(windowUs),
+          "left")
+        .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"))
+        .agg(max(struct(col("click_ts"), col("click_id"))).as("m"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("m.click_id").as("click_id"), col("m.click_ts").as("click_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("m.click_ts")))
+            .as("lag_us"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "merge_upsert_customer_totals" ->
+      """WITH t AS (
+        |  SELECT o_custkey,
+        |    cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS t_total,
+        |    cast(count(*) AS bigint) AS t_n
+        |  FROM orders WHERE cast(o_orderdate AS date) < date '1997-01-01'
+        |  GROUP BY o_custkey),
+        |s AS (
+        |  SELECT o_custkey,
+        |    cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS s_total,
+        |    cast(count(*) AS bigint) AS s_n
+        |  FROM orders WHERE cast(o_orderdate AS date) >= date '1997-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  round(coalesce(t_total, 0) + coalesce(s_total, 0), 2) AS total,
+        |  cast(coalesce(t_n, 0) + coalesce(s_n, 0) AS bigint) AS n_orders,
+        |  CASE WHEN t_total IS NULL THEN 'insert'
+        |       WHEN s_total IS NULL THEN 'unchanged'
+        |       ELSE 'update' END AS action
+        |FROM t FULL OUTER JOIN s USING (o_custkey)""".stripMargin,
+    "click_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT purchase_id, p.user_id, purchase_ts, click_ts, click_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY click_ts DESC, click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+        |    AND epoch_us(c.click_ts) >= epoch_us(p.purchase_ts) - 1800000000)
+        |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+        |  epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
+        |FROM j WHERE rn = 1""".stripMargin
+  )
+}

@@ -185,6 +185,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "NOT EXISTS lost its anti-join plan")
   }
 
+  test("runtime bloom filter prunes the fact scan of a selective non-broadcast join") {
+    // At 100 TB the selective-dim ⋈ fact join is too big to
+    // broadcast; Spark's InjectRuntimeFilter can still push a bloom
+    // filter of the dim keys into the fact scan so most fact rows die
+    // before the shuffle. The thresholds are sized for real tables —
+    // relax them here to prove the rule fires on this plan shape.
+    import org.apache.spark.sql.functions.{col, to_date, lit}
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "100MB")
+      spark.conf.set(keys(3), "-1") // force a shuffle join: broadcast wouldn't need the filter
+      val t = graft.catalog.Tables(spark, sf)
+      val sel = t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
+        to_date(col("o_orderdate")) < lit("1995-01-01"))
+      val p = t.lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.toLowerCase.contains("bloom"), p.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q11: global-scalar threshold broadcasts; per-supplier agg has partial combine") {
     val p = planOf("q11_supplier_share")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -173,4 +173,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(closed <= total)
     assert(closed + users * 50 >= total) // open sessions are short tails
   }
+
+  test("batch click_attribution picks the pair join's latest qualifying click") {
+    // the streaming attributionJoin (above) emits qualifying PAIRS;
+    // the batch operator collapses them to last-touch. Cross-check:
+    // every attributed (purchase, click) must be a pair the interval
+    // join produces, and must be its per-purchase maximum.
+    val attributed = graft.SparkEntry.queries("click_attribution")(spark, sf)
+      .filter($"click_id".isNotNull)
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val pairs = EventsStream.attributionJoin(
+      Tables(spark, sf).events, windowMinutes = 30)
+      .select($"purchase_id", unix_micros($"click_ts").as("cus"), $"click_id")
+      .collect().groupBy(_.getLong(0))
+
+    assert(attributed.nonEmpty)
+    attributed.foreach { case (pid, cid) =>
+      val best = pairs(pid).maxBy(r => (r.getLong(1), r.getLong(2)))
+      assert(best.getLong(2) == cid, s"purchase $pid: $cid vs ${best.getLong(2)}")
+    }
+    // and every purchase with any qualifying click got attributed
+    assert(pairs.keySet == attributed.keySet)
+  }
 }
