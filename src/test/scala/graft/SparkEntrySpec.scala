@@ -14,9 +14,12 @@ class SparkEntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // rows-only queries are allowed but must be a conscious choice —
-    // currently every query is oracle-backed
-    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
+    // rows-only queries are allowed but must be a conscious choice:
+    // iterative training (PQ) and approximate sketches can't be
+    // replayed as one-shot exact SQL — each is spec-verified instead
+    val rowsOnly = Set("ann_ivfpq_topk", "sketch_distinct_counts",
+      "sketch_quantiles")
+    assert((q -- o) == rowsOnly, s"queries without oracles: ${q -- o}")
   }
 
   test("oracle SQL never references tables outside the testdata set") {

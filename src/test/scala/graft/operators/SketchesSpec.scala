@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL distinct estimates (direct and merged-union) within 5% of exact") {
+    val rows = graft.SparkEntry.queries("sketch_distinct_counts")(spark, sf)
+      .collect()
+    assert(rows.length == 5) // one row per order priority
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val direct = r.getAs[Long]("hll_direct").toDouble
+      val merged = r.getAs[Long]("hll_merged").toDouble
+      assert(math.abs(direct - exact) / exact < 0.05,
+        s"approx_count_distinct off: $direct vs $exact")
+      assert(math.abs(merged - exact) / exact < 0.05,
+        s"merged HLL union off: $merged vs $exact")
+    }
+  }
+
+  test("sketch union over shards equals sketching the whole set (mergeability)") {
+    val o = Tables(spark, sf).orders
+    val whole = o.agg(
+      hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("e"))
+      .head().getLong(0)
+    val sharded = o.withColumn("shard", pmod($"o_orderkey", lit(8)))
+      .groupBy($"shard").agg(hll_sketch_agg($"o_custkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("e"))
+      .head().getLong(0)
+    // same registers regardless of how the data was split
+    assert(whole == sharded, s"$whole vs $sharded")
+  }
+
+  test("approx quantiles within rank tolerance of exact percentiles") {
+    val r = graft.SparkEntry.queries("sketch_quantiles")(spark, sf).head()
+    val approx = r.getSeq[Double](0)
+    val exact = r.getSeq[Double](1)
+    approx.zip(exact).foreach { case (a, e) =>
+      // accuracy 10000 → rank error 1/10000; value check is loose
+      // (price distribution is smooth): within 1% of the exact value
+      assert(math.abs(a - e) / math.max(e, 1.0) < 0.01, s"$a vs $e")
+    }
+  }
+}
