@@ -480,23 +480,18 @@ object Dedup {
     * vocabulary exactly like unigram minhash buckets do).
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    graft.functions.Md5Hash60.register(docs.sparkSession)
-    // One aggregation pass with 60 vote columns (±1 per bit of the
-    // shingle hash) instead of a 60× row explosion — the hash is
-    // computed once per shingle and the per-doc shuffle carries 60
-    // longs, map-side combined.
-    val toks = shingleSets(docs.repartition(col("doc_id")))
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-      .withColumn("h", h60(col("w")))
-    val voteCols = (0 until 60).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val fingerprint = (0 until 60).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    toks.groupBy(col("doc_id"))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), fingerprint.as("simhash"))
+    graft.functions.SimHash60.register(docs.sparkSession)
+    // One codegen'd map over the per-doc shingle array — no explode,
+    // no shuffle, no 60-column aggregate (that formulation generated
+    // a ~9000-line aggregate class and cost ~19 s cold at sf0.1; this
+    // is sub-second and scales with corpus bytes). The explicit
+    // size>0 filter reproduces the explode/groupBy semantics it
+    // replaces: docs with zero shingles (< 2 words) have no rows to
+    // vote and are dropped, matching the DuckDB oracle CTE.
+    shingleSets(docs)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(col("toks")).as("simhash"))
   }
 
   /** Connected components over the near-dup pair graph: every doc
