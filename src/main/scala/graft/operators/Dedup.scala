@@ -41,6 +41,14 @@ object Dedup {
   private def h60(c: Column): Column =
     graft.functions.Md5Hash60.md5_hash60(c)
 
+  /** Band b's signature string over a `mh: array<bigint>` MinHash
+    * column — the [[BandRows]] member hashes comma-joined, identical
+    * to the `concat_ws(",", mh_{2b}, mh_{2b+1})` the oracles build.
+    */
+  private def bandSig(b: Int): Column =
+    concat_ws(",", (b * BandRows until (b + 1) * BandRows)
+      .map(i => element_at(col("mh"), i + 1).cast("string")): _*)
+
   /** Distinct whitespace tokens per doc. */
   private def tokenSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -449,23 +457,17 @@ object Dedup {
     * its intermediates for multi-consumer reuse).
     */
   private[operators] def bandedCandidates(t: DataFrame, keys: Seq[String]): DataFrame = {
-    graft.functions.Md5Hash60.register(t.sparkSession)
+    graft.functions.MinHash60.register(t.sparkSession)
     val keyCols = keys.map(col)
-    val toks = t.select((keyCols :+ col("doc_id") :+
-      explode(col("toks")).as("w")): _*)
-    val mhCols = (0 until NumPerms).map { i =>
-      min(h60(concat(lit(s"$i:"), col("w")))).as(s"mh$i")
-    }
-    val minhashes = toks.groupBy((keyCols :+ col("doc_id")): _*)
-      .agg(mhCols.head, mhCols.tail: _*)
-    val bandCols = (0 until NumPerms / BandRows).map { b =>
-      concat_ws(",",
-        (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i").cast("string")): _*)
-        .as(s"sig$b")
-    }
-    val bands = minhashes.select((keyCols :+ col("doc_id")) ++ bandCols: _*)
+    // whole signature in one codegen'd map over the token array (see
+    // MinHash60) — the old explode → 16-min aggregate shuffled a
+    // (keys, doc, token) relation just to fold it straight back
+    val minhashes = t.filter(size(col("toks")) > 0)
       .select((keyCols :+ col("doc_id") :+
-        posexplode(array((0 until NumPerms / BandRows).map(b => col(s"sig$b")): _*))): _*)
+        graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh")): _*)
+    val bands = minhashes
+      .select((keyCols :+ col("doc_id") :+
+        posexplode(array((0 until NumPerms / BandRows).map(b => bandSig(b)): _*))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     val joinCond = (keys ++ Seq("band", "sig"))
       .map(k => col(s"x.$k") === col(s"y.$k"))
@@ -571,29 +573,25 @@ object Dedup {
     * exposed for reuse/tests. `docs` needs (doc_id, text).
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
-      graft.functions.Md5Hash60.register(docs.sparkSession)
+      graft.functions.MinHash60.register(docs.sparkSession)
       // The docs table arrives as few (often 1) input splits; the
-      // hash-heavy shingle×perm work runs BEFORE the groupBy shuffle,
-      // so spread rows across the cluster first. Keyed by doc_id the
-      // repartition doubles as the pre-shuffle for the minhash agg.
-      val toks = shingleSets(docs.repartition(col("doc_id")))
-        .select(col("doc_id"), explode(col("toks")).as("w"))
-      val mhCols = (0 until NumPerms).map { i =>
-        min(h60(concat(lit(s"$i:"), col("w")))).as(s"mh$i")
-      }
-      val minhashes = toks.groupBy(col("doc_id"))
-        .agg(mhCols.head, mhCols.tail: _*)
-      val bandCols = (0 until NumPerms / BandRows).map { b =>
-        concat_ws(",",
-          (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i").cast("string")): _*)
-          .as(s"sig$b")
-      }
+      // hash-heavy shingle×perm map (16 md5s per shingle) should run
+      // spread across the cluster, so repartition the (small) raw doc
+      // rows first. The signature itself is ONE codegen'd map over
+      // the shingle array (see MinHash60) — the old explode → 16-min
+      // aggregate shuffled a (doc, shingle) relation just to fold it
+      // straight back; zero-shingle docs are filtered to keep its
+      // explode/groupBy semantics (and the oracle's).
+      val minhashes = shingleSets(docs.repartition(col("doc_id")))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
       // (doc_id, band, sig) is tiny (docs × 8 rows) but feeds both
       // sides of the candidate self-join — persist so the hash-heavy
       // minhash stage runs once, not once per join side.
-      val bands = minhashes.select(col("doc_id") +: bandCols: _*)
+      val bands = minhashes
         .select(col("doc_id"),
-          posexplode(array((0 until NumPerms / BandRows).map(b => col(s"sig$b")): _*)))
+          posexplode(array((0 until NumPerms / BandRows).map(b => bandSig(b)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the bucket self-join shuffles on (band, sig) — bands is
