@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the 100-entry default thrashes on a 100+-query suite: every
+      // generated class is evicted before its next use, so the "warm"
+      // pass recompiles everything. Sized to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,10 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // the 100-entry default thrashes on a 100+-query suite: every
+      // generated class is evicted before its next use, so the "warm"
+      // pass recompiles everything. Sized to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

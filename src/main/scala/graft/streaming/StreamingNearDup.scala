@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode}
+
+/** Streaming MinHash-LSH near-duplicate detection — the unbounded-feed
+  * complement to `Dedup.minhashPairs`: as documents arrive, emit each
+  * (earlier_doc, new_doc) pair whose MinHash signatures estimate
+  * Jaccard ≥ threshold, matching new docs against ALL history within
+  * the state horizon without ever rescanning it.
+  *
+  * Dataflow (one pass, no feedback loop):
+  *   text → MinHash60 signature (a codegen'd map, same expression and
+  *   banding as the batch path) → explode to (band, sig) bucket keys →
+  *   `transformWithState` keyed by bucket: state is the list of
+  *   (doc_id, signature) previously seen in that bucket; each incoming
+  *   doc compares against the bucket's history (signature-estimated
+  *   Jaccard = matching components / NumPerms), emits qualifying
+  *   pairs, then appends itself.
+  *
+  * Scale properties:
+  *  - State is O(docs per horizon × 8 bands × 136 B) — the TTL evicts
+  *    buckets untouched past the horizon, which is what keeps an
+  *    unbounded 100 TB/day feed viable; a duplicate arriving later
+  *    than the horizon is by contract no longer detectable (same
+  *    contract as `EventsStream.dedupStream`).
+  *  - Per-batch work is one shuffle onto bucket keys; a batch doc
+  *    compares only against its buckets' members, never the corpus.
+  *  - VERIFICATION is signature-estimated, not exact: the batch path
+  *    re-checks candidates against real shingle sets, but a stream
+  *    cannot fetch history text without storing it. 16 components at
+  *    est ≥ 0.5 ⇒ σ ≈ 0.125; callers needing exactness route the
+  *    emitted pairs through a batch verify against a doc store.
+  *  - A pair colliding in k > 1 bands emits once per colliding band
+  *    (buckets are independent); downstream `dropDuplicates` or the
+  *    batch verify absorbs the fan-in. Emission order within a bucket
+  *    is by arrival; doc_a < doc_b is NOT guaranteed across batches —
+  *    earlier-seen id first.
+  */
+object StreamingNearDup {
+
+  case class BandedDoc(bucket: String, doc_id: Long, mh: Array[Long])
+  case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  private val NumPerms = 16
+  private val BandRows = 2
+
+  private class BucketProcessor(threshold: Double, ttl: TTLConfig)
+      extends StatefulProcessor[String, BandedDoc, NearDupPair] {
+    @transient private var seen: ListState[(Long, Array[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Array[Long])]("seen",
+        Encoders.tuple(Encoders.scalaLong,
+          Encoders.javaSerialization[Array[Long]]), ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[BandedDoc],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[NearDupPair] = {
+      val out = collection.mutable.ArrayBuffer.empty[NearDupPair]
+      // deterministic within-batch order: by doc_id, so a batch
+      // replayed after a crash emits the identical pair set
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        val history = seen.get()
+        while (history.hasNext) {
+          val (prevId, prevMh) = history.next()
+          if (prevId != d.doc_id) {
+            var m = 0
+            var i = 0
+            while (i < NumPerms) {
+              if (prevMh(i) == d.mh(i)) m += 1
+              i += 1
+            }
+            val est = m.toDouble / NumPerms
+            if (est >= threshold) out += NearDupPair(prevId, d.doc_id, est)
+          }
+        }
+        seen.appendValue((d.doc_id, d.mh))
+      }
+      out.iterator
+    }
+  }
+
+  /** (bucket, doc_id, signature) rows: 8 per doc, same banding as the
+    * batch path (band index + comma-joined member hashes).
+    */
+  private[streaming] def bandedSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.MinHash60.register(docs.sparkSession)
+    val w = split(trim(col("text")), "\\s+")
+    val toks = array_distinct(zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("mh", graft.functions.MinHash60.minhash60(col("toks"), NumPerms))
+      .select(col("doc_id"), col("mh"), posexplode(array(
+        (0 until NumPerms / BandRows).map { b =>
+          val members = (b * BandRows until (b + 1) * BandRows)
+            .map(i => element_at(col("mh"), i + 1).cast("string"))
+          concat_ws(",", (lit(b.toString) +: members): _*)
+        }: _*)))
+      .select(col("col").as("bucket"), col("doc_id"), col("mh"))
+  }
+
+  /** Near-dup pair stream over a documents stream `(doc_id, text)`.
+    * `horizon` bounds state (None = remember forever — tests only).
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+                   horizon: Option[java.time.Duration] = None): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttl = horizon.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    bandedSignatures(docs).as[BandedDoc]
+      .groupByKey(_.bucket)
+      .transformWithState(new BucketProcessor(threshold, ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
