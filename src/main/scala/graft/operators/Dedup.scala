@@ -486,12 +486,14 @@ object Dedup {
     // One codegen'd map over the per-doc shingle array — no explode,
     // no shuffle, no 60-column aggregate (that formulation generated
     // a ~9000-line aggregate class and cost ~19 s cold at sf0.1; this
-    // is sub-second and scales with corpus bytes). The explicit
-    // size>0 filter reproduces the explode/groupBy semantics it
-    // replaces: docs with zero shingles (< 2 words) have no rows to
-    // vote and are dropped, matching the DuckDB oracle CTE.
-    shingleSets(docs)
-      .filter(size(col("toks")) > 0)
+    // is sub-second and scales with corpus bytes). The word-count
+    // pre-filter reproduces the explode/groupBy semantics it
+    // replaces — ≥ 2 words ⟺ ≥ 1 bigram shingle, so zero-shingle
+    // docs drop exactly as they did (and as the DuckDB oracle CTE
+    // does) — without re-deriving the shingle array inside a Filter
+    // just to test emptiness (Catalyst doesn't CSE across the
+    // Filter/Project boundary).
+    shingleSets(docs.filter(size(split(trim(col("text")), "\\s+")) >= 2))
       .select(col("doc_id"),
         graft.functions.SimHash60.simhash60(col("toks")).as("simhash"))
   }
@@ -580,10 +582,12 @@ object Dedup {
       // rows first. The signature itself is ONE codegen'd map over
       // the shingle array (see MinHash60) — the old explode → 16-min
       // aggregate shuffled a (doc, shingle) relation just to fold it
-      // straight back; zero-shingle docs are filtered to keep its
-      // explode/groupBy semantics (and the oracle's).
-      val minhashes = shingleSets(docs.repartition(col("doc_id")))
-        .filter(size(col("toks")) > 0)
+      // straight back; the ≥ 2 words pre-filter (⟺ ≥ 1 bigram) keeps
+      // its explode/groupBy row set (and the oracle's) without
+      // re-deriving the shingle array inside a Filter.
+      val minhashes = shingleSets(docs
+          .filter(size(split(trim(col("text")), "\\s+")) >= 2)
+          .repartition(col("doc_id")))
         .select(col("doc_id"),
           graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
       // (doc_id, band, sig) is tiny (docs × 8 rows) but feeds both

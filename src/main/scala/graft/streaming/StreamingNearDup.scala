@@ -92,8 +92,10 @@ object StreamingNearDup {
       slice(w, lit(1), greatest(size(w) - 1, lit(0))),
       slice(w, lit(2), greatest(size(w) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b)))
-    docs.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) > 0)
+    // ≥ 2 words ⟺ ≥ 1 bigram: drops zero-shingle docs without
+    // re-deriving the shingle array inside a Filter
+    docs.filter(size(w) >= 2)
+      .select(col("doc_id"), toks.as("toks"))
       .withColumn("mh", graft.functions.MinHash60.minhash60(col("toks"), NumPerms))
       .select(col("doc_id"), col("mh"), posexplode(array(
         (0 until NumPerms / BandRows).map { b =>
