@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -29,7 +29,13 @@ object GraftSession {
       // events.parquet has TIMESTAMP(NANOS); surface as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev escape hatch: SPARK_GRAFT_CONF="k=v;k=v" overlays any conf
+    // (profiling experiments — never required for correctness)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .collect { case Array(k, v) => (k, v) }
+      .foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -35,6 +35,19 @@ object Dedup {
   private val BandRows = 2 // 8 bands of 2 → high recall at sim ≥ 0.5
   private val JaccardThreshold = 0.5
 
+  /** Shingle width for [[jaccardPrefixJoin]]. Prefix filtering's cost
+    * bound is the document frequency of each doc's RAREST tokens — on
+    * a low-entropy corpus (this synthetic one has only ~931 distinct
+    * bigrams over 5000 sf0.1 docs, max df 338) bigram prefix buckets
+    * reach hundreds of docs and the candidate join degenerates toward
+    * all-pairs (~33M match rows measured). Word TRIGRAMS lift the
+    * shingle space to ~27k with max df 25 (max bucket 10, ~1M match
+    * rows — a 33× cut) while remaining a standard near-dup shingle
+    * choice; at real-corpus vocabulary the same reasoning holds at
+    * any k, so k is a parameter and 3 the low-entropy-safe default.
+    */
+  private val PrefixJoinShingleK = 3
+
   /** md5-derived 60-bit hash of a string column (both-engine-stable;
     * single codegen'd expression — see functions.Md5Hash60).
     */
@@ -62,13 +75,22 @@ object Dedup {
     * the shingle space large enough that only true near-duplicates
     * collide.
     */
-  private def shingleSets(docs: DataFrame): DataFrame = {
+  private def shingleSets(docs: DataFrame): DataFrame = shingleSetsK(docs, 2)
+
+  /** Distinct word k-gram shingles per doc (k aligned slices zipped
+    * pairwise — no explode, no sequence(), stays inside whole-stage
+    * codegen). Wider k trades recall granularity for shingle-space
+    * entropy: on a low-vocabulary corpus the k-gram space must be
+    * large enough that document-frequency stays bounded, or every
+    * df-keyed structure (LSH buckets, prefix-filter buckets)
+    * degenerates toward all-pairs.
+    */
+  private def shingleSetsK(docs: DataFrame, k: Int): DataFrame = {
     val w = split(trim(col("text")), "\\s+")
-    docs.select(col("doc_id"),
-      array_distinct(
-        zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-                 slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-                 (a, b) => concat(a, lit(" "), b))).as("toks"))
+    val m = greatest(size(w) - lit(k - 1), lit(0))
+    val grams = (2 to k).foldLeft(slice(w, lit(1), m))((acc, j) =>
+      zip_with(acc, slice(w, lit(j), m), (a, b) => concat(a, lit(" "), b)))
+    docs.select(col("doc_id"), array_distinct(grams).as("toks"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,13 +273,14 @@ object Dedup {
     * corpus-sized is broadcast or collected.
     */
   def jaccardPrefixJoin(docs: DataFrame,
-                        threshold: Double = JaccardThreshold): DataFrame = {
+                        threshold: Double = JaccardThreshold,
+                        shingleK: Int = PrefixJoinShingleK): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (doc_id, shingle) rows feed BOTH the df count and the prep
     // join — persist so the regex tokenize + shingle explode runs
     // once, not once per consumer (unpersisted below once prep is
     // materialized, so repeated calls don't accumulate cache blocks)
-    val tok = shingleSets(docs.repartition(col("doc_id")))
+    val tok = shingleSetsK(docs.repartition(col("doc_id")), shingleK)
       .select(col("doc_id"), explode(col("toks")).as("w"))
       .persist(MEMORY_AND_DISK)
     // vocab-sized (one row per distinct shingle), feeds the
@@ -659,13 +682,15 @@ object Dedup {
         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.5""".stripMargin,
     // brute-force all-pairs at the same threshold — the prefix filter
-    // is exact, so the outputs must be identical
+    // is exact, so the outputs must be identical (trigram shingles,
+    // see PrefixJoinShingleK)
     "jaccard_prefix_join" ->
       s"""WITH shingled AS (
          |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+         |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
          |      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-         |           regexp_split_to_array(trim(text), '\\s+')[i + 1])) AS toks
+         |           regexp_split_to_array(trim(text), '\\s+')[i + 1] || ' ' ||
+         |           regexp_split_to_array(trim(text), '\\s+')[i + 2])) AS toks
          |  FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  round(len(list_intersect(a.toks, b.toks))::DOUBLE

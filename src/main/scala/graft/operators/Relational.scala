@@ -499,6 +499,32 @@ object Relational {
         .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — IN (GROUP BY … HAVING
+    // sum(qty) > K) ≡ LEFT SEMI against the aggregated fact, then
+    // re-join lineitem + customer and re-aggregate per order. The
+    // HAVING side is one partial/final agg shuffled on orderkey; the
+    // semi join and the lineitem re-join reuse that same orderkey
+    // partitioning (no extra exchange), and customer joins by
+    // SHUFFLE — it scales with the corpus, so unlike the filtered
+    // part/supplier dims above it must never broadcast. Tie-break on
+    // the unique orderkey keeps the LIMIT deterministic.
+    "q18_large_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy(col("l_orderkey").as("big_ok"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 250)
+        .select(col("big_ok"))
+      t.orders
+        .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -696,6 +722,19 @@ s"""SELECT o_orderkey, cast(o_orderdate AS date) AS order_date,
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  cast(o_orderdate AS date) AS order_date, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q22_idle_customers" ->
       s"""SELECT c_nationkey, cast(count(*) AS bigint) AS numcust,
          |  ${sqlDsum("c_acctbal", 2)} AS totacctbal

@@ -17,14 +17,14 @@ import graft.SparkSpec
 class PrefixJoinPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  /** Quadratic reference on bigram shingle sets, same rounding. */
-  private def bruteForce(docs: org.apache.spark.sql.DataFrame) = {
+  /** Quadratic reference on k-gram shingle sets, same rounding. */
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame, k: Int) = {
     val w = split(trim(col("text")), "\\s+")
+    val m = greatest(size(w) - lit(k - 1), lit(0))
     val sets = docs.select(col("doc_id"),
-      array_distinct(zip_with(
-        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("toks"))
+      array_distinct((2 to k).foldLeft(slice(w, lit(1), m))((acc, j) =>
+        zip_with(acc, slice(w, lit(j), m),
+          (a, b) => concat(a, lit(" "), b)))).as("toks"))
     sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter",
         size(array_intersect(col("a.toks"), col("b.toks"))))
@@ -39,12 +39,16 @@ class PrefixJoinPropertySpec extends SparkSpec {
 
   private def check(docs: Seq[(Long, String)], label: String): Unit = {
     val df = docs.toDF("doc_id", "text")
-    val fast = Dedup.jaccardPrefixJoin(df)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val slow = bruteForce(df)
-    assert(fast == slow,
-      s"$label: prefix join diverged from brute force — " +
-        s"missing ${slow -- fast}, extra ${fast -- slow}")
+    // both supported shingle widths: 2 (dense-bucket stress) and the
+    // low-entropy-safe default 3 — exactness must hold at any k
+    for (k <- Seq(2, 3)) {
+      val fast = Dedup.jaccardPrefixJoin(df, shingleK = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val slow = bruteForce(df, k)
+      assert(fast == slow,
+        s"$label (k=$k): prefix join diverged from brute force — " +
+          s"missing ${slow -- fast}, extra ${fast -- slow}")
+    }
   }
 
   test("tiny vocabulary (degenerate buckets) matches brute force") {
