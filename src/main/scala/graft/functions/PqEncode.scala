@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Product-quantization encoder: L2-normalize an `array<float>`
+  * embedding and emit the `m` per-subspace argmin-L2 centroid codes
+  * (`array<int>`), in ONE tight primitive pass per row.
+  *
+  * Exists because the same computation phrased as nested
+  * higher-order functions (`transform` over subspaces × `array_min`
+  * over centroids × `aggregate` for distances) is catastrophically
+  * re-evaluated: Catalyst's projection collapse inlines the
+  * normalization fold into every lambda reference, so the O(dim)
+  * norm runs per element per centroid — ~10⁹ boxed expression-node
+  * evaluations for a 2 000 × 64-dim corpus (observed 65 s; this
+  * expression does it in milliseconds). Same flop count, no boxing,
+  * no re-evaluation — and the codebook rides along as a reference
+  * object, not a 1 024-literal expression tree.
+  *
+  * Ties break toward the smaller code (strict `<` on ascending k),
+  * matching driver-side Lloyd training. Null elements read as 0.
+  * The input length must be `model.length × subDim`.
+  */
+case class PqEncode(child: Expression, model: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> argument, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("pqModel", model,
+      "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqEncode.compute($c, $modelRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+
+  /** Shared by interpreted and generated paths. One normalization
+    * fold, then m × k × subDim multiply-adds — all primitive.
+    */
+  def compute(emb: ArrayData, model: Array[Array[Array[Double]]]): ArrayData = {
+    val m = model.length
+    val subDim = model(0)(0).length
+    val dim = m * subDim
+    val v = new Array[Double](dim)
+    var ss = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (emb.isNullAt(i)) 0.0 else emb.getFloat(i).toDouble
+      v(i) = x
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    i = 0
+    while (i < dim) { v(i) /= norm; i += 1 }
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cents = model(sub)
+      val off = sub * subDim
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val t = v(off + j) - cent(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** The trained model crosses the Column-API boundary as a FLAT
+    * double-array literal (m × k × subDim values) + a shape pair,
+    * evaluated back into the nested array at expression-build time —
+    * the registry builder only sees `Seq[Expression]`.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => {
+        val flat = exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray()
+        val m = exprs(2).eval().asInstanceOf[Int]
+        val subDim = exprs(3).eval().asInstanceOf[Int]
+        val k = flat.length / (m * subDim)
+        val model = Array.tabulate(m, k, subDim)((s, c, d) =>
+          flat((s * k + c) * subDim + d))
+        PqEncode(exprs.head, model)
+      }, "scala_udf")
+
+  /** Column-API entry point (requires [[register]] on the session). */
+  def pq_encode(c: Column, model: Array[Array[Array[Double]]]): Column = {
+    val m = model.length
+    val subDim = model(0)(0).length
+    call_function("pq_encode", c, lit(model.flatten.flatten),
+      lit(m), lit(subDim))
+  }
+}

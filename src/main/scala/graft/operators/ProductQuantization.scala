@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,29 +8,39 @@ import graft.catalog.Tables
 
 /** IVF-PQ-style approximate nearest neighbor: product-quantize the
   * (L2-normalized) corpus into M per-subspace codebooks, score
-  * queries against the 8-byte codes by asymmetric distance
+  * queries against the compact codes by asymmetric distance
   * computation (ADC), then exactly re-rank a small candidate pool.
   *
   * This is the 100 TB ANN layout ([[Similarity]]'s IVF handles the
-  * coarse routing; this adds the compressed fine scan):
-  * - The corpus is carried as M small integer codes per vector
-  *   (M × ⌈log2 K⌉ = 64 bits here vs 64 × 32-bit floats) — a 32×
-  *   smaller scan, which is the entire point at scale: the hot loop
-  *   reads codes, not vectors.
-  * - Codebooks are M × K × SubDim doubles (8 KiB) — a broadcast
-  *   model, like any trained index structure.
-  * - ADC distance tables are queries × M × K rows (tiny) — broadcast
-  *   and joined against the exploded code relation; the per-query
-  *   approximate distance is a SUM over M lookups, map-side combined.
-  * - Only `RerankPool` candidates per query ever touch a real
-  *   embedding again (the exact re-rank join), so full vectors are
-  *   fetched for a few dozen ids, not scanned.
+  * coarse routing; this adds the compressed fine scan), organized
+  * around one asymmetry: MODELS are small, the CORPUS is not.
+  * - Codebooks (M × K × SubDim doubles, 8 KiB) are trained with
+  *   Lloyd's algorithm on a BOUNDED deterministic sample collected
+  *   to the driver — the standard PQ training layout (FAISS trains
+  *   on ~10⁵–10⁶ sampled vectors regardless of corpus size): one
+  *   O(sample) collect, zero per-iteration cluster jobs.
+  * - ENCODING is a shuffle-free projection through the native
+  *   [[graft.functions.PqEncode]] expression (normalize + M argmins
+  *   in one primitive pass; HOF formulations re-evaluate the
+  *   normalization fold per centroid under projection collapse) —
+  *   the corpus is scanned exactly once, nothing is exploded through
+  *   a join, and the result is M small codes per vector (64 bits vs
+  *   64 × 32-bit floats, a 32× smaller representation).
+  * - ADC distance tables (queries × M × K doubles) are computed
+  *   driver-side from the collected query vectors and shipped as a
+  *   literal; the per-(query, vector) approximate distance is a
+  *   sequential M-lookup fold — deterministic, unlike a shuffled
+  *   float SUM.
+  * - The only corpus-wide shuffle is the bounded-heap top-K per
+  *   query ([[graft.functions.TopKByScore]], partial-aggregated
+  *   map-side); only `RerankPool` ids per query ever touch a real
+  *   embedding again, via a broadcast of the POOL (never the
+  *   corpus) against one more pruned scan.
   *
-  * Training is Lloyd's algorithm per subspace, all M subspaces in
-  * ONE DataFrame pass per iteration; only the model (M × K × SubDim
-  * doubles) is ever collected. Everything is seeded/deterministic:
-  * initial codebooks are the subvectors of the first K non-query
-  * vec_ids, iteration count is fixed.
+  * Everything is seeded/deterministic: the training sample is the
+  * first `TrainSample` non-query vec_ids, initial centroids are the
+  * first K sample subvectors, iteration count is fixed, and every
+  * floating-point reduction is a sequential left fold.
   *
   * Not SQL-expressible in one oracle query (iterative training), so
   * the driver records a rows-only check for `ann_ivfpq_topk`;
@@ -46,102 +56,63 @@ object ProductQuantization {
   private val NumQueries = 10         // vec_id < 10 are queries (TESTDATA)
   private val TopK = 10
   private[operators] val RerankPool = 60
+  /** Training-sample cap: codebook quality saturates far below
+    * corpus size, so training cost must not scale with it.
+    */
+  private[operators] val TrainSample = 4096
 
-  /** L2-normalized double-array copy of the embedding column. */
-  private def normalized(emb: Column): Column = {
-    val norm = sqrt(aggregate(emb, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    transform(emb, x => x.cast("double") / norm)
+  /** Local L2 normalize (float → double widening is exact; the norm
+    * is a sequential fold, same order as [[graft.functions.PqEncode]]).
+    */
+  private def normalizeLocal(v: Seq[Float]): Array[Double] = {
+    var ss = 0.0
+    v.foreach(x => ss += x.toDouble * x.toDouble)
+    val n = math.sqrt(ss)
+    v.map(_.toDouble / n).toArray
   }
 
-  /** (vec_id, sub, subvec): the normalized vector split into M
-    * SubDim-length subvectors. One explode, not M projections.
-    */
-  private def subvectors(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), normalized(col("embedding")).as("ne"))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("sub"),
-        col("ne"))
-      .select(col("vec_id"), col("sub"),
-        slice(col("ne"), col("sub") * SubDim + 1, lit(SubDim)).as("subvec"))
-
-  /** Squared L2 between a subvector column and a centroid-array
-    * column (both array<double>), sequential left-to-right fold —
-    * deterministic.
-    */
-  private def l2sqCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Codebook relation (sub, code, centroid array<double>) from the
-    * in-driver model — M × K rows, always broadcast.
-    */
-  private def codebookDf(s: SparkSession,
-                         cb: Array[Array[Array[Double]]]): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = for {
-      sub <- cb.indices; code <- cb(sub).indices
-    } yield Row(sub, code, cb(sub)(code).toSeq)
-    s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("sub",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("code",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType)))))
-  }
-
-  /** Nearest-code assignment of exploded subvectors against a
-    * broadcast codebook: one join on `sub` (each row sees its K
-    * centroids), argmin by (distance, code).
-    */
-  private def assign(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d", l2sqCol(col("subvec"), col("centroid")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-
-  /** Train M codebooks with fixed-iteration Lloyd over ALL subspaces
-    * in one pass per iteration. Returns model[sub][code][dim].
+  /** Train M codebooks with fixed-iteration Lloyd, driver-side, on a
+    * bounded deterministic sample (first `TrainSample` non-query
+    * ids): ONE Spark job of O(sample) rows, independent of corpus
+    * size. Returns model[sub][code][dim]. Argmin ties break toward
+    * the smaller code; empty cells keep their centroid.
     */
   def trainCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
-    val subs = subvectors(emb.filter(col("vec_id") >= NumQueries))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic init: subvectors of the first K non-query ids
-    val initRows = subs.filter(col("vec_id") < NumQueries + CodebookK)
-      .orderBy(col("sub"), col("vec_id")).collect()
-    var model: Array[Array[Array[Double]]] = Array.tabulate(M) { m =>
-      initRows.filter(_.getInt(1) == m)
-        .map(_.getSeq[Double](2).toArray)
-    }
-    for (_ <- 0 until Iters) {
-      val means = assign(subs, codebookDf(emb.sparkSession, model))
-        .join(subs, Seq("vec_id", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("subvec")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
-      model = model.zipWithIndex.map { case (codes, sub) =>
-        codes.zipWithIndex.map { case (old, code) =>
-          byKey.get((sub, code)) match {
-            case Some(rows) =>
-              val c = old.clone()
-              rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
-              c
-            case None => old // empty cell keeps its centroid
+    val sample = emb.filter(col("vec_id") >= NumQueries)
+      .orderBy(col("vec_id")).limit(TrainSample)
+      .select(col("embedding")).collect()
+      .map(r => normalizeLocal(r.getSeq[Float](0)))
+    Array.tabulate(M) { m =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim))
+      var cent = sub.take(CodebookK).map(_.clone())
+      for (_ <- 0 until Iters) {
+        val sums = Array.fill(CodebookK, SubDim)(0.0)
+        val cnt = new Array[Int](CodebookK)
+        sub.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < CodebookK) {
+            var d = 0.0; var i = 0
+            while (i < SubDim) { val t = v(i) - cent(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
           }
+          cnt(best) += 1
+          var i = 0
+          while (i < SubDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cent = cent.zipWithIndex.map { case (old, c) =>
+          if (cnt(c) == 0) old else sums(c).map(_ / cnt(c))
         }
       }
+      cent
     }
-    subs.unpersist()
-    model
   }
 
-  /** ADC top-k: encode the corpus once, broadcast per-query distance
-    * tables, sum M lookups per (query, vector), keep `RerankPool`
-    * by approximate distance through the bounded heap, then exactly
+  /** ADC top-k: encode the corpus in one shuffle-free pass, score
+    * every (query, vector) by a sequential M-lookup fold over the
+    * literal distance tables, keep `RerankPool` per query through
+    * the bounded heap (the single corpus-wide shuffle), then exactly
     * re-rank that pool by true cosine. Output mirrors the other ANN
     * queries: (qid, vec_id, rank, cosine).
     */
@@ -150,32 +121,56 @@ object ProductQuantization {
     graft.functions.CosineSimilarity.register(s)
     graft.functions.TopKByScore.register(s)
     val model = trainCodebooks(emb)
-    val cb = codebookDf(s, model)
-    val codes = assign(subvectors(emb.filter(col("vec_id") >= NumQueries)), cb)
-    // distance tables: queries × M × K rows, built by one broadcast
-    // join of query subvectors against the codebook
-    val qsubs = subvectors(emb.filter(col("vec_id") < NumQueries))
-      .select(col("vec_id").as("qid"), col("sub"), col("subvec"))
-    val tables = qsubs.join(broadcast(cb), Seq("sub"))
-      .select(col("qid"), col("sub"), col("code"),
-        l2sqCol(col("subvec"), col("centroid")).as("dpart"))
-    // approximate distance: sum of M table lookups; negative distance
-    // as the heap score so "closest" is "largest"
-    val approx = codes.join(broadcast(tables), Seq("sub", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg((-sum(col("dpart"))).as("negd"))
+    // query vectors: NumQueries rows — collected once, reused for
+    // the local ADC tables AND the re-rank join's broadcast side
+    val qRows = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    // tbl(q)(m)(k) = ||qsub − centroid||²: queries × M × K doubles,
+    // computed driver-side with the same sequential fold as codegen
+    val tbl = qRows.map { case (_, qe) =>
+      val nq = normalizeLocal(qe)
+      Array.tabulate(M) { m =>
+        Array.tabulate(CodebookK) { k =>
+          var d = 0.0; var i = 0
+          while (i < SubDim) {
+            val t = nq(m * SubDim + i) - model(m)(k)(i); d += t * t; i += 1
+          }
+          d
+        }
+      }
+    }
+    val tblLit = array(tbl.map(q => array(q.map(m =>
+      array(m.map(lit(_)): _*)): _*)): _*)
+    graft.functions.PqEncode.register(s)
+    val codes = emb.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"),
+        graft.functions.PqEncode.pq_encode(col("embedding"), model).as("codes"))
+    // negative distance as the heap score so "closest" is "largest";
+    // the M-lookup fold is sequential — deterministic double math
+    val negd = -aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+      (acc, m) => acc + element_at(element_at(
+        element_at(tblLit, (col("qid") + 1).cast("int")),
+        (m + 1).cast("int")),
+        (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
+    val pool = codes
+      .select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0), lit(NumQueries - 1))).as("qid"))
+      .select(col("qid"), col("vec_id"), negd.as("negd"))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKByScore
         .topk_by_score(col("negd"), col("vec_id"), RerankPool).as("pool"))
-      .select(col("qid"), explode(col("pool.id")).as("vec_id"))
-    // exact re-rank of the tiny pool: fetch true embeddings for the
-    // pool ids + broadcast the 10 query vectors
-    val qvecs = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid").cast("long").as("qid"),
+        explode(col("pool.id")).as("vec_id"))
+    // exact re-rank: broadcast the BOUNDED pool (queries × RerankPool
+    // ids) against one more pruned corpus scan — the corpus is never
+    // broadcast, shuffled, or scanned with full vectors beyond this
+    import s.implicits._
+    val qvecs = qRows.toSeq.toDF("qid", "qe")
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc("cosine"), asc("vec_id"))
-    approx
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(pool), Seq("vec_id"))
       .join(broadcast(qvecs), Seq("qid"))
       .withColumn("cosine", graft.functions.CosineSimilarity
         .cosine_sim(col("qe"), col("embedding")))
