@@ -135,6 +135,50 @@ object TextAnalysis {
             .as("dup_frac"))
     }),
 
+    // exact duplicated-substring REMOVAL (the rewrite counterpart of
+    // dup_ngram_spans' signal — Lee et al.'s "Deduplicating Training
+    // Data Makes Language Models Better" at 8-token granularity):
+    // every position covered by an 8-gram that occurs MORE THAN ONCE
+    // in the corpus (within or across docs) is dropped, and each
+    // doc's surviving tokens reassemble in order. All keyed, linear
+    // dataflow: grams come from one window pass over exploded tokens
+    // (8 leads — no per-element re-split of the text under
+    // projection collapse), the gram count is one map-side-combined
+    // shuffle, span coverage is a bounded explode of DUP starts
+    // only, and reassembly sorts (pos, token) inside a doc-keyed
+    // aggregate — no global sort, nothing quadratic.
+    "dedup_substring_rewrite" -> ((s, dir) => {
+      val L = 8
+      val docs = Tables(s, dir).documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      val tok = docs.select(col("doc_id"), posexplode(col("ws")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      // gram starting at i exists iff position i+L-1 does; concat_ws
+      // would silently shorten tail grams, so gate on the last lead
+      val withG = tok.withColumn("g",
+        when(lead(col("w"), L - 1).over(win).isNotNull,
+          concat_ws(" ", (0 until L).map(k => lead(col("w"), k).over(win)): _*)))
+      val starts = withG.filter(col("g").isNotNull)
+      val dupG = starts.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("g"))
+      val covered = starts.join(dupG.hint("shuffle_hash"), Seq("g"))
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + (L - 1))).as("i"))
+      val kept = tok.join(covered, Seq("doc_id", "i"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
     // vocabulary statistics (BPE/vocab-training prep): corpus-wide
     // token frequency + document frequency, top 50 by count
     "vocab_token_freq" -> ((s, dir) => {
@@ -266,6 +310,33 @@ object TextAnalysis {
         |  round(avg(-ln(tf::DOUBLE / n_total::DOUBLE)), 4) AS avg_nll
         |FROM toks JOIN tf USING (w), total
         |GROUP BY doc_id""".stripMargin,
+    "dedup_substring_rewrite" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, i, ws[i] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM words)),
+        |gr AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM words WHERE len(ws) >= 8)),
+        |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT doc_id, unnest(range(i, i + 8)) AS i
+        |  FROM gr JOIN dup USING (g)),
+        |kept AS (
+        |  SELECT t.doc_id, t.i, t.w FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = t.doc_id AND c.i = t.i)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+        |    cast(count(*) AS bigint) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  cast(len(w.ws) AS bigint) AS n_tokens,
+        |  coalesce(a.n_kept, 0) AS n_kept
+        |FROM words w LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "dup_ngram_spans" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
