@@ -43,6 +43,32 @@ object Sketches {
         .join(merged, Seq("o_orderpriority"))
     }),
 
+    // Misra–Gries heavy hitters over the token stream vs the exact
+    // counts: the MG summary keeps ≤ capacity counters per partition
+    // and merges associatively (the exact formulation shuffles the
+    // whole distinct-token relation); survivors join back against
+    // the exact counts — candidates-then-verify, so the output
+    // carries both the estimate and the truth. MG is EXACT whenever
+    // capacity ≥ the true distinct count (no decrement ever fires);
+    // this corpus has ~31 distinct tokens, so capacity 48 makes the
+    // query bit-oracle-checkable (est = tf), while `SketchesSpec`
+    // pins the lossy-regime guarantee on a skewed synthetic stream
+    // where capacity ≪ distinct items.
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      graft.functions.HeavyHitters.register(s)
+      val toks = Tables(s, dir).documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      val mg = toks
+        .agg(graft.functions.HeavyHitters.heavy_hitters(col("w"), 48).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("w"), col("e.est").as("est"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      mg.join(exact, Seq("w"))
+        .orderBy(desc("tf"), asc("w"))
+        .limit(20)
+        .select(col("w"), col("tf"), col("est"))
+    }),
+
     // streaming-friendly quantiles: one pass, bounded state, vs the
     // exact percentiles
     "sketch_quantiles" -> ((s, dir) => {
@@ -56,8 +82,18 @@ object Sketches {
     })
   )
 
-  /** Approximate results are engine-specific — no DuckDB oracle;
-    * rows-only check + [[SketchesSpec]] error bounds.
+  /** HLL/quantile results are engine-specific — rows-only check +
+    * [[SketchesSpec]] error bounds. The MG heavy-hitters query IS
+    * oracle-checkable because its capacity exceeds this corpus's
+    * distinct-token count (see the query comment): est = tf exactly.
     */
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "sketch_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, cast(count(*) AS bigint) AS tf FROM toks GROUP BY w)
+        |SELECT w, tf, tf AS est FROM c
+        |ORDER BY tf DESC, w LIMIT 20""".stripMargin
+  )
 }

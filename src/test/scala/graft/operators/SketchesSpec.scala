@@ -46,4 +46,41 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(a - e) / math.max(e, 1.0) < 0.01, s"$a vs $e")
     }
   }
+
+  test("Misra–Gries guarantee: membership above n/(cap+1), estimates in bounds") {
+    graft.functions.HeavyHitters.register(spark)
+    val cap = 8
+    // skewed synthetic stream spread over 32 partitions so partial
+    // buffers genuinely merge: item k appears 1000 / 2^k times
+    val rows = (0 until 10).flatMap(k =>
+      Seq.fill(1000 >> k)(s"item$k")) ++ (0 until 500).map(i => s"tail$i")
+    val df = rows.toDF("w").repartition(32)
+    val n = rows.size.toLong
+    val got = df.agg(graft.functions.HeavyHitters
+        .heavy_hitters($"w", cap).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val slack = n / (cap + 1)
+    exact.foreach { case (item, tf) =>
+      if (tf > slack)
+        assert(got.contains(item), s"$item (tf=$tf > n/(cap+1)=$slack) missing")
+    }
+    got.foreach { case (item, est) =>
+      val tf = exact(item)
+      assert(est <= tf && est >= tf - slack,
+        s"$item estimate $est outside [${tf - slack}, $tf]")
+    }
+  }
+
+  test("heavy-hitters query: survivors carry exact counts, top token present") {
+    val rows = graft.SparkEntry.queries("sketch_heavy_hitters")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") <= r.getAs[Long]("tf"),
+        "MG estimate must never exceed the true count")
+    }
+  }
 }
