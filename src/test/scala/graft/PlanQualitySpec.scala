@@ -218,4 +218,30 @@ class PlanQualitySpec extends SparkSpec {
       "1-row threshold relation lost its broadcast")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("ivfpq: native encode projection, heap partial-agg, no corpus shuffle joins") {
+    val p = planOf("ann_ivfpq_topk")
+    assert(p.contains("pq_encode"),
+      "PQ encoding lost the native single-pass expression")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "candidate pool selection lost its map-side partial heap aggregation")
+    // the only joins are the broadcast pool/query re-rank joins — the
+    // corpus must never shuffle onto a join key
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus shuffled for the re-rank join (pool side must broadcast)")
+  }
+
+  test("substring rewrite: keyed dataflow only — no pairwise compare, dup starts joined by gram") {
+    val p = planOf("dedup_substring_rewrite")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span removal degenerated to pairwise document compare")
+    assert(p.contains("ShuffledHashJoin"),
+      "dup-gram filter lost its keyed shuffle join")
+  }
+
+  test("heavy hitters aggregate partially before the exchange") {
+    val p = planOf("sketch_heavy_hitters")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "MG summary lost map-side partial aggregation — full token stream would shuffle")
+  }
 }
