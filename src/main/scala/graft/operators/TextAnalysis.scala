@@ -191,6 +191,23 @@ object TextAnalysis {
         .limit(50)
     }),
 
+    // BPE merge-selection statistics (the inner loop of vocabulary
+    // training): char-bigram counts inside word boundaries, top 20 —
+    // each round of BPE merges the corpus-wide most frequent
+    // adjacent pair; this is that round's candidate ranking as one
+    // explode + one map-side-combined aggregation + a bounded top-k
+    // (TakeOrderedAndProject, no global sort)
+    "bpe_pair_stats" -> ((s, dir) => {
+      val words = Tables(s, dir).documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+      words.select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => substr(col("w"), i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(20)
+    }),
+
     // deterministic train/val/test split: md5-hash of the doc id
     // buckets rows stably (reproducible across runs and engines) —
     // the standard leakage-safe dataset split
@@ -310,6 +327,16 @@ object TextAnalysis {
         |  round(avg(-ln(tf::DOUBLE / n_total::DOUBLE)), 4) AS avg_nll
         |FROM toks JOIN tf USING (w), total
         |GROUP BY doc_id""".stripMargin,
+    "bpe_pair_stats" ->
+      """WITH words AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> substr(w, i, 2))) AS pair
+        |  FROM words WHERE len(w) >= 2)
+        |SELECT pair, cast(count(*) AS bigint) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "dedup_substring_rewrite" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
