@@ -40,6 +40,42 @@ object TextAnalysis {
   // BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs.
   private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
+  /** Exact duplicated-substring removal (see the
+    * `dedup_substring_rewrite` entry below for the full rationale):
+    * drops every token position covered by an `L`-gram occurring
+    * more than once in the corpus, reassembling survivors in order.
+    * Output: (doc_id, clean_text, n_tokens, n_kept).
+    */
+  def substringRewrite(in: DataFrame, L: Int = 8): DataFrame = {
+    val docs = in.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+    val tok = docs.select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    // gram starting at i exists iff position i+L-1 does; concat_ws
+    // would silently shorten tail grams, so gate on the last lead
+    val withG = tok.withColumn("g",
+      when(lead(col("w"), L - 1).over(win).isNotNull,
+        concat_ws(" ", (0 until L).map(k => lead(col("w"), k).over(win)): _*)))
+    val starts = withG.filter(col("g").isNotNull)
+    val dupG = starts.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("g"))
+    val covered = starts.join(dupG.hint("shuffle_hash"), Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (L - 1))).as("i"))
+    val kept = tok.join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("w")))),
+        x => x.getField("w")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace + BPE-ish regex tokenization
     "text_tokens" -> ((s, dir) => {
@@ -147,37 +183,8 @@ object TextAnalysis {
     // shuffle, span coverage is a bounded explode of DUP starts
     // only, and reassembly sorts (pos, token) inside a doc-keyed
     // aggregate — no global sort, nothing quadratic.
-    "dedup_substring_rewrite" -> ((s, dir) => {
-      val L = 8
-      val docs = Tables(s, dir).documents
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      val tok = docs.select(col("doc_id"), posexplode(col("ws")))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
-      val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      // gram starting at i exists iff position i+L-1 does; concat_ws
-      // would silently shorten tail grams, so gate on the last lead
-      val withG = tok.withColumn("g",
-        when(lead(col("w"), L - 1).over(win).isNotNull,
-          concat_ws(" ", (0 until L).map(k => lead(col("w"), k).over(win)): _*)))
-      val starts = withG.filter(col("g").isNotNull)
-      val dupG = starts.groupBy(col("g")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select(col("g"))
-      val covered = starts.join(dupG.hint("shuffle_hash"), Seq("g"))
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + (L - 1))).as("i"))
-      val kept = tok.join(covered, Seq("doc_id", "i"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("i"), col("w")))),
-          x => x.getField("w")), " ").as("clean_text"),
-          count(lit(1)).as("n_kept"))
-      docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          col("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-    }),
+    "dedup_substring_rewrite" -> ((s, dir) =>
+      substringRewrite(Tables(s, dir).documents)),
 
     // vocabulary statistics (BPE/vocab-training prep): corpus-wide
     // token frequency + document frequency, top 50 by count
