@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, Md5Hash60, MinHash60, SimHash60, SortedIntersectCount, TopKByScore}
+import graft.functions.{CosineSimilarity, HeavyHitters, Md5Hash60, MinHash60, PqEncode, SimHash60, SortedIntersectCount, TopKByScore}
 
 /** Session-extension registration for the engine's custom Catalyst
   * pieces — enables `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -38,5 +38,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash60"),
       new ExpressionInfo(classOf[MinHash60].getName, "minhash60"),
       exprs => MinHash60(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression()))
+    // pq_encode's SQL surface matches the registry helper: the model
+    // arrives as (flat double-array literal, m, subDim)
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      exprs => {
+        val flat = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+        val m = exprs(2).eval().asInstanceOf[Int]
+        val subDim = exprs(3).eval().asInstanceOf[Int]
+        val k = flat.length / (m * subDim)
+        PqEncode(exprs.head, Array.tabulate(m, k, subDim)((s, c, d) =>
+          flat((s * k + c) * subDim + d)))
+      }))
   }
 }
