@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Streaming MG summaries: per-group leaderboards accumulate across
+  * micro-batches and across separate drains of one checkpoint; in
+  * the exact regime (capacity ≥ distinct items per group) the final
+  * emission must equal a batch groupBy count; in the lossy regime
+  * state stays ≤ capacity while the MG bounds hold.
+  */
+class StreamingHeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("exact regime: stream equals batch counts across a checkpointed restart") {
+    withRocksDb {
+      val src = java.nio.file.Files.createTempDirectory("graft-shh").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft-shh-ck").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-shh-out").toString + "/hh"
+      def drop(name: String, rows: String*): Unit =
+        java.nio.file.Files.writeString(
+          new java.io.File(s"$src/$name").toPath,
+          ("group,item" +: rows).mkString("\n"))
+      def drain(): Unit = {
+        val in = spark.readStream.schema("group STRING, item STRING")
+          .option("header", "true").csv(src)
+        val q = StreamingHeavyHitters.perGroupHitters(in, capacity = 8)
+          .writeStream.format("parquet").option("path", out)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ck).start()
+        q.awaitTermination()
+      }
+      drop("b1.csv", "en,a", "en,a", "en,b", "de,x", "de,y", "de,y")
+      drain()
+      drop("b2.csv", "en,a", "en,c", "de,y")
+      drain() // state reloads from the checkpoint
+      val last = spark.read.parquet(out)
+        .orderBy($"n_seen".desc).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.head).toMap
+      val en = last("en")
+      assert(en.getLong(1) == 5L, s"en n_seen: $en")
+      val enMap = en.getSeq[String](2).zip(en.getSeq[Long](3)).toMap
+      assert(enMap == Map("a" -> 3L, "b" -> 1L, "c" -> 1L), s"en: $enMap")
+      val de = last("de")
+      assert(de.getLong(1) == 4L)
+      val deMap = de.getSeq[String](2).zip(de.getSeq[Long](3)).toMap
+      assert(deMap == Map("y" -> 3L, "x" -> 1L), s"de: $deMap")
+    }
+  }
+
+  test("lossy regime: state stays within capacity and MG bounds hold") {
+    withRocksDb {
+      val src = java.nio.file.Files.createTempDirectory("graft-shh2").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft-shh2-ck").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-shh2-out").toString + "/hh"
+      // skewed stream: "hot" appears 40×, 30 singletons — capacity 4
+      val rows = (Seq.fill(40)("g,hot") ++ (0 until 30).map(i => s"g,t$i"))
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$src/b.csv").toPath,
+        ("group,item" +: rows).mkString("\n"))
+      val in = spark.readStream.schema("group STRING, item STRING")
+        .option("header", "true").csv(src)
+      val q = StreamingHeavyHitters.perGroupHitters(in, capacity = 4)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck).start()
+      q.awaitTermination()
+      val r = spark.read.parquet(out).orderBy($"n_seen".desc).head()
+      val n = r.getLong(1)
+      assert(n == 70L)
+      val items = r.getSeq[String](2)
+      assert(items.length <= 4, s"state exceeded capacity: $items")
+      // hot freq 40 > n/(cap+1) = 14 ⇒ must be present, est within slack
+      assert(items.contains("hot"), s"heavy item evicted: $items")
+      val est = r.getSeq[Long](3)(items.indexOf("hot"))
+      assert(est <= 40L && est >= 40L - n / 5,
+        s"hot estimate $est outside [${40L - n / 5}, 40]")
+    }
+  }
+}
