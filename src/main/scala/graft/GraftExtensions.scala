@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, HeavyHitters, Md5Hash60, MinHash60, PqEncode, SimHash60, SortedIntersectCount, TopKByScore}
+import graft.functions.{CosineSimilarity, HeavyHitters, IvfCell, Md5Hash60, MinHash60, PqEncode, SimHash60, SortedIntersectCount, TopKByScore}
 
 /** Session-extension registration for the engine's custom Catalyst
   * pieces — enables `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -56,6 +56,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = flat.length / (m * subDim)
         PqEncode(exprs.head, Array.tabulate(m, k, subDim)((s, c, d) =>
           flat((s * k + c) * subDim + d)))
+      }))
+    // ivf_cell(emb, flat centroid literal, dim)
+    ext.injectFunction((
+      FunctionIdentifier("ivf_cell"),
+      new ExpressionInfo(classOf[IvfCell].getName, "ivf_cell"),
+      exprs => {
+        val flat = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+        val dim = exprs(2).eval().asInstanceOf[Int]
+        IvfCell(exprs.head, Array.tabulate(flat.length / dim, dim)(
+          (c, d) => flat(c * dim + d)))
       }))
   }
 }

@@ -11,9 +11,12 @@ import graft.catalog.Tables
   * queries against the compact codes by asymmetric distance
   * computation (ADC), then exactly re-rank a small candidate pool.
   *
-  * This is the 100 TB ANN layout ([[Similarity]]'s IVF handles the
-  * coarse routing; this adds the compressed fine scan), organized
-  * around one asymmetry: MODELS are small, the CORPUS is not.
+  * This is the full 100 TB ANN layout — coarse IVF routing composed
+  * with the compressed PQ fine scan (the standalone distributed
+  * trainer lives in [[Similarity.trainCentroids]]; here both the
+  * coarse quantizer and the codebooks train on ONE bounded
+  * driver-side sample) — organized around one asymmetry: MODELS are
+  * small, the CORPUS is not.
   * - Codebooks (M × K × SubDim doubles, 8 KiB) are trained with
   *   Lloyd's algorithm on a BOUNDED deterministic sample collected
   *   to the driver — the standard PQ training layout (FAISS trains
@@ -60,6 +63,8 @@ object ProductQuantization {
     * corpus size, so training cost must not scale with it.
     */
   private[operators] val TrainSample = 4096
+  /** Coarse IVF cells for the routed fine scan. */
+  private[operators] val CoarseCells = 8
 
   /** Local L2 normalize (float → double widening is exact; the norm
     * is a sequential fold, same order as [[graft.functions.PqEncode]]).
@@ -71,56 +76,90 @@ object ProductQuantization {
     v.map(_.toDouble / n).toArray
   }
 
-  /** Train M codebooks with fixed-iteration Lloyd, driver-side, on a
-    * bounded deterministic sample (first `TrainSample` non-query
-    * ids): ONE Spark job of O(sample) rows, independent of corpus
-    * size. Returns model[sub][code][dim]. Argmin ties break toward
-    * the smaller code; empty cells keep their centroid.
+  /** Fixed-iteration local Lloyd: deterministic (argmin ties toward
+    * the smaller code, sequential sums, empty cells keep their
+    * centroid). Shared by the per-subspace codebook training and the
+    * coarse quantizer.
     */
-  def trainCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
-    val sample = emb.filter(col("vec_id") >= NumQueries)
+  private def lloyd(points: Array[Array[Double]],
+                    init: Array[Array[Double]],
+                    iters: Int): Array[Array[Double]] = {
+    val k = init.length
+    val dim = init(0).length
+    var cent = init.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val cnt = new Array[Int](k)
+      points.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cent(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cent = cent.zipWithIndex.map { case (old, c) =>
+        if (cnt(c) == 0) old else sums(c).map(_ / cnt(c))
+      }
+    }
+    cent
+  }
+
+  /** Bounded deterministic training sample (first `TrainSample`
+    * non-query ids), RAW floats: ONE Spark job of O(sample) rows,
+    * independent of corpus size.
+    */
+  private def collectSample(emb: DataFrame): Array[Seq[Float]] =
+    emb.filter(col("vec_id") >= NumQueries)
       .orderBy(col("vec_id")).limit(TrainSample)
       .select(col("embedding")).collect()
-      .map(r => normalizeLocal(r.getSeq[Float](0)))
+      .map(_.getSeq[Float](0))
+
+  /** M per-subspace codebooks from a raw sample (normalized, split,
+    * Lloyd per subspace). Returns model[sub][code][dim].
+    */
+  private def codebooksFrom(raw: Array[Seq[Float]]): Array[Array[Array[Double]]] = {
+    val sample = raw.map(normalizeLocal)
     Array.tabulate(M) { m =>
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim))
-      var cent = sub.take(CodebookK).map(_.clone())
-      for (_ <- 0 until Iters) {
-        val sums = Array.fill(CodebookK, SubDim)(0.0)
-        val cnt = new Array[Int](CodebookK)
-        sub.foreach { v =>
-          var best = 0; var bd = Double.MaxValue; var c = 0
-          while (c < CodebookK) {
-            var d = 0.0; var i = 0
-            while (i < SubDim) { val t = v(i) - cent(c)(i); d += t * t; i += 1 }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          cnt(best) += 1
-          var i = 0
-          while (i < SubDim) { sums(best)(i) += v(i); i += 1 }
-        }
-        cent = cent.zipWithIndex.map { case (old, c) =>
-          if (cnt(c) == 0) old else sums(c).map(_ / cnt(c))
-        }
-      }
-      cent
+      lloyd(sub, sub.take(CodebookK), Iters)
     }
   }
 
-  /** ADC top-k: encode the corpus in one shuffle-free pass, score
-    * every (query, vector) by a sequential M-lookup fold over the
-    * literal distance tables, keep `RerankPool` per query through
-    * the bounded heap (the single corpus-wide shuffle), then exactly
-    * re-rank that pool by true cosine. Output mirrors the other ANN
-    * queries: (qid, vec_id, rank, cosine).
+  /** Train M codebooks driver-side on the bounded sample. */
+  def trainCodebooks(emb: DataFrame): Array[Array[Array[Double]]] =
+    codebooksFrom(collectSample(emb))
+
+  /** IVF-routed ADC top-k: encode the corpus in one shuffle-free
+    * pass (coarse cell + PQ codes, both native expressions), fan
+    * each vector out ONLY to the queries probing its cell, score by
+    * a sequential M-lookup fold over the literal distance tables,
+    * keep `RerankPool` per query through the bounded heap (the
+    * single corpus-wide shuffle), then exactly re-rank that pool by
+    * true cosine. At `nprobe` < cells the fine scan shrinks by
+    * ~nprobe/cells — the IVF point; at `nprobe` = cells (the
+    * registered query) routing is recall-complete and the output is
+    * identical to an unrouted ADC scan. Output mirrors the other
+    * ANN queries: (qid, vec_id, rank, cosine).
     */
-  def ivfpqTopK(emb: DataFrame): DataFrame = {
+  def ivfpqTopK(emb: DataFrame,
+                nprobe: Int = CoarseCells): DataFrame = {
     val s = emb.sparkSession
     graft.functions.CosineSimilarity.register(s)
     graft.functions.TopKByScore.register(s)
-    val model = trainCodebooks(emb)
+    graft.functions.IvfCell.register(s)
+    // ONE bounded collect feeds both models: the coarse quantizer
+    // (raw space — routing partitions candidates, it needn't see
+    // normalized vectors) and the per-subspace codebooks (normalized)
+    val raw = collectSample(emb)
+    val coarse = lloyd(raw.map(_.map(_.toDouble).toArray),
+      raw.take(CoarseCells).map(_.map(_.toDouble).toArray), Iters)
+    val model = codebooksFrom(raw)
     // query vectors: NumQueries rows — collected once, reused for
     // the local ADC tables AND the re-rank join's broadcast side
     val qRows = emb.filter(col("vec_id") < NumQueries)
@@ -142,9 +181,28 @@ object ProductQuantization {
     }
     val tblLit = array(tbl.map(q => array(q.map(m =>
       array(m.map(lit(_)): _*)): _*)): _*)
+    // coarse routing, driver-side: each query's nprobe nearest cells
+    // (same L2-on-raw math as IvfCell; ties → lowest cell), inverted
+    // into a cell → probing-qids literal so the corpus side fans out
+    // ONLY to interested queries
+    val probes: Array[Array[Int]] = qRows.map { case (_, qe) =>
+      val v = qe.map(_.toDouble).toArray
+      coarse.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+    }
+    val byCell: Array[Array[Long]] = Array.tabulate(coarse.length)(cell =>
+      probes.zipWithIndex.collect {
+        case (ps, q) if ps.contains(cell) => q.toLong })
+    val probeLit = array(byCell.map(qs =>
+      if (qs.isEmpty) array().cast("array<bigint>")
+      else array(qs.map(lit(_)): _*)): _*)
     graft.functions.PqEncode.register(s)
     val codes = emb.filter(col("vec_id") >= NumQueries)
       .select(col("vec_id"),
+        graft.functions.IvfCell.ivf_cell(col("embedding"), coarse).as("cell"),
         graft.functions.PqEncode.pq_encode(col("embedding"), model).as("codes"))
     // negative distance as the heap score so "closest" is "largest";
     // the M-lookup fold is sequential — deterministic double math
@@ -155,7 +213,7 @@ object ProductQuantization {
         (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
     val pool = codes
       .select(col("vec_id"), col("codes"),
-        explode(sequence(lit(0), lit(NumQueries - 1))).as("qid"))
+        explode(element_at(probeLit, col("cell") + 1)).as("qid"))
       .select(col("qid"), col("vec_id"), negd.as("negd"))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKByScore

@@ -42,5 +42,18 @@ class ProductQuantizationSpec extends SparkSpec {
     // observed ~0.8+; pin a floor that catches a broken quantizer
     // without flaking on data drift between SFs
     assert(recall >= 0.55, s"recall@10 = $recall")
+
+    // probe-limited routing: at nprobe < cells the fine scan only
+    // sees probed cells — recall degrades gracefully, never to zero,
+    // and the output stays deterministic
+    val routedA = ProductQuantization.ivfpqTopK(emb, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routedB = ProductQuantization.ivfpqTopK(emb, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routedA == routedB, "routed output must be deterministic")
+    val routedRecall = (routedA & exact).size.toDouble / exact.size
+    assert(routedRecall >= 0.2, s"nprobe=2 recall@10 = $routedRecall")
+    assert(routedRecall <= recall + 1e-9,
+      "probe-limited recall cannot exceed recall-complete")
   }
 }
