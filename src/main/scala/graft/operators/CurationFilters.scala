@@ -163,6 +163,38 @@ object CurationFilters {
         .drop("start_tok")
     }),
 
+    // The materialization step sequence_packing assigns: each
+    // (source, bin) becomes ONE training sequence — member texts
+    // concatenated in pack order with an <eod> separator (the
+    // concat-then-split convention). Reassembly sorts (pack_order,
+    // text) inside a bin-keyed aggregate, so after the packing
+    // window there is exactly one more shuffle (on the bin key) and
+    // no global sort; bins are ≤ 512 + max-doc tokens by
+    // construction, so no aggregate row can blow up.
+    "packed_sequences" -> ((s, dir) => {
+      Md5Hash60.register(s)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hkey"), col("doc_id"))
+      val packed = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.nWords.as("n_tokens"),
+          Md5Hash60.md5_hash60(
+            concat(lit("pack:"), col("doc_id").cast("string"))).as("hkey"))
+        .select(col("doc_id"), col("source"), col("text"), col("n_tokens"),
+          row_number().over(w).cast("long").as("pack_order"),
+          (sum(col("n_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)) -
+            col("n_tokens")).as("start_tok"))
+        .withColumn("bin", expr("start_tok DIV 512"))
+      packed.groupBy(col("source"), col("bin"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pack_order"), col("text")))),
+            x => x.getField("text")), " <eod> ").as("sequence"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // Multilingual temperature sampling (T=0.7): per-language keep
     // weights w_l ∝ (n_l/N)^0.7, the standard rebalancing that
     // upsamples tail languages. The per-language relation after the
@@ -225,6 +257,24 @@ object CurationFilters {
          |FROM base
          |WINDOW w AS (PARTITION BY source ORDER BY hkey, doc_id
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "packed_sequences" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    cast(${TextAnalysis.sqlNWords} AS bigint) AS n_tokens,
+         |    ('0x' || substr(md5('pack:' || doc_id::varchar), 1, 15))::bigint AS hkey
+         |  FROM documents),
+         |packed AS (
+         |  SELECT doc_id, source, text, n_tokens,
+         |    cast(row_number() OVER w AS bigint) AS pack_order,
+         |    cast((sum(n_tokens) OVER w - n_tokens) // 512 AS bigint) AS bin
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY source ORDER BY hkey, doc_id
+         |               ROWS UNBOUNDED PRECEDING))
+         |SELECT source, bin,
+         |  string_agg(text, ' <eod> ' ORDER BY pack_order) AS sequence,
+         |  cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(n_tokens) AS bigint) AS n_tokens
+         |FROM packed GROUP BY source, bin""".stripMargin,
     "lang_temperature_weights" ->
       """WITH counts AS (
         |  SELECT lang, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY lang),
