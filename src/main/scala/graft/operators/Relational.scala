@@ -506,10 +506,12 @@ object Relational {
     // re-join lineitem + customer and re-aggregate per order. The
     // HAVING side is one partial/final agg shuffled on orderkey; the
     // semi join and the lineitem re-join reuse that same orderkey
-    // partitioning (no extra exchange), and customer joins by
-    // SHUFFLE — it scales with the corpus, so unlike the filtered
-    // part/supplier dims above it must never broadcast. Tie-break on
-    // the unique orderkey keeps the LIMIT deterministic.
+    // partitioning (no extra exchange). customer carries NO broadcast
+    // hint: it scales with the corpus (unlike the filtered
+    // part/supplier dims above), so the join is left to size
+    // statistics — broadcast at test SF, shuffle once customer
+    // outgrows the threshold. Tie-break on the unique orderkey keeps
+    // the LIMIT deterministic.
     "q18_large_orders" -> ((s, dir) => {
       val t = Tables(s, dir)
       val big = t.lineitem.groupBy(col("l_orderkey").as("big_ok"))
