@@ -30,6 +30,33 @@ object ProductAnalytics {
             .as("n_converted"))
     }),
 
+    // strictly-ORDERED funnel with a conversion window (view → click
+    // → purchase, each within 6 h of the previous stage's anchor):
+    // each stage's anchor is the min event time AFTER the previous
+    // anchor — dependent minima, the correct funnel semantics
+    // (comparing independent per-type mins, as events_funnel's
+    // 2-step does, undercounts users who clicked before ever viewing
+    // but clicked again after). Three keyed aggregations chained by
+    // user_id joins; stage relations only shrink, and the three
+    // 1-row stage counts cross-join for free.
+    "events_funnel_ordered" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      val win = expr("INTERVAL 6 HOURS")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    }),
+
     // weekly cohort retention: users grouped by first-activity week,
     // counted as retained in each later week they appear
     "retention_cohorts" -> ((s, dir) => {
@@ -132,6 +159,25 @@ object ProductAnalytics {
         |        min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
         |        min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
         |      FROM events GROUP BY user_id)""".stripMargin,
+    "events_funnel_ordered" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 6 HOURS
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 6 HOURS
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT cast(count(*) AS bigint) FROM v) AS n_view,
+        |  (SELECT cast(count(*) AS bigint) FROM c) AS n_view_click,
+        |  (SELECT cast(count(*) AS bigint) FROM p) AS n_view_click_purchase""".stripMargin,
     "retention_cohorts" ->
       """WITH cohorts AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
