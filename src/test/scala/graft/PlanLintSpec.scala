@@ -1,0 +1,52 @@
+package graft
+
+/** Suite-wide plan lint: EVERY registered query's physical plan is
+  * screened for the two operators that turn into corpus × corpus
+  * work at scale — CartesianProduct and BroadcastNestedLoopJoin.
+  * Queries that deliberately cross-join 1-ROW aggregate relations
+  * (scalar thresholds, totals, stage counts) are allowlisted with
+  * the reason; anything new that plans a cartesian fails here
+  * before it can ship.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Every allowance is a BOUNDED broadcast side by construction:
+    * a 1-row scalar/threshold aggregate, a fixed-size assembly of
+    * 1-row aggregates, or a fixed query batch.
+    */
+  private val onRowAllowed: Map[String, String] = Map(
+    "q11_supplier_share" -> "1-row global-threshold broadcast",
+    "q22_idle_customers" -> "1-row avg-balance scalar broadcast",
+    "equi_depth_buckets" -> "1-row boundary-array broadcast",
+    "events_funnel_ordered" -> "three 1-row stage counts crossed",
+    "association_rules" -> "1-row basket-total broadcast",
+    "best_performing_product" -> "1-row top-1 assemblies crossed",
+    "semi_anti_parts" -> "1-row semi/anti count assembly",
+    "tfidf_top_terms" -> "1-row corpus-size broadcast",
+    "unigram_logprob" -> "1-row vocab-total broadcast",
+    "hard_negatives" -> "1-row label-count broadcast",
+    // bounded QUERY-BATCH broadcast × one corpus scan — the
+    // brute-force ANN baseline by design (the corpus side is never
+    // broadcast or re-scanned; candidates ≤ corpus × NumQueries)
+    "ann_cosine_topk" -> "bounded query-batch broadcast, one corpus scan",
+    "ann_topk_agg" -> "bounded query-batch broadcast, heap-aggregated",
+    "bm25_search" -> "bounded query-term broadcast over the posting scan"
+  )
+
+  test("no query plans corpus-sized cartesian or nested-loop joins") {
+    val actual = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      if (p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")) actual += name
+    }
+    val unallowed = actual.toSet -- onRowAllowed.keySet
+    assert(unallowed.isEmpty,
+      s"unallowlisted cartesian/nested-loop plans: ${unallowed.mkString(", ")}")
+    // two-way: a stale allowance hides future regressions
+    val stale = onRowAllowed.keySet -- actual.toSet
+    assert(stale.isEmpty,
+      s"allowlist entries whose plans no longer cross: ${stale.mkString(", ")}")
+  }
+}
