@@ -190,9 +190,11 @@ object Relational {
     }),
 
     // TPC-H Q15 shape: supplier(s) achieving the global max quarterly
-    // revenue — agg, then a window max over the 1-row-per-supplier
-    // aggregate (cheap: |suppliers| rows), equality on the exact
-    // decimal-derived double.
+    // revenue — agg, then the scalar max as a 1-ROW broadcast joined
+    // back (NOT a partition-less window: the per-supplier relation is
+    // |suppliers| rows, which at scale would funnel through one
+    // window task; the 1-row max broadcasts for free), equality on
+    // the exact decimal-derived double.
     "q15_top_supplier" -> ((s, dir) => {
       val t = Tables(s, dir)
       val rev = t.lineitem
@@ -201,7 +203,8 @@ object Relational {
         .groupBy(col("l_suppkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("total_revenue"))
-      rev.withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx))
         .filter(col("total_revenue") === col("mx"))
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))

@@ -49,4 +49,31 @@ class PlanLintSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"allowlist entries whose plans no longer cross: ${stale.mkString(", ")}")
   }
+
+  /** Windows whose input is an already-aggregated tiny relation may
+    * run partition-less (the single task sees a handful of rows);
+    * anything else funnels the whole corpus through one task.
+    */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "window_ratio_report" -> "ratio-to-report over a 3-row aggregate",
+    "best_performing_product" -> "pct-of-total over a per-day aggregate",
+    "lang_temperature_weights" -> "normalizer over a per-language aggregate"
+  )
+
+  test("no query runs a partition-less window over a non-aggregated relation") {
+    val actual = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty) actual += name
+    }
+    val unallowed = actual.toSet -- globalWindowAllowed.keySet
+    assert(unallowed.isEmpty,
+      s"unallowlisted GLOBAL windows (single-task corpus funnel): ${unallowed.mkString(", ")}")
+    val stale = globalWindowAllowed.keySet -- actual.toSet
+    assert(stale.isEmpty,
+      s"global-window allowances no longer needed: ${stale.mkString(", ")}")
+  }
 }
