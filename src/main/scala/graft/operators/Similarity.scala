@@ -261,11 +261,15 @@ object Similarity {
         (x, cv) => (x.cast("double") - cv) * (x.cast("double") - cv)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Nearest-centroid cell id (ties → lowest cell). */
-  private[operators] def cellOf(embCol: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.map(c => l2sq(embCol, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Nearest-centroid cell id (ties → lowest cell) via the native
+    * one-pass [[graft.functions.IvfCell]] expression — bit-identical
+    * to the HOF argmin formulation it replaced (same sequential
+    * double math, same first-min tie rule; `PqIvfSpec` pins parity)
+    * without the boxed per-element lambda evaluation in corpus-wide
+    * projections. Callers must have run `IvfCell.register`.
+    */
+  private[operators] def cellOf(embCol: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.IvfCell.ivf_cell(embCol, centroids)
 
   /** The query's `nprobe` nearest cells, nearest first (struct sort on
     * (distance, cell) gives a deterministic probe order).
@@ -286,6 +290,7 @@ object Similarity {
     */
   def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
     graft.functions.Md5Hash60.register(emb.sparkSession)
+    graft.functions.IvfCell.register(emb.sparkSession)
     // Train the coarse quantizer on a deterministic hash-gated sample
     // persisted across the Lloyd passes: k-means needs O(100) points
     // per cell, not the corpus — training on the full table at 100 TB
@@ -341,6 +346,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]],
                                  nprobe: Int): DataFrame = {
+    graft.functions.IvfCell.register(emb.sparkSession)
     val indexed = emb.withColumn("cell", cellOf(col("embedding"), centroids))
     val q = indexed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
