@@ -417,6 +417,7 @@ object Dedup {
                             blockCap: Int = BlockPairCap,
                             requireExact: Boolean = false): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
+    graft.functions.HyperplaneSig.register(emb.sparkSession)
     // block sizes by groupBy+broadcast-join, not a window — same
     // single-hot-task skew reasoning as jaccardPairsBlocked
     val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))

@@ -96,6 +96,7 @@ object Similarity {
     // random-hyperplane LSH bucketing, then top-k within the bucket
     "ann_lsh_topk" -> ((s, dir) => {
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.HyperplaneSig.register(s)
       val emb = Tables(s, dir).embeddings
       val signed = emb.withColumn("bucket", hyperplaneBucket(col("embedding")))
       val q = signed.filter(col("vec_id") < NumQueries)
@@ -125,6 +126,7 @@ object Similarity {
     // exactly one bucket, so probes can't duplicate candidates.
     "ann_lsh_multiprobe" -> ((s, dir) => {
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.HyperplaneSig.register(s)
       val emb = Tables(s, dir).embeddings
       val signed = emb.withColumn("bucket", hyperplaneBucket(col("embedding")))
       val masks = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))): _*)
@@ -204,6 +206,7 @@ object Similarity {
                requireExact: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     graft.functions.CosineSimilarity.register(emb.sparkSession)
+    graft.functions.HyperplaneSig.register(emb.sparkSession)
     // the LSH bucket *is* the blocking key — reuse the skew-guarded
     // blocked pair generator with label := bucket
     val bucketed = emb.select(hyperplaneBucket(col("embedding")).as("label"),
@@ -240,16 +243,15 @@ object Similarity {
     * md5 input — independent plane sets per seed, so callers can OR
     * several signatures for recall amplification (Dedup's oversized
     * embedding blocks band over these). Seed "" reproduces the
-    * original planes the ann_lsh_topk oracle mirrors in SQL.
+    * original planes the ann_lsh_topk oracle mirrors in SQL. The
+    * signature evaluates through the native one-pass
+    * [[graft.functions.HyperplaneSig]] (bit-identical to the
+    * per-plane aggregate-fold it replaced, including the null/length
+    * → 0 corner; callers must have run `HyperplaneSig.register`).
     */
   private[operators] def hyperplaneBucketSeeded(embCol: Column, seed: String): Column =
-    (0 until Planes).map { p =>
-      val weights = array((0 until Dim).map(j => lit(planeSign(s"$seed$p", j))): _*)
-      val planeDot = aggregate(
-        zip_with(embCol, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(planeDot >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.HyperplaneSig.hyperplane_sig(embCol,
+      Array.tabulate(Planes, Dim)((p, j) => planeSign(s"$seed$p", j)))
 
   /** Squared-L2 distance from an `array<float>` column to a constant
     * centroid — the centroid folds to an array literal, so per-row
