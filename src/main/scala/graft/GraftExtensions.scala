@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, HeavyHitters, IvfCell, Md5Hash60, MinHash60, PqEncode, SimHash60, SortedIntersectCount, TopKByScore}
+import graft.functions.{CosineSimilarity, HeavyHitters, HyperplaneSig, IvfCell, Md5Hash60, MinHash60, PqEncode, SimHash60, SortedIntersectCount, TopKByScore}
 
 /** Session-extension registration for the engine's custom Catalyst
   * pieces — enables `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -68,6 +68,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val dim = exprs(2).eval().asInstanceOf[Int]
         IvfCell(exprs.head, Array.tabulate(flat.length / dim, dim)(
           (c, d) => flat(c * dim + d)))
+      }))
+    // hyperplane_sig(emb, flat plane-weight literal, dim)
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      exprs => {
+        val flat = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+        val dim = exprs(2).eval().asInstanceOf[Int]
+        HyperplaneSig(exprs.head, Array.tabulate(flat.length / dim, dim)(
+          (p, j) => flat(p * dim + j)))
       }))
   }
 }
