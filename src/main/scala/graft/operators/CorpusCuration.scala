@@ -34,6 +34,10 @@ object CorpusCuration {
     // shingles, and the final anti-join's left side) — persist it or
     // the regex scoring + md5 window shuffle above runs three times
     // (r01 bench: that recompute alone was ~4× the whole baseline).
+    // (A min_by(struct(*), doc_id) aggregate was tried instead of the
+    // window: the struct-typed buffer falls off the hash-aggregate
+    // fast path and measured 2× SLOWER — the sorted window over the
+    // md5 shuffle is the better plan here.)
     val kept2 = kept1.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
