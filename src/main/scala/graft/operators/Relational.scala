@@ -504,6 +504,42 @@ object Relational {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // TPC-H Q2 shape, adapted: testdata ships no partsupp table, so
+    // the part↔supplier cost relation is DERIVED from the fact (min
+    // observed unit price per (part, supplier) in lineitem — doubles,
+    // so the division is bit-identical across engines). The SHAPE is
+    // Q2's: a correlated min-cost scalar subquery per part over a
+    // region-restricted supplier set, resolved as aggregate +
+    // join-back equality (never a per-row subquery), ranked by
+    // account balance with a total-order tie-break. Dims broadcast;
+    // the derived partsupp aggregates map-side and shuffles once on
+    // its grouping key.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ps = t.lineitem.groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_cost"))
+      val eu = t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val euCost = ps.join(eu, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = euCost.groupBy(col("ps_partkey"))
+        .agg(min(col("ps_cost")).as("min_cost"))
+      euCost.join(minCost, Seq("ps_partkey"))
+        .filter(col("ps_cost") === col("min_cost"))
+        .join(broadcast(t.part
+            .filter(col("p_type") === "ECONOMY" && col("p_size") <= 10)),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          round(col("ps_cost"), 4).as("supply_cost"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+          asc("p_partkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q18 shape: large-volume orders — IN (GROUP BY … HAVING
     // sum(qty) > K) ≡ LEFT SEMI against the aggregated fact, then
     // re-join lineitem + customer and re-aggregate per order. The
@@ -727,6 +763,25 @@ s"""SELECT o_orderkey, cast(o_orderdate AS date) AS order_date,
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(l_extendedprice / l_quantity) AS ps_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |euc AS (SELECT * FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+        |mc AS (SELECT ps_partkey, min(ps_cost) AS min_cost FROM euc GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  round(ps_cost, 4) AS supply_cost
+        |FROM euc JOIN mc USING (ps_partkey)
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE ps_cost = mc.min_cost AND p_type = 'ECONOMY' AND p_size <= 10
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |  cast(o_orderdate AS date) AS order_date, o_totalprice,
