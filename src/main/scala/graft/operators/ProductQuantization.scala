@@ -31,24 +31,26 @@ import graft.catalog.Tables
   *   64 × 32-bit floats, a 32× smaller representation).
   * - ADC distance tables (queries × M × K doubles) are computed
   *   driver-side from the collected query vectors and shipped as a
-  *   literal; the per-(query, vector) approximate distance is a
-  *   sequential M-lookup fold — deterministic, unlike a shuffled
+  *   literal; per-(query, vector) distance BOUNDS (triangle
+  *   inequality per subspace, using the stored residual norms) are
+  *   sequential M-lookup folds — deterministic, unlike a shuffled
   *   float SUM.
-  * - The only corpus-wide shuffle is the bounded-heap top-K per
-  *   query ([[graft.functions.TopKByScore]], partial-aggregated
-  *   map-side); only `RerankPool` ids per query ever touch a real
-  *   embedding again, via a broadcast of the POOL (never the
-  *   corpus) against one more pruned scan.
+  * - The only corpus-wide shuffle is the bounded-heap K-th-smallest
+  *   upper bound per query ([[graft.functions.TopKByScore]],
+  *   partial-aggregated map-side); only the certified candidate pool
+  *   ever touches a real embedding again, via a broadcast of the
+  *   POOL (never the corpus) against one more pruned scan.
   *
-  * Everything is seeded/deterministic: the training sample is the
-  * first `TrainSample` non-query vec_ids, initial centroids are the
-  * first K sample subvectors, iteration count is fixed, and every
+  * Everything is seeded/deterministic: the training sample is a
+  * bounded md5 hash-gated draw, initial centroids are the first K
+  * sample subvectors, iteration count is fixed, and every
   * floating-point reduction is a sequential left fold.
   *
-  * Not SQL-expressible in one oracle query (iterative training), so
-  * the driver records a rows-only check for `ann_ivfpq_topk`;
-  * correctness is spec-tested instead: deterministic output, and
-  * re-ranked recall@10 against the exact brute-force top-10.
+  * The bound-certified pool makes the registered query (nprobe =
+  * all cells) EXACTLY equal to brute force, so the same exact
+  * oracle as `ann_cosine_topk` applies (over the corpus side,
+  * vec_id ≥ NumQueries); `ProductQuantizationSpec` additionally
+  * pins determinism and the probe-limited recall trade-off.
   */
 object ProductQuantization {
 
@@ -58,7 +60,6 @@ object ProductQuantization {
   private val Iters = 4               // fixed Lloyd passes
   private val NumQueries = 10         // vec_id < 10 are queries (TESTDATA)
   private val TopK = 10
-  private[operators] val RerankPool = 60
   /** Training-sample cap: codebook quality saturates far below
     * corpus size, so training cost must not scale with it.
     */
@@ -109,15 +110,30 @@ object ProductQuantization {
     cent
   }
 
-  /** Bounded deterministic training sample (first `TrainSample`
-    * non-query ids), RAW floats: ONE Spark job of O(sample) rows,
-    * independent of corpus size.
+  /** Bounded deterministic training sample, RAW floats: ONE Spark job
+    * of O(sample) rows, independent of corpus size. Drawn through the
+    * same md5 hash-gate as [[Similarity.trainCentroids]] — an
+    * id-ordered prefix is biased whenever ingestion order correlates
+    * with content (time- or cluster-ordered corpora), which degrades
+    * codebook recall at scale; the hash-gate is uniform over ids,
+    * deterministic across runs and partitionings. The keep rate is
+    * sized from the corpus count so the expected sample tracks
+    * `TrainSample`; the explicit limit keeps the driver-side bound
+    * hard.
     */
-  private def collectSample(emb: DataFrame): Array[Seq[Float]] =
-    emb.filter(col("vec_id") >= NumQueries)
+  private def collectSample(emb: DataFrame): Array[Seq[Float]] = {
+    graft.functions.Md5Hash60.register(emb.sparkSession)
+    val corpus = emb.filter(col("vec_id") >= NumQueries)
+    val n = math.max(corpus.count(), 1L)
+    val keepPm = math.min(1000000L,
+      math.max(1L, (TrainSample.toLong * 1000000L + n - 1) / n))
+    corpus.filter(
+      pmod(graft.functions.Md5Hash60.md5_hash60(
+        concat(lit("pq:"), col("vec_id").cast("string"))), lit(1000000L)) < keepPm)
       .orderBy(col("vec_id")).limit(TrainSample)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0))
+  }
 
   /** M per-subspace codebooks from a raw sample (normalized, split,
     * Lloyd per subspace). Returns model[sub][code][dim].
@@ -135,17 +151,28 @@ object ProductQuantization {
   def trainCodebooks(emb: DataFrame): Array[Array[Array[Double]]] =
     codebooksFrom(collectSample(emb))
 
-  /** IVF-routed ADC top-k: encode the corpus in one shuffle-free
-    * pass (coarse cell + PQ codes, both native expressions), fan
-    * each vector out ONLY to the queries probing its cell, score by
-    * a sequential M-lookup fold over the literal distance tables,
-    * keep `RerankPool` per query through the bounded heap (the
-    * single corpus-wide shuffle), then exactly re-rank that pool by
-    * true cosine. At `nprobe` < cells the fine scan shrinks by
-    * ~nprobe/cells — the IVF point; at `nprobe` = cells (the
-    * registered query) routing is recall-complete and the output is
-    * identical to an unrouted ADC scan. Output mirrors the other
-    * ANN queries: (qid, vec_id, rank, cosine).
+  /** IVF-routed PQ top-k with PROVABLE candidate pruning: encode the
+    * corpus in one shuffle-free pass (coarse cell + PQ codes + the
+    * per-subspace residual norms, all one native expression), fan
+    * each vector out ONLY to the queries probing its cell, and bound
+    * each candidate's true distance from the compact representation:
+    * with `a_m = ‖q̂_m − c_code‖` from the query's literal ADC table
+    * and `e_m` the vector's stored residual, the per-subspace
+    * triangle inequality gives
+    * `Σ max(0, a_m − e_m)² ≤ ‖q̂ − x̂‖² ≤ Σ (a_m + e_m)²`.
+    * The K-th smallest upper bound per query (bounded heap — the
+    * single corpus-wide shuffle) is a certified threshold τ: any
+    * candidate with lower bound > τ provably cannot be in the true
+    * top-K, so the surviving pool CONTAINS the exact top-K of the
+    * probed set — unlike a "best N ADC scores" heuristic pool. The
+    * pool is exactly re-ranked by true cosine. At `nprobe` = cells
+    * (the registered query) every vector is a candidate, so the
+    * output equals brute force bit-for-bit and the exact oracle
+    * applies; at `nprobe` < cells the same guarantee holds within
+    * the probed cells (recall trades against scan, the IVF point).
+    * Output mirrors the other ANN queries: (qid, vec_id, rank,
+    * cosine), with qid the query's real vec_id (positional indices
+    * are internal only).
     */
   def ivfpqTopK(emb: DataFrame,
                 nprobe: Int = CoarseCells): DataFrame = {
@@ -199,32 +226,52 @@ object ProductQuantization {
     val probeLit = array(byCell.map(qs =>
       if (qs.isEmpty) array().cast("array<bigint>")
       else array(qs.map(lit(_)): _*)): _*)
-    graft.functions.PqEncode.register(s)
-    val codes = emb.filter(col("vec_id") >= NumQueries)
+    graft.functions.PqEncodeErr.register(s)
+    val enc = emb.filter(col("vec_id") >= NumQueries)
       .select(col("vec_id"),
         graft.functions.IvfCell.ivf_cell(col("embedding"), coarse).as("cell"),
-        graft.functions.PqEncode.pq_encode(col("embedding"), model).as("codes"))
-    // negative distance as the heap score so "closest" is "largest";
-    // the M-lookup fold is sequential — deterministic double math
-    val negd = -aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
-      (acc, m) => acc + element_at(element_at(
-        element_at(tblLit, (col("qid") + 1).cast("int")),
-        (m + 1).cast("int")),
-        (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
-    val pool = codes
-      .select(col("vec_id"), col("codes"),
+        graft.functions.PqEncodeErr.pq_encode_err(col("embedding"), model).as("ce"))
+    // per-(candidate, query) distance bounds from the compact codes:
+    // sequential M-lookup folds — deterministic double math. `qid`
+    // here is the POSITIONAL index into qRows (what tblLit/probeLit
+    // are keyed by); the real vec_id is restored at the output edge.
+    def aSq(m: Column) = element_at(element_at(
+      element_at(tblLit, (col("qid") + 1).cast("int")),
+      (m + 1).cast("int")),
+      (element_at(col("ce.codes"), (m + 1).cast("int")) + 1).cast("int"))
+    def e(m: Column) = element_at(col("ce.errs"), (m + 1).cast("int"))
+    val lb = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+      (acc, m) => acc + pow(greatest(lit(0.0), sqrt(aSq(m)) - e(m)), lit(2.0)))
+    val ub = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+      (acc, m) => acc + pow(sqrt(aSq(m)) + e(m), lit(2.0)))
+    val cand = enc
+      .select(col("vec_id"), col("ce"),
         explode(element_at(probeLit, col("cell") + 1)).as("qid"))
-      .select(col("qid"), col("vec_id"), negd.as("negd"))
+      .select(col("qid"), col("vec_id"), lb.as("lb"), ub.as("ub"))
+    // τ_q = K-th smallest upper bound (largest in the top-K heap of
+    // −ub; sorted desc, so the last kept score). least() guards the
+    // probed set being smaller than K.
+    val tau = cand
       .groupBy(col("qid"))
       .agg(graft.functions.TopKByScore
-        .topk_by_score(col("negd"), col("vec_id"), RerankPool).as("pool"))
-      .select(col("qid").cast("long").as("qid"),
-        explode(col("pool.id")).as("vec_id"))
-    // exact re-rank: broadcast the BOUNDED pool (queries × RerankPool
-    // ids) against one more pruned corpus scan — the corpus is never
-    // broadcast, shuffled, or scanned with full vectors beyond this
+        .topk_by_score(-col("ub"), col("vec_id"), TopK).as("t"))
+      .select(col("qid"), (-element_at(col("t.score"),
+        least(lit(TopK), size(col("t.score"))).cast("int"))).as("tau"))
+    // certified pool: lb ≤ τ keeps every possible true-top-K member
+    // (lb > τ means true distance > K candidates' true distances).
+    // The bound recompute on the second branch is one more scan of
+    // the compact codes — cheaper than persisting candidate rows.
+    val pool = cand.join(broadcast(tau), Seq("qid"))
+      .filter(col("lb") <= col("tau"))
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank: broadcast the BOUNDED pool (certified-small by
+    // the bound pruning) against one more pruned corpus scan — the
+    // corpus is never broadcast, shuffled, or scanned with full
+    // vectors beyond this
     import s.implicits._
-    val qvecs = qRows.toSeq.toDF("qid", "qe")
+    val qvecs = qRows.zipWithIndex
+      .map { case ((vid, qe), i) => (i.toLong, vid, qe) }.toSeq
+      .toDF("qid", "query_vec_id", "qe")
     val w = Window.partitionBy(col("qid"))
       .orderBy(desc("cosine"), asc("vec_id"))
     emb.select(col("vec_id"), col("embedding"))
@@ -234,7 +281,7 @@ object ProductQuantization {
         .cosine_sim(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .select(col("qid"), col("vec_id"), col("rank"),
+      .select(col("query_vec_id").as("qid"), col("vec_id"), col("rank"),
         round(col("cosine"), 4).as("cosine"))
   }
 
@@ -242,10 +289,28 @@ object ProductQuantization {
     "ann_ivfpq_topk" -> ((s, dir) => ivfpqTopK(Tables(s, dir).embeddings))
   )
 
-  /** Iterative PQ training is not one-shot SQL-expressible — no
-    * oracle entry; the driver records a rows-only check and
-    * `ProductQuantizationSpec` carries correctness (determinism +
-    * recall against the exact brute-force top-10).
+  /** The iterative PQ training itself is not SQL-expressible, but it
+    * doesn't have to be: at nprobe = all cells the bound-certified
+    * pool provably contains the true top-K of the corpus, and the
+    * exact re-rank then returns EXACTLY the brute-force answer no
+    * matter what the trained codebooks look like — so the brute-force
+    * top-K oracle applies (the same invariance argument as
+    * `ann_ivf_topk`'s recall-complete oracle). Note the corpus here
+    * excludes ALL query vectors (vec_id ≥ NumQueries), unlike
+    * `ann_cosine_topk` which only excludes self-matches.
     */
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "ann_ivfpq_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${Similarity.sqlDot} / (${Similarity.sqlNorm("q.qe")} * ${Similarity.sqlNorm("e.embedding")}) AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id >= $NumQueries)
+         |SELECT qid, vec_id,
+         |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
+         |  round(cosine, 4) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $TopK""".stripMargin
+  )
 }

@@ -367,9 +367,9 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  private val sqlDot =
+  private[operators] val sqlDot =
     "list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))"
-  private def sqlNorm(c: String) =
+  private[operators] def sqlNorm(c: String) =
     s"sqrt(list_sum(list_transform($c, x -> x::DOUBLE * x::DOUBLE)))"
   private val sqlBucket =
     s"""(SELECT cast(sum(CASE WHEN list_sum(list_transform(range(1, len(v.embedding) + 1),

@@ -15,10 +15,9 @@ class SparkEntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // rows-only queries are allowed but must be a conscious choice:
-    // iterative training (PQ) and approximate sketches can't be
-    // replayed as one-shot exact SQL — each is spec-verified instead
-    val rowsOnly = Set("ann_ivfpq_topk", "sketch_distinct_counts",
-      "sketch_quantiles")
+    // HLL sketch estimates are engine-specific and can't hash-match
+    // exact SQL — spec-verified instead (error bounds in SketchesSpec)
+    val rowsOnly = Set("sketch_distinct_counts")
     assert((q -- o) == rowsOnly, s"queries without oracles: ${q -- o}")
   }
 
