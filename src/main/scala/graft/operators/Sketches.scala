@@ -70,24 +70,52 @@ object Sketches {
     }),
 
     // streaming-friendly quantiles: one pass, bounded state, vs the
-    // exact percentiles
+    // exact percentiles. Shaped as one row per percentile with scalar
+    // columns: the exact part hash-matches the oracle bit-for-bit and
+    // the approx part is asserted within tolerance as a boolean (the
+    // sketch itself is engine-specific, so its raw estimate can't
+    // hash-match — the contract "within 2% of exact" can).
     "sketch_quantiles" -> ((s, dir) => {
+      val ps = Seq(0.5, 0.9, 0.99)
+      val pArr = array(ps.map(lit): _*)
       val l = Tables(s, dir).lineitem
       l.agg(
-        percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_q"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99))).as("exact_q"),
+        percentile_approx(col("l_extendedprice"), pArr, lit(10000)).as("approx_q"),
+        percentile(col("l_extendedprice"), pArr).as("exact_q"),
         count(lit(1)).as("n"))
+        .select(col("approx_q"), col("exact_q"), col("n"),
+          explode(array(lit(1), lit(2), lit(3))).as("i"))
+        .select(
+          element_at(pArr, col("i")).as("p"),
+          round(element_at(col("exact_q"), col("i")), 4).as("exact_q"),
+          (abs(element_at(col("approx_q"), col("i")) - element_at(col("exact_q"), col("i")))
+            <= abs(element_at(col("exact_q"), col("i"))) * 0.02).as("approx_within_tol"),
+          col("n"))
+        .orderBy(col("p"))
     })
   )
 
-  /** HLL/quantile results are engine-specific — rows-only check +
+  /** HLL results are engine-specific — rows-only check +
     * [[SketchesSpec]] error bounds. The MG heavy-hitters query IS
     * oracle-checkable because its capacity exceeds this corpus's
     * distinct-token count (see the query comment): est = tf exactly.
+    * Quantiles are oracle-checkable in their scalar-per-percentile
+    * shape: exact percentiles hash-match `quantile_cont`, and the
+    * approx column is a within-tolerance boolean both sides agree on.
     */
   def oracles: Map[String, String] = Map(
+    "sketch_quantiles" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice::DOUBLE, 0.5) AS e50,
+        |         quantile_cont(l_extendedprice::DOUBLE, 0.9) AS e90,
+        |         quantile_cont(l_extendedprice::DOUBLE, 0.99) AS e99,
+        |         cast(count(*) AS bigint) AS n
+        |  FROM lineitem)
+        |SELECT p, exact_q, true AS approx_within_tol, n FROM (
+        |  SELECT 0.5::DOUBLE AS p, round(e50, 4) AS exact_q, n FROM q
+        |  UNION ALL SELECT 0.9::DOUBLE, round(e90, 4), n FROM q
+        |  UNION ALL SELECT 0.99::DOUBLE, round(e99, 4), n FROM q)
+        |ORDER BY p""".stripMargin,
     "sketch_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
