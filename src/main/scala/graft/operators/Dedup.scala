@@ -365,6 +365,18 @@ object Dedup {
     // slack keeps double rounding from over-pruning.
     val needed = lit(threshold / (1.0 + threshold)) *
       (col("x.n") + col("y.n")).cast("double") - lit(1e-9)
+    // Pair dedup doubles as the SUFFIX FILTER (PPJoin+'s tightening):
+    // the same shuffle a plain .distinct() would cost, but the
+    // aggregate keeps α = matched-prefix-token count and the LAST
+    // matched positions. Both token lists follow the same global
+    // (df, w) order, so every shared token globally ≤ the last match
+    // is itself a match row (it sits inside both windows) — all
+    // counted in α; shared tokens after it number at most
+    // min(n_x − p_x − 1, n_y − p_y − 1). Hence
+    // overlap ≤ α + min(n_x − p_x − 1, n_y − p_y − 1): a strictly
+    // tighter certificate than the per-match-row bound (its α = 1
+    // case), pruning pairs BEFORE the two verify joins shuffle the
+    // full token arrays.
     val cands = pfProbe.as("x")
       .join(pfIndex.as("y").hint("shuffle_hash"),
         col("x.w") === col("y.w") &&
@@ -373,9 +385,20 @@ object Dedup {
           col("x.n").cast("double") >= col("y.n") * threshold &&
           least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))
             .cast("double") >= needed)
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct()
+      .select(col("x.doc_id").as("xid"), col("y.doc_id").as("yid"),
+        col("x.n").as("nx"), col("y.n").as("ny"),
+        col("x.pos").as("px"), col("y.pos").as("py"))
+      .groupBy(col("xid"), col("yid"))
+      .agg(count(lit(1)).as("alpha"),
+        max(col("px")).as("mpx"), max(col("py")).as("mpy"),
+        first(col("nx")).as("nx"), first(col("ny")).as("ny"))
+      .filter((col("alpha") +
+        least(col("nx") - col("mpx") - 1, col("ny") - col("mpy") - 1))
+        .cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("nx") + col("ny")).cast("double") - lit(1e-9))
+      .select(least(col("xid"), col("yid")).as("doc_a"),
+        greatest(col("xid"), col("yid")).as("doc_b"))
     // Verify: |A∩B| by codegen two-pointer merge over the sorted
     // hash arrays (O(|A|+|B|), no per-pair hash-set allocation);
     // array_intersect only on the injectivity-collision fallback.
