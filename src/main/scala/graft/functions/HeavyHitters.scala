@@ -47,6 +47,20 @@ case class HeavyHitters(
       s"heavy_hitters capacity must be a positive integer literal, got $other")
   }
 
+  // misuse fails at analysis with a clear message, not as a
+  // ClassCastException in update() on an executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (item.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string item column, got ${item.dataType.sql}")
+    else capExpr match {
+      case Literal(v: Int, IntegerType) if v > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName capacity must be a positive foldable integer, got ${other.sql}")
+    }
+
   override def children: Seq[Expression] = Seq(item, capExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
