@@ -620,21 +620,26 @@ object Dedup {
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,
     * exposed for reuse/tests. `docs` needs (doc_id, text).
+    *
+    * `spreadInput` repartitions the docs before the hash-heavy
+    * signature map: right for relations arriving as few (often 1)
+    * raw input splits, a wasted shuffle + stage for inputs that are
+    * already the output of a shuffle (CorpusCuration's deduped
+    * survivors sit on the session's shuffle partitioning).
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
       graft.functions.MinHash60.register(docs.sparkSession)
-      // The docs table arrives as few (often 1) input splits; the
-      // hash-heavy shingle×perm map (16 md5s per shingle) should run
-      // spread across the cluster, so repartition the (small) raw doc
-      // rows first. The signature itself is ONE codegen'd map over
-      // the shingle array (see MinHash60) — the old explode → 16-min
-      // aggregate shuffled a (doc, shingle) relation just to fold it
-      // straight back; the ≥ 2 words pre-filter (⟺ ≥ 1 bigram) keeps
-      // its explode/groupBy row set (and the oracle's) without
-      // re-deriving the shingle array inside a Filter.
-      val minhashes = shingleSets(docs
-          .filter(size(split(trim(col("text")), "\\s+")) >= 2)
-          .repartition(col("doc_id")))
+      // The hash-heavy shingle×perm map (16 md5s per shingle) should
+      // run spread across the cluster (see spreadInput above). The
+      // signature itself is ONE codegen'd map over the shingle array
+      // (see MinHash60) — the old explode → 16-min aggregate shuffled
+      // a (doc, shingle) relation just to fold it straight back; the
+      // ≥ 2 words pre-filter (⟺ ≥ 1 bigram) keeps its explode/groupBy
+      // row set (and the oracle's) without re-deriving the shingle
+      // array inside a Filter.
+      val filtered = docs.filter(size(split(trim(col("text")), "\\s+")) >= 2)
+      val minhashes = shingleSets(
+          if (spreadInput) filtered.repartition(col("doc_id")) else filtered)
         .select(col("doc_id"),
           graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
       // (doc_id, band, sig) is tiny (docs × 8 rows) but feeds both
