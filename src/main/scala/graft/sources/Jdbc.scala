@@ -9,10 +9,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `partitionColumn/lowerBound/upperBound/numPartitions` splits the
   * table into range predicates, one connection per task.
   *
-  * Untestable in this zero-egress environment (no database, no JDBC
-  * driver jar beyond what Spark ships) — kept as the documented
-  * production path; the CSV/parquet sources carry the tested
-  * semantics.
+  * No Postgres exists in this zero-egress environment, but the READ
+  * AND WRITE behavior is exercised against embedded Derby (the JDBC
+  * engine Spark ships in its own jars) in `JdbcSpec`: append +
+  * unpartitioned/partitioned round-trips and subquery pushdown. Only
+  * the Postgres driver/dialect specifics remain environment-blocked.
   */
 object Jdbc {
 
