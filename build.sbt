@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g on the 128 GiB box: headroom so MEMORY_AND_DISK persists stay
+  // in memory and GC stays off the critical path even when the machine
+  // is otherwise loaded (driver-bench recordings share the box)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
