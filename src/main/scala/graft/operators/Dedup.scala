@@ -34,6 +34,12 @@ object Dedup {
   private val NumPerms = 16
   private val BandRows = 2 // 8 bands of 2 → high recall at sim ≥ 0.5
   private val JaccardThreshold = 0.5
+  /** |A∩B|/|A| threshold for [[containmentPrefixJoin]]. Lower than a
+    * Jaccard threshold would be: containment ≥ Jaccard always, and
+    * the asymmetric join's point is catching small-in-big inclusion
+    * that Jaccard scores near zero.
+    */
+  private val ContainmentThreshold = 0.6
 
   /** Shingle width for [[jaccardPrefixJoin]]. Prefix filtering's cost
     * bound is the document frequency of each doc's RAREST tokens — on
@@ -114,6 +120,12 @@ object Dedup {
     // candidates + exact verify ≡ the quadratic all-pairs oracle
     "jaccard_prefix_join" -> ((s, dir) =>
       jaccardPrefixJoin(Tables(s, dir).documents)),
+
+    // exact ASYMMETRIC containment join (small-doc-inside-big-doc —
+    // the contamination shape symmetric Jaccard can't see): A probes
+    // its rare-shingle prefix against B's full df-ordered index
+    "dedup_containment" -> ((s, dir) =>
+      containmentPrefixJoin(Tables(s, dir).documents)),
 
     // MinHash + LSH banding: linear-cost candidate generation, then
     // exact Jaccard verification on candidates only. All NumPerms
@@ -272,9 +284,15 @@ object Dedup {
     * the oracle runs. Every join shuffles on its key; nothing
     * corpus-sized is broadcast or collected.
     */
-  def jaccardPrefixJoin(docs: DataFrame,
-                        threshold: Double = JaccardThreshold,
-                        shingleK: Int = PrefixJoinShingleK): DataFrame = {
+  /** Shared prep of the exact prefix-filtered joins ([[jaccardPrefixJoin]],
+    * [[containmentPrefixJoin]]): per-doc shingle arrays in the global
+    * (df asc, w asc) total order, hashed to 8-byte ids when xxhash64
+    * is injective on this corpus's vocabulary, with the value-sorted
+    * copy for the codegen merge-intersect and the filtering prefix of
+    * `n − ⌈t·n⌉ + 1` tokens. Returns (prep persisted, useHash).
+    */
+  private def dfOrderedPrep(docs: DataFrame, threshold: Double,
+                            shingleK: Int): (DataFrame, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (doc_id, shingle) rows feed BOTH the df count and the prep
     // join — persist so the regex tokenize + shingle explode runs
@@ -312,18 +330,6 @@ object Dedup {
     // feeds the prefix explode AND both verify sides — persist once.
     // The (df asc, w asc) total order puts each doc's RAREST shingles
     // in its prefix, which is what bounds candidate bucket sizes.
-    // Two prefixes per doc (Vernica/Carey/Li's asymmetric variant):
-    // the INDEX prefix (n − ⌈t·n⌉ + 1 tokens) and the shorter PROBE
-    // prefix (n − ⌈2t/(1+t)·n⌉ + 1). A similar pair's globally-first
-    // shared token w* provably sits inside the smaller doc's probe
-    // prefix AND the larger doc's index prefix: unshared-before-w*
-    // gives pos_x ≤ n_x − O, and O ≥ t/(1+t)(n_x+n_y) ≥ 2t/(1+t)·n_x
-    // (n_y ≥ n_x) resp. ≥ t·n_y (n_x ≥ t·n_y). So probing only the
-    // short prefix of the smaller side against the index prefix of
-    // the larger side loses nothing — and cuts the probe-side explode
-    // by a third at t = 0.5. The 1e-9 slack guards the double floor.
-    val probeLen = (floor(col("n") * lit(1.0 - 2 * threshold / (1 + threshold))
-      + lit(1e-9)) + lit(1)).cast("int")
     // `toks` stays in (df, w) order for prefix slicing; `vtoks` is
     // the VALUE-sorted copy the verify stage merge-intersects (the
     // codegen SortedIntersectCount needs ascending arrays). On the
@@ -345,6 +351,26 @@ object Dedup {
     prep.count()
     tok.unpersist()
     tokDf.unpersist()
+    (prep, useHash)
+  }
+
+  def jaccardPrefixJoin(docs: DataFrame,
+                        threshold: Double = JaccardThreshold,
+                        shingleK: Int = PrefixJoinShingleK): DataFrame = {
+    val (prep, useHash) = dfOrderedPrep(docs, threshold, shingleK)
+    // Two prefixes per doc (Vernica/Carey/Li's asymmetric variant):
+    // the INDEX prefix (n − ⌈t·n⌉ + 1 tokens, prep's `prefix`) and the
+    // shorter PROBE prefix (n − ⌈2t/(1+t)·n⌉ + 1). A similar pair's
+    // globally-first shared token w* provably sits inside the smaller
+    // doc's probe prefix AND the larger doc's index prefix:
+    // unshared-before-w* gives pos_x ≤ n_x − O, and
+    // O ≥ t/(1+t)(n_x+n_y) ≥ 2t/(1+t)·n_x (n_y ≥ n_x) resp. ≥ t·n_y
+    // (n_x ≥ t·n_y). So probing only the short prefix of the smaller
+    // side against the index prefix of the larger side loses nothing —
+    // and cuts the probe-side explode by a third at t = 0.5. The 1e-9
+    // slack guards the double floor.
+    val probeLen = (floor(col("n") * lit(1.0 - 2 * threshold / (1 + threshold))
+      + lit(1e-9)) + lit(1)).cast("int")
     val pfIndex = prep.select(col("doc_id"), col("n"),
       posexplode(col("prefix"))).withColumnRenamed("col", "w")
     val pfProbe = prep.select(col("doc_id"), col("n"),
@@ -417,6 +443,75 @@ object Dedup {
         greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Exact ASYMMETRIC containment join: ordered pairs (A, B) with
+    * C(A→B) = |A∩B| / |A| ≥ t — "A's shingles are mostly inside B".
+    * This is the shape train-set contamination actually takes (a
+    * benchmark document quoted inside a larger page): Jaccard
+    * |A∩B|/|A∪B| vanishes as B grows, so a symmetric join can never
+    * find a small document swallowed by a big one; containment is
+    * size-invariant on the container side.
+    *
+    * Same prefix-filter machinery as [[jaccardPrefixJoin]] with the
+    * asymmetry pushed through every bound: C ≥ t needs overlap
+    * O ≥ ⌈t·n_A⌉, so A probes its `n_A − ⌈t·n_A⌉ + 1` rarest shingles
+    * (prep's prefix — identical length formula), while B — whose
+    * required overlap RELATIVE TO n_B is unbounded below — indexes its
+    * FULL df-ordered list (the standard probe-short/index-full
+    * containment layout). Per-match positional bounds O ≤ n_A − pos_A
+    * and O ≤ n_B − pos_B apply unchanged (first-match argument), the
+    * pair aggregate applies the same α + suffix-remainder certificate
+    * (every shared token globally ≤ the last match is a match row —
+    * A's prefix is a GLOBAL-order prefix and B is fully indexed), and
+    * the verify stage divides by n_A instead of the union size. The
+    * only size filter is n_B ≥ t·n_A (no upper bound: any container
+    * qualifies). Output is bit-identical to the quadratic ordered
+    * all-pairs join the oracle runs.
+    */
+  def containmentPrefixJoin(docs: DataFrame,
+                            threshold: Double = ContainmentThreshold,
+                            shingleK: Int = PrefixJoinShingleK): DataFrame = {
+    val (prep, useHash) = dfOrderedPrep(docs, threshold, shingleK)
+    val cIndex = prep.select(col("doc_id"), col("n"),
+      posexplode(col("toks"))).withColumnRenamed("col", "w")
+    val cProbe = prep.select(col("doc_id"), col("n"),
+      posexplode(col("prefix"))).withColumnRenamed("col", "w")
+    val neededA = lit(threshold) * col("x.n").cast("double") - lit(1e-9)
+    val cands = cProbe.as("x")
+      .join(cIndex.as("y").hint("shuffle_hash"),
+        col("x.w") === col("y.w") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.n").cast("double") >= col("x.n") * threshold &&
+          least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))
+            .cast("double") >= neededA)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("ny"),
+        col("x.pos").as("px"), col("y.pos").as("py"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("alpha"),
+        max(col("px")).as("mpx"), max(col("py")).as("mpy"),
+        first(col("na")).as("na"), first(col("ny")).as("nb"))
+      .filter((col("alpha") +
+        least(col("na") - col("mpx") - 1, col("nb") - col("mpy") - 1))
+        .cast("double") >= lit(threshold) * col("na").cast("double") - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val interOf: (Column, Column) => Column =
+      if (useHash)
+        (a, b) => graft.functions.SortedIntersectCount.sorted_intersect_count(a, b)
+      else (a, b) => size(array_intersect(a, b))
+    cands
+      .join(prep.select(col("doc_id").as("doc_a"), col("vtoks").as("toks_a"),
+        col("n").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(prep.select(col("doc_id").as("doc_b"), col("vtoks").as("toks_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("inter", interOf(col("toks_a"), col("toks_b")))
+      .withColumn("containment", col("inter").cast("double") /
+        greatest(col("na"), lit(1)).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
   }
 
   /** How many independent hyperplane signatures the oversized-block
@@ -727,6 +822,22 @@ object Dedup {
          |FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
          |      / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::DOUBLE >= $JaccardThreshold""".stripMargin,
+    // ordered quadratic all-pairs containment — the prefix-filtered
+    // plan must be bit-identical (trigram shingles, C = |A∩B|/|A|)
+    "dedup_containment" ->
+      s"""WITH shingled AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+         |      i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+         |           regexp_split_to_array(trim(text), '\\s+')[i + 1] || ' ' ||
+         |           regexp_split_to_array(trim(text), '\\s+')[i + 2])) AS toks
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+         |        / greatest(len(a.toks), 1)::DOUBLE, 4) AS containment
+         |FROM shingled a JOIN shingled b ON a.doc_id != b.doc_id
+         |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+         |      / greatest(len(a.toks), 1)::DOUBLE >= $ContainmentThreshold""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql("documents"),
     // true connected components via recursive label reachability —
     // UNION (not UNION ALL) dedups rows so the recursion terminates

@@ -40,6 +40,11 @@ object Retrieval {
   /** The fixed demo query — terms present in the synthetic vocab. */
   private val QueryTerms = Seq("spark", "query", "fast")
 
+  /** The fixed demo phrase for positional search (occurs as an exact
+    * in-order run in the synthetic corpus).
+    */
+  private val PhraseTerms = Seq("slow", "hash", "batch")
+
   /** Whitespace tokens of non-blank docs: (doc_id, term). */
   private def tokens(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
@@ -117,6 +122,39 @@ object Retrieval {
           col("col.score").cast("bigint").as("n_chars"))
     }),
 
+    // Exact PHRASE search via positional-postings intersection — the
+    // standard IR layout: tokens carry positions; each phrase term's
+    // postings shift left by the term's offset in the phrase; a doc
+    // position where ALL k offsets land is a phrase occurrence
+    // (handles repeated phrase terms and overlapping matches, which
+    // substring replace-counting does not). Scale: the isin() filter
+    // prunes the token stream to the phrase terms' postings BEFORE
+    // any shuffle, the (doc, start) aggregate combines map-side, and
+    // k is phrase length — cost tracks the phrase terms' document
+    // frequency, never corpus size.
+    "phrase_search" -> ((s, dir) => {
+      val phrase = PhraseTerms
+      val terms = phrase.zipWithIndex
+        .map { case (t, i) => struct(lit(t).as("term"), lit(i).as("idx")) }
+      val tok = Tables(s, dir).documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")))
+        .withColumnRenamed("col", "w")
+        .filter(col("w").isin(phrase: _*))
+        // a token matches every phrase slot holding its word
+        .select(col("doc_id"), col("pos"), col("w"),
+          explode(array(terms: _*)).as("k"))
+        .filter(col("w") === col("k.term"))
+      tok
+        .groupBy(col("doc_id"), (col("pos") - col("k.idx")).as("start"))
+        .agg(count_distinct(col("k.idx")).as("n_slots"))
+        .filter(col("n_slots") === phrase.size && col("start") >= 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          (min(col("start")) + 1).cast("int").as("first_pos"))
+    }),
+
     // Per-language P75 length gate: one exact-percentile aggregation
     // over few language groups, broadcast thresholds, map-side
     // filter, then a per-language summary. Demonstrates the
@@ -176,6 +214,22 @@ object Retrieval {
         |FROM documents
         |WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
         |QUALIFY row_number() OVER w <= 10""".stripMargin,
+    "phrase_search" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, i, ws[i] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM words)),
+        |k(idx, term) AS (VALUES (0, 'slow'), (1, 'hash'), (2, 'batch')),
+        |hits AS (
+        |  SELECT doc_id, i - idx AS start
+        |  FROM tok JOIN k ON tok.w = k.term
+        |  GROUP BY doc_id, i - idx
+        |  HAVING count(DISTINCT idx) = 3 AND i - idx >= 1)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_matches,
+        |  cast(min(start) AS int) AS first_pos
+        |FROM hits GROUP BY doc_id""".stripMargin,
     "quality_quantile_filter" ->
       """WITH thr AS (
         |  SELECT lang, quantile_cont(n_chars, 0.75) AS thr

@@ -143,6 +143,39 @@ object TextAnalysis {
           round(avg(col("nll")), 4).as("avg_nll"))
     }),
 
+    // Bigram-LM document scoring with add-k smoothing (k = 0.5):
+    // avg −ln P(w|v), P(w|v) = (c(v,w)+k) / (c(v)+k·V) — the
+    // conditional upgrade of unigram_logprob (a doc of common words
+    // in IMPROBABLE order now scores high; the unigram model can't
+    // see order at all). Two map-side-combined count aggregates, two
+    // keyed shuffle joins (the bigram count table is vocab²-sized at
+    // worst — never broadcast), scalar V rides in as a 1-row
+    // broadcast. Docs need ≥ 2 words to own a bigram. round(4)
+    // absorbs last-ulp ln()/summation differences between engines.
+    "bigram_logprob" -> ((s, dir) => {
+      val ws = split(trim(col("text")), "\\s+")
+      val docs = Tables(s, dir).documents
+      val bi = docs.filter(size(ws) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ws) - 1),
+            i => struct(element_at(ws, i).as("v"),
+              element_at(ws, i + 1).as("w")))).as("b"))
+        .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+      val cvw = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+      val cv = bi.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+      val vocab = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .agg(countDistinct(col("w")).as("vsize"))
+      bi.join(cvw.hint("shuffle_hash"), Seq("v", "w"))
+        .join(cv.hint("shuffle_hash"), Seq("v"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("nll", -log((col("cvw").cast("double") + lit(0.5)) /
+          (col("cv").cast("double") + lit(0.5) * col("vsize").cast("double"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("nll")), 4).as("avg_nll"))
+    }),
+
     // Duplicated-span metric (Lee et al.'s substring-dedup signal,
     // bounded to word 8-grams): per doc, the fraction of its distinct
     // 8-gram shingles that occur in ANY other doc. Linear cost: one
@@ -333,6 +366,25 @@ object TextAnalysis {
         |SELECT doc_id, cast(count(*) AS bigint) AS n_toks,
         |  round(avg(-ln(tf::DOUBLE / n_total::DOUBLE)), 4) AS avg_nll
         |FROM toks JOIN tf USING (w), total
+        |GROUP BY doc_id""".stripMargin,
+    "bigram_logprob" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)),
+        |cvw AS (SELECT v, w, count(*) AS cvw FROM bi GROUP BY v, w),
+        |cv AS (SELECT v, count(*) AS cv FROM bi GROUP BY v),
+        |vocab AS (
+        |  SELECT count(DISTINCT w) AS vsize FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents))
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+        |  round(avg(-ln((cvw::DOUBLE + 0.5::DOUBLE)
+        |    / (cv::DOUBLE + 0.5::DOUBLE * vsize::DOUBLE))), 4) AS avg_nll
+        |FROM bi JOIN cvw USING (v, w) JOIN cv USING (v), vocab
         |GROUP BY doc_id""".stripMargin,
     "bpe_pair_stats" ->
       """WITH words AS (

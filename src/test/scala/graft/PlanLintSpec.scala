@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "semi_anti_parts" -> "1-row semi/anti count assembly",
     "tfidf_top_terms" -> "1-row corpus-size broadcast",
     "unigram_logprob" -> "1-row vocab-total broadcast",
+    "bigram_logprob" -> "1-row vocab-size broadcast",
     "hard_negatives" -> "1-row label-count broadcast",
     // bounded QUERY-BATCH broadcast × one corpus scan — the
     // brute-force ANN baseline by design (the corpus side is never

@@ -84,4 +84,64 @@ class PrefixJoinPropertySpec extends SparkSpec {
     }
     check(base ++ dups, "planted-near-dups")
   }
+
+  /** Quadratic ordered-pair containment reference, same rounding. */
+  private def bruteForceContainment(docs: org.apache.spark.sql.DataFrame,
+                                    k: Int, t: Double) = {
+    val w = split(trim(col("text")), "\\s+")
+    val m = greatest(size(w) - lit(k - 1), lit(0))
+    val sets = docs.select(col("doc_id"),
+      array_distinct((2 to k).foldLeft(slice(w, lit(1), m))((acc, j) =>
+        zip_with(acc, slice(w, lit(j), m),
+          (a, b) => concat(a, lit(" "), b)))).as("toks"))
+    sets.as("a").join(sets.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.toks"), col("b.toks"))))
+      .withColumn("c", col("inter").cast("double") /
+        greatest(size(col("a.toks")), lit(1)).cast("double"))
+      .filter(col("c") >= t)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("c"), 4).as("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("containment join matches ordered brute force, incl. small-in-big") {
+    val rnd = new scala.util.Random(53)
+    val base = (1L to 25L).map { id =>
+      id -> Seq.fill(12 + rnd.nextInt(25))(s"x${rnd.nextInt(150)}")
+        .mkString(" ")
+    }
+    // the asymmetric shape the join exists for: short docs fully
+    // embedded inside much longer ones (Jaccard ≈ |A|/|B| ≈ small,
+    // containment = 1) plus partial-overlap grafts
+    val contained = (0 until 8).map { i =>
+      val (_, big) = base(i % base.size)
+      val words = big.split(" ")
+      (200L + i) -> words.slice(i % 3, i % 3 + 6 + i).mkString(" ")
+    }
+    val grafts = (0 until 5).map { i =>
+      val (_, a) = base(i); val (_, b) = base((i + 7) % base.size)
+      (300L + i) -> (a.split(" ").take(8).mkString(" ") + " " +
+        b.split(" ").take(4).mkString(" "))
+    }
+    val df = (base ++ contained ++ grafts).toDF("doc_id", "text")
+    for (k <- Seq(2, 3); t <- Seq(0.6, 0.9)) {
+      val fast = Dedup.containmentPrefixJoin(df, threshold = t, shingleK = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val slow = bruteForceContainment(df, k, t)
+      assert(fast == slow,
+        s"containment (k=$k, t=$t) diverged — missing ${slow -- fast}, " +
+          s"extra ${fast -- slow}")
+      // at least one pair must be a genuine small-in-big inclusion
+      // that the symmetric Jaccard join at the same threshold misses
+      if (t == 0.9) {
+        val jac = bruteForce(df, k)
+          .map { case (a, b, _) => (a, b) }
+        val asym = slow.map { case (a, b, _) => (a, b) }
+          .filterNot(p => jac.contains(p) || jac.contains(p.swap))
+        assert(asym.nonEmpty,
+          "expected containment-only pairs invisible to Jaccard")
+      }
+    }
+  }
 }
