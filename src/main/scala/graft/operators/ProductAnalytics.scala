@@ -88,6 +88,60 @@ object ProductAnalytics {
         .limit(20)
     }),
 
+    // Fixed-iteration PageRank over the part co-purchase graph — the
+    // iterative-graph-dataflow pattern (per-round keyed join +
+    // map-side-combined aggregate) complementing labelPropagation's
+    // connected components. Three rounds unroll into ONE Catalyst
+    // plan: no driver-side state, no collect; per round the only
+    // wide operations are the edges⋈ranks shuffle-hash join and the
+    // per-destination aggregate, both keyed — exactly the layout that
+    // scales to a billion-edge graph. Bit-exactness across engines:
+    // each contribution rounds into decimal(38,18) BEFORE the
+    // shuffled sum (decimal addition is exact and order-invariant,
+    // so shuffle nondeterminism never reaches a double); damping
+    // constants are the literal doubles 0.85/0.15 on both sides
+    // (1 − 0.85 in binary is NOT 0.15). Isolated nodes keep the
+    // (1−d)/N floor (kept by the left join); their mass is dropped,
+    // i.e. the simplified no-dangling-redistribution variant — the
+    // oracle computes the identical formula. Top-20 leaves through
+    // the bounded heap, not a global window.
+    "part_pagerank" -> ((s, dir) => {
+      graft.functions.TopKByScore.register(s)
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val nodes = li.select(col("l_partkey").as("part")).distinct()
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      var pr = nodes.crossJoin(broadcast(nn))
+        .select(col("part"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("part", "src").hint("shuffle_hash"),
+            Seq("src"))
+          .join(deg.hint("shuffle_hash"), Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum((col("pr") / col("outdeg")).cast("decimal(38,18)")).as("s"))
+        pr = nodes
+          .join(contrib.withColumnRenamed("dst", "part"), Seq("part"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("part"),
+            (lit(0.15) / col("n") +
+              lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+      }
+      pr.crossJoin(broadcast(nn))
+        .select(col("part"), round(col("pr") * col("n"), 6).as("pr_ratio"))
+        .agg(graft.functions.TopKByScore
+          .topk_by_score(col("pr_ratio"), col("part"), 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("part"), col("col.score").as("pr_ratio"))
+    }),
+
     // Association rules over the co-occurrence pairs: support,
     // confidence and lift for every directed rule a→b with at least
     // 2 co-occurring orders — the classic market-basket metrics. All
@@ -196,6 +250,43 @@ object ProductAnalytics {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+    // the identical simplified-PageRank formula unrolled: decimal
+    // contribution sums, double recombination, literal 0.15/0.85
+    "part_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+        |deg AS (SELECT src, cast(count(*) AS bigint) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT l_partkey AS part FROM li),
+        |nn AS (SELECT cast(count(*) AS bigint) AS n FROM nodes),
+        |pr0 AS (SELECT part, 1.0::DOUBLE / n AS pr FROM nodes, nn),
+        |it1 AS (
+        |  SELECT nodes.part,
+        |    0.15::DOUBLE / n + 0.85::DOUBLE * coalesce(cast(c.s AS DOUBLE), 0) AS pr
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS part, sum(cast(p.pr / d.outdeg AS decimal(38,18))) AS s
+        |    FROM edges e JOIN pr0 p ON e.src = p.part JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nodes.part = c.part, nn),
+        |it2 AS (
+        |  SELECT nodes.part,
+        |    0.15::DOUBLE / n + 0.85::DOUBLE * coalesce(cast(c.s AS DOUBLE), 0) AS pr
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS part, sum(cast(p.pr / d.outdeg AS decimal(38,18))) AS s
+        |    FROM edges e JOIN it1 p ON e.src = p.part JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nodes.part = c.part, nn),
+        |it3 AS (
+        |  SELECT nodes.part,
+        |    0.15::DOUBLE / n + 0.85::DOUBLE * coalesce(cast(c.s AS DOUBLE), 0) AS pr
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS part, sum(cast(p.pr / d.outdeg AS decimal(38,18))) AS s
+        |    FROM edges e JOIN it2 p ON e.src = p.part JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) c ON nodes.part = c.part, nn)
+        |SELECT cast(row_number() OVER (ORDER BY pr_ratio DESC, part) AS int) AS rk,
+        |  part, pr_ratio
+        |FROM (SELECT part, round(pr * n, 6) AS pr_ratio FROM it3, nn)
+        |ORDER BY pr_ratio DESC, part LIMIT 20""".stripMargin,
     "association_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |item AS (SELECT l_partkey, cast(count(*) AS bigint) AS n_item

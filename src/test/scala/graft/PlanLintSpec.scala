@@ -26,6 +26,7 @@ class PlanLintSpec extends SparkSpec {
     "unigram_logprob" -> "1-row vocab-total broadcast",
     "bigram_logprob" -> "1-row vocab-size broadcast",
     "hard_negatives" -> "1-row label-count broadcast",
+    "part_pagerank" -> "1-row node-count broadcast per round",
     // bounded QUERY-BATCH broadcast × one corpus scan — the
     // brute-force ANN baseline by design (the corpus side is never
     // broadcast or re-scanned; candidates ≤ corpus × NumQueries)
