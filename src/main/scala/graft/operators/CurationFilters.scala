@@ -123,6 +123,19 @@ object CurationFilters {
           array_join(slice(col("ws"), col("s"), lit(64)), " ").as("chunk_text"))
     }),
 
+    // Content-defined chunking: a boundary falls after token i
+    // wherever the rolling 4-token window's md5-derived hash ≡ 0
+    // (mod 8) — expected chunk ≈ 8 tokens, but the BOUNDARIES are a
+    // function of content, not offsets. That is the property fixed-
+    // stride chunking (doc_chunks) lacks: insert one word near the
+    // start of a document and every fixed-stride chunk after it
+    // changes, while CDC re-chunks only up to the next hash boundary
+    // — so chunk-level dedup/caching keeps matching everything
+    // downstream (the rolling-hash trick storage dedup is built on).
+    // Pure per-row array HOFs: no shuffle, no window; at 100 TB this
+    // is one scan-transform-write pass.
+    "cdc_chunks" -> ((s, dir) => cdcChunks(Tables(s, dir).documents)),
+
     // PII redaction over the events payload: mask email-shaped spans
     // then digit runs. Counts are taken on the ORIGINAL payload (an
     // email's digits count once as an email). Per-row map, no shuffle.
@@ -244,6 +257,44 @@ object CurationFilters {
     })
   )
 
+  /** Content-defined chunking: a boundary falls after token i
+    * wherever the rolling `w`-token window's md5-derived hash ≡ 0
+    * (mod `d`) — expected chunk ≈ d tokens, but the BOUNDARIES are a
+    * function of content, not offsets. That is the property fixed-
+    * stride chunking (doc_chunks) lacks: insert one word near the
+    * start of a document and every fixed-stride chunk after it
+    * changes, while CDC re-chunks only up to the next hash boundary
+    * (pinned by `CdcChunksSpec`) — so chunk-level dedup/caching keeps
+    * matching everything downstream, the rolling-hash trick storage
+    * dedup is built on. Pure per-row array HOFs: no shuffle, no
+    * window; at 100 TB this is one scan-transform-write pass.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 4, d: Int = 8): DataFrame = {
+    graft.functions.Md5Hash60.register(docs.sparkSession)
+    val ws = split(trim(col("text")), "\\s+")
+    val base = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), ws.as("ws"), size(ws).as("m"))
+    // candidate boundary positions i ∈ [w, m−1]: window full, last
+    // chunk non-empty. (sequence() descends when stop < start, so
+    // short docs guard to the empty array.)
+    val bnd = when(col("m") - 1 >= w,
+      filter(sequence(lit(w), col("m") - 1), i =>
+        pmod(graft.functions.Md5Hash60.md5_hash60(
+          concat_ws(" ", slice(col("ws"), i - w + 1, lit(w)))), lit(d)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val withB = base.select(col("doc_id"), col("ws"), bnd.as("bnd"))
+    val starts = concat(array(lit(1)), transform(col("bnd"), b => b + 1))
+    val ends = concat(col("bnd"), array(size(col("ws"))))
+    withB
+      .select(col("doc_id"), col("ws"),
+        posexplode(zip_with(starts, ends,
+          (a, b) => struct(a.as("st"), b.as("en")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("col.en") - col("col.st") + 1).cast("long").as("n_tokens"),
+        array_join(slice(col("ws"), col("col.st"),
+          col("col.en") - col("col.st") + 1), " ").as("chunk_text"))
+  }
+
   def oracles: Map[String, String] = Map(
     "sequence_packing" ->
       s"""WITH base AS (
@@ -341,6 +392,26 @@ object CurationFilters {
         |FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 48)) AS s
         |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |            FROM documents WHERE length(trim(text)) > 0))""".stripMargin,
+    "cdc_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |b AS (
+        |  SELECT doc_id, ws,
+        |    list_filter(range(4, len(ws)), i ->
+        |      ('0x' || substr(md5(array_to_string(list_slice(ws, i - 3, i), ' ')), 1, 15))::bigint % 8 = 0) AS bnd
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    list_prepend(1, list_transform(bnd, x -> x + 1)) AS starts,
+        |    list_append(bnd, len(ws)) AS ends
+        |  FROM b)
+        |SELECT doc_id, cast(i - 1 AS bigint) AS chunk_id,
+        |  cast(ends[i] - starts[i] + 1 AS bigint) AS n_tokens,
+        |  array_to_string(list_slice(ws, starts[i], ends[i]), ' ') AS chunk_text
+        |FROM (SELECT doc_id, ws, starts, ends,
+        |        unnest(range(1, len(starts) + 1)) AS i
+        |      FROM c)""".stripMargin,
     "pii_redact" ->
       """SELECT event_id,
         |  regexp_replace(
