@@ -111,10 +111,14 @@ object ProductAnalytics {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      // edges feed deg + one join per unrolled round — without the
+      // persist the basket self-join + distinct recomputes four times
       val edges = a.join(b, Seq("l_orderkey"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nodes = li.select(col("l_partkey").as("part")).distinct()
       val nn = nodes.agg(count(lit(1)).as("n"))
       var pr = nodes.crossJoin(broadcast(nn))

@@ -153,21 +153,29 @@ object TextAnalysis {
     // broadcast. Docs need ≥ 2 words to own a bigram. round(4)
     // absorbs last-ulp ln()/summation differences between engines.
     "bigram_logprob" -> ((s, dir) => {
-      val ws = split(trim(col("text")), "\\s+")
       val docs = Tables(s, dir).documents
-      val bi = docs.filter(size(ws) >= 2)
+      // materialize the split ONCE behind the generator boundary —
+      // referencing the split expression from inside the explode's
+      // downstream projection would re-run the regex per element_at
+      // under projection collapse (the PqEncode lesson, HOF edition)
+      val bi = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(ws) - 1),
-            i => struct(element_at(ws, i).as("v"),
-              element_at(ws, i + 1).as("w")))).as("b"))
-        .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+          element_at(col("ws"), col("i")).as("v"),
+          element_at(col("ws"), col("i") + 1).as("w"))
       val cvw = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
-      val cv = bi.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+      // context totals ride a window over the PAIR relation (bounded
+      // by distinct bigrams) instead of a second full-stream shuffle
+      val stats = cvw.withColumn("cv",
+        sum(col("cvw")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("v"))))
       val vocab = docs
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
         .agg(countDistinct(col("w")).as("vsize"))
-      bi.join(cvw.hint("shuffle_hash"), Seq("v", "w"))
-        .join(cv.hint("shuffle_hash"), Seq("v"))
+      bi.join(stats.hint("shuffle_hash"), Seq("v", "w"))
         .crossJoin(broadcast(vocab))
         .withColumn("nll", -log((col("cvw").cast("double") + lit(0.5)) /
           (col("cv").cast("double") + lit(0.5) * col("vsize").cast("double"))))

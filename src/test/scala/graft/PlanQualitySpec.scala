@@ -78,9 +78,41 @@ class PlanQualitySpec extends SparkSpec {
     val chunks = planOf("doc_chunks")
     assert(!chunks.contains("Exchange"),
       "doc_chunks introduced a shuffle — must stay a scan-transform pass")
+    val cdc = planOf("cdc_chunks")
+    assert(!cdc.contains("Exchange"),
+      "cdc_chunks introduced a shuffle — must stay a scan-transform pass")
     val pii = planOf("pii_redact")
     assert(!pii.contains("Exchange"),
       "pii_redact introduced a shuffle — must stay a scan-transform pass")
+  }
+
+  test("containment join: every join shuffles on its key, nothing corpus-sized broadcast") {
+    val p = planOf("dedup_containment")
+    assert(!p.contains("BroadcastExchange"),
+      "corpus-sized relation broadcast in the containment join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment join degenerated to pairwise compare")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 3,
+      "expected shuffle-hash probe×index join plus two verify joins")
+  }
+
+  test("phrase search prunes the token stream before any shuffle") {
+    val p = planOf("phrase_search")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the isin(phrase terms) filter must sit under the aggregate, so
+    // only phrase-term postings reach the (doc, start) shuffle
+    assert(p.contains("slow") && "HashAggregate".r.findAllIn(p).length >= 2,
+      "phrase-term pruning or partial aggregation lost")
+  }
+
+  test("pagerank rounds are keyed joins + partial aggregates, corpus never broadcast") {
+    val p = planOf("part_pagerank")
+    // only the 1-row node-count relation may broadcast; rank/edge
+    // relations shuffle on their keys every round
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 6,
+      "expected two keyed joins per unrolled round")
+    assert("HashAggregate".r.findAllIn(p).length >= 6,
+      "per-destination mass aggregate lost its partial combine")
   }
 
   test("oov_mask broadcasts only the tiny top-K vocabulary, not the token stream") {
