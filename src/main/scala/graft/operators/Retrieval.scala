@@ -132,28 +132,8 @@ object Retrieval {
     // any shuffle, the (doc, start) aggregate combines map-side, and
     // k is phrase length — cost tracks the phrase terms' document
     // frequency, never corpus size.
-    "phrase_search" -> ((s, dir) => {
-      val phrase = PhraseTerms
-      val terms = phrase.zipWithIndex
-        .map { case (t, i) => struct(lit(t).as("term"), lit(i).as("idx")) }
-      val tok = Tables(s, dir).documents
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")))
-        .withColumnRenamed("col", "w")
-        .filter(col("w").isin(phrase: _*))
-        // a token matches every phrase slot holding its word
-        .select(col("doc_id"), col("pos"), col("w"),
-          explode(array(terms: _*)).as("k"))
-        .filter(col("w") === col("k.term"))
-      tok
-        .groupBy(col("doc_id"), (col("pos") - col("k.idx")).as("start"))
-        .agg(count_distinct(col("k.idx")).as("n_slots"))
-        .filter(col("n_slots") === phrase.size && col("start") >= 0)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_matches"),
-          (min(col("start")) + 1).cast("int").as("first_pos"))
-    }),
+    "phrase_search" -> ((s, dir) =>
+      phraseSearch(Tables(s, dir).documents, PhraseTerms)),
 
     // Per-language P75 length gate: one exact-percentile aggregation
     // over few language groups, broadcast thresholds, map-side
@@ -172,6 +152,35 @@ object Retrieval {
           sum(col("n_chars")).as("kept_chars"))
     })
   )
+
+  /** Exact phrase occurrences per doc: (doc_id, n_matches,
+    * first_pos 1-based). Positional-postings intersection — counts
+    * OVERLAPPING occurrences and handles repeated phrase terms
+    * ("a a" occurs twice in "a a a"), which substring
+    * replace-counting does not. See the `phrase_search` entry for the
+    * scale argument.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    val terms = phrase.zipWithIndex
+      .map { case (t, i) => struct(lit(t).as("term"), lit(i).as("idx")) }
+    val tok = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")))
+      .withColumnRenamed("col", "w")
+      .filter(col("w").isin(phrase: _*))
+      // a token matches every phrase slot holding its word
+      .select(col("doc_id"), col("pos"), col("w"),
+        explode(array(terms: _*)).as("k"))
+      .filter(col("w") === col("k.term"))
+    tok
+      .groupBy(col("doc_id"), (col("pos") - col("k.idx")).as("start"))
+      .agg(count_distinct(col("k.idx")).as("n_slots"))
+      .filter(col("n_slots") === phrase.size && col("start") >= 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("start")) + 1).cast("int").as("first_pos"))
+  }
 
   def oracles: Map[String, String] = Map(
     "inverted_index" ->

@@ -152,37 +152,8 @@ object TextAnalysis {
     // worst — never broadcast), scalar V rides in as a 1-row
     // broadcast. Docs need ≥ 2 words to own a bigram. round(4)
     // absorbs last-ulp ln()/summation differences between engines.
-    "bigram_logprob" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      // materialize the split ONCE behind the generator boundary —
-      // referencing the split expression from inside the explode's
-      // downstream projection would re-run the regex per element_at
-      // under projection collapse (the PqEncode lesson, HOF edition)
-      val bi = docs.filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
-        .select(col("doc_id"),
-          element_at(col("ws"), col("i")).as("v"),
-          element_at(col("ws"), col("i") + 1).as("w"))
-      val cvw = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
-      // context totals ride a window over the PAIR relation (bounded
-      // by distinct bigrams) instead of a second full-stream shuffle
-      val stats = cvw.withColumn("cv",
-        sum(col("cvw")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("v"))))
-      val vocab = docs
-        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-        .agg(countDistinct(col("w")).as("vsize"))
-      bi.join(stats.hint("shuffle_hash"), Seq("v", "w"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("nll", -log((col("cvw").cast("double") + lit(0.5)) /
-          (col("cv").cast("double") + lit(0.5) * col("vsize").cast("double"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(col("nll")), 4).as("avg_nll"))
-    }),
+    "bigram_logprob" -> ((s, dir) =>
+      bigramLogprob(Tables(s, dir).documents)),
 
     // Duplicated-span metric (Lee et al.'s substring-dedup signal,
     // bounded to word 8-grams): per doc, the fraction of its distinct
@@ -325,6 +296,41 @@ object TextAnalysis {
         .agg(min(col("h")).as("fingerprint"))
     })
   )
+
+  /** Per-doc average −ln P(w|v) under a corpus-trained add-k bigram
+    * LM (k = 0.5): (doc_id, n_bigrams, avg_nll). See the
+    * `bigram_logprob` entry for the model and scale notes.
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    // materialize the split ONCE behind the generator boundary —
+    // referencing the split expression from inside the explode's
+    // downstream projection would re-run the regex per element_at
+    // under projection collapse (the PqEncode lesson, HOF edition)
+    val bi = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("v"),
+        element_at(col("ws"), col("i") + 1).as("w"))
+    val cvw = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    // context totals ride a window over the PAIR relation (bounded
+    // by distinct bigrams) instead of a second full-stream shuffle
+    val stats = cvw.withColumn("cv",
+      sum(col("cvw")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v"))))
+    val vocab = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .agg(countDistinct(col("w")).as("vsize"))
+    bi.join(stats.hint("shuffle_hash"), Seq("v", "w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("cvw").cast("double") + lit(0.5)) /
+        (col("cv").cast("double") + lit(0.5) * col("vsize").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+  }
 
   def oracles: Map[String, String] = Map(
     "text_tokens" ->
