@@ -111,13 +111,19 @@ object ProductAnalytics {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      // edges feed deg + one join per unrolled round — without the
-      // persist the basket self-join + distinct recomputes four times
+      // edges persist WITH outdeg attached (count window over the
+      // src-partitioned pass) — the degree join is loop-invariant, so
+      // folding it into the cached relation leaves each unrolled
+      // round only the rank join; and because the cached scan reports
+      // hash(src) partitioning, only the (node-sized) rank side
+      // shuffles per round — the edge side never re-exchanges.
+      // Without the persist the basket self-join + distinct
+      // recomputes four times
       val edges = a.join(b, Seq("l_orderkey"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nodes = li.select(col("l_partkey").as("part")).distinct()
       val nn = nodes.agg(count(lit(1)).as("n"))
@@ -127,7 +133,6 @@ object ProductAnalytics {
         val contrib = edges
           .join(pr.withColumnRenamed("part", "src").hint("shuffle_hash"),
             Seq("src"))
-          .join(deg.hint("shuffle_hash"), Seq("src"))
           .groupBy(col("dst"))
           .agg(sum((col("pr") / col("outdeg")).cast("decimal(38,18)")).as("s"))
         pr = nodes

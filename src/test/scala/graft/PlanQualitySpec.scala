@@ -107,12 +107,15 @@ class PlanQualitySpec extends SparkSpec {
 
   test("pagerank rounds are keyed joins + partial aggregates, corpus never broadcast") {
     val p = planOf("part_pagerank")
-    // only the 1-row node-count relation may broadcast; rank/edge
-    // relations shuffle on their keys every round
-    assert("ShuffledHashJoin".r.findAllIn(p).length >= 6,
-      "expected two keyed joins per unrolled round")
+    // only the 1-row node-count relation may broadcast; the rank
+    // relation shuffles on its key every round while the cached
+    // (edges ⋈ outdeg) side keeps its hash(src) partitioning
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 3,
+      "expected a keyed rank join per unrolled round")
     assert("HashAggregate".r.findAllIn(p).length >= 6,
       "per-destination mass aggregate lost its partial combine")
+    assert(p.contains("InMemoryTableScan"),
+      "edge relation lost its persist — basket self-join recomputes per round")
   }
 
   test("oov_mask broadcasts only the tiny top-K vocabulary, not the token stream") {
