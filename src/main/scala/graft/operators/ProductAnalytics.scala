@@ -151,6 +151,37 @@ object ProductAnalytics {
           col("col.id").as("part"), col("col.score").as("pr_ratio"))
     }),
 
+    // Per-part triangle participation over the co-purchase graph —
+    // the third of the graph trio (PageRank, connected components,
+    // triangles). Edges are degree-ORIENTED (low-(deg,id) endpoint →
+    // high) before the wedge join: every triangle is generated
+    // exactly once from its minimum endpoint, and a node's oriented
+    // out-degree is O(√m) regardless of raw degree, so the wedge
+    // explode is bounded by Σ outdeg² = O(m^1.5) — a hub part with a
+    // million co-purchases cannot blow up a shuffle bucket (the
+    // id-ordered variant would square the hub's degree). The wedge
+    // join and the closing-edge join are keyed shuffle-hash
+    // equi-joins over the ONE persisted oriented edge relation;
+    // per-part counts combine map-side; top-20 leaves through the
+    // bounded heap, not a global window.
+    "part_triangles" -> ((s, dir) => {
+      graft.functions.TopKByScore.register(s)
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val und = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      triangleParticipation(und)
+        .agg(graft.functions.TopKByScore
+          .topk_by_score(col("n_tri").cast("double"), col("part"), 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("part"),
+          col("col.score").cast("bigint").as("n_tri"))
+    }),
+
     // Association rules over the co-occurrence pairs: support,
     // confidence and lift for every directed rule a→b with at least
     // 2 co-occurring orders — the classic market-basket metrics. All
@@ -211,6 +242,47 @@ object ProductAnalytics {
           col("col.id").as("o_custkey"), col("col.score").as("total_spend"))
     })
   )
+
+  /** Per-node triangle participation counts (part, n_tri) over an
+    * undirected edge list `und` with columns (u, v), u < v, no
+    * duplicates. Nodes in no triangle are absent. See the
+    * `part_triangles` entry for the degree-orientation scale argument.
+    */
+  def triangleParticipation(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("p"))
+      .unionAll(und.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val e = und
+      .join(deg.select(col("p").as("u"), col("d").as("du"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("p").as("v"), col("d").as("dv"))
+        .hint("shuffle_hash"), Seq("v"))
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        // carry the DESTINATION's (deg, id) so wedge legs order
+        // without re-joining degrees
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      // hash(src) persists with the cache and satisfies BOTH
+      // downstream joins' distributions — the wedge self-join
+      // co-partitions on src with zero exchanges, and the closing
+      // join's e side is already clustered on y (= src, a subset of
+      // its (y, z) keys), so only the wedge stream shuffles
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = e.as("e1")
+      .join(e.as("e2").hint("shuffle_hash"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.ddeg"), col("e1.dst")) <
+            struct(col("e2.ddeg"), col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val tri = wedges.join(
+      e.select(col("src").as("y"), col("dst").as("z")).hint("shuffle_hash"),
+      Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+  }
 
   def oracles: Map[String, String] = Map(
     "events_funnel" ->
@@ -296,6 +368,32 @@ object ProductAnalytics {
         |  part, pr_ratio
         |FROM (SELECT part, round(pr * n, 6) AS pr_ratio FROM it3, nn)
         |ORDER BY pr_ratio DESC, part LIMIT 20""".stripMargin,
+    // identical degree-oriented triangle enumeration: every triangle
+    // counted once from its (deg, id)-minimum endpoint
+    "part_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT p, cast(count(*) AS bigint) AS d FROM (
+        |  SELECT u AS p FROM und UNION ALL SELECT v AS p FROM und) GROUP BY p),
+        |e AS (
+        |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS ddeg
+        |  FROM und JOIN deg du ON und.u = du.p JOIN deg dv ON und.v = dv.p),
+        |tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+        |  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |parts AS (SELECT x AS part FROM tri UNION ALL
+        |          SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT cast(row_number() OVER (ORDER BY n_tri DESC, part ASC) AS int) AS rk,
+        |  part, n_tri
+        |FROM (SELECT part, cast(count(*) AS bigint) AS n_tri FROM parts GROUP BY part)
+        |ORDER BY n_tri DESC, part ASC LIMIT 20""".stripMargin,
     "association_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |item AS (SELECT l_partkey, cast(count(*) AS bigint) AS n_item

@@ -118,6 +118,18 @@ class PlanQualitySpec extends SparkSpec {
       "edge relation lost its persist — basket self-join recomputes per round")
   }
 
+  test("triangle count wedges and closes over the one cached oriented edge list") {
+    val p = planOf("part_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "wedge ordering predicate must ride the src equi-join, not a theta join")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 3,
+      "degree attach, wedge, or closing join lost its keyed shuffle-hash shape")
+    assert(p.contains("InMemoryTableScan"),
+      "oriented edge relation lost its persist")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-part triangle count lost its partial combine")
+  }
+
   test("oov_mask broadcasts only the tiny top-K vocabulary, not the token stream") {
     val p = planOf("oov_mask")
     assert(p.contains("BroadcastHashJoin"),
