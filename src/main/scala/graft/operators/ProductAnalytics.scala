@@ -111,39 +111,11 @@ object ProductAnalytics {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      // edges persist WITH outdeg attached (count window over the
-      // src-partitioned pass) — the degree join is loop-invariant, so
-      // folding it into the cached relation leaves each unrolled
-      // round only the rank join; and because the cached scan reports
-      // hash(src) partitioning, only the (node-sized) rank side
-      // shuffles per round — the edge side never re-exchanges.
-      // Without the persist the basket self-join + distinct
-      // recomputes four times
       val edges = a.join(b, Seq("l_orderkey"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct()
-        .withColumn("outdeg", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nodes = li.select(col("l_partkey").as("part")).distinct()
-      val nn = nodes.agg(count(lit(1)).as("n"))
-      var pr = nodes.crossJoin(broadcast(nn))
-        .select(col("part"), (lit(1.0) / col("n")).as("pr"))
-      for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(pr.withColumnRenamed("part", "src").hint("shuffle_hash"),
-            Seq("src"))
-          .groupBy(col("dst"))
-          .agg(sum((col("pr") / col("outdeg")).cast("decimal(38,18)")).as("s"))
-        pr = nodes
-          .join(contrib.withColumnRenamed("dst", "part"), Seq("part"), "left")
-          .crossJoin(broadcast(nn))
-          .select(col("part"),
-            (lit(0.15) / col("n") +
-              lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
-      }
-      pr.crossJoin(broadcast(nn))
-        .select(col("part"), round(col("pr") * col("n"), 6).as("pr_ratio"))
+      pageRankRatios(nodes, edges, rounds = 3)
         .agg(graft.functions.TopKByScore
           .topk_by_score(col("pr_ratio"), col("part"), 20).as("top"))
         .select(posexplode(col("top")))
@@ -242,6 +214,47 @@ object ProductAnalytics {
           col("col.id").as("o_custkey"), col("col.score").as("total_spend"))
     })
   )
+
+  /** Fixed-iteration PageRank normalized to uniform-rank ratio:
+    * (part, pr_ratio = round(pr·N, 6)). `nodes` (one `part` column)
+    * may include isolated vertices — they keep the (1−d)/N floor;
+    * `edges` (src, dst) is the directed, deduplicated edge list.
+    * See the `part_pagerank` entry for the iterative-dataflow and
+    * bit-exactness notes.
+    */
+  def pageRankRatios(nodes: DataFrame, edges: DataFrame,
+                     rounds: Int): DataFrame = {
+    // edges persist WITH outdeg attached (count window over the
+    // src-partitioned pass) — the degree join is loop-invariant, so
+    // folding it into the cached relation leaves each unrolled
+    // round only the rank join; and because the cached scan reports
+    // hash(src) partitioning, only the (node-sized) rank side
+    // shuffles per round — the edge side never re-exchanges.
+    // Without the persist the upstream (here, the basket self-join
+    // + distinct) recomputes once per round
+    val ed = edges
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select(col("part"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to rounds) {
+      val contrib = ed
+        .join(pr.withColumnRenamed("part", "src").hint("shuffle_hash"),
+          Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum((col("pr") / col("outdeg")).cast("decimal(38,18)")).as("s"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dst", "part"), Seq("part"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("part"),
+          (lit(0.15) / col("n") +
+            lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+    }
+    pr.crossJoin(broadcast(nn))
+      .select(col("part"), round(col("pr") * col("n"), 6).as("pr_ratio"))
+  }
 
   /** Per-node triangle participation counts (part, n_tri) over an
     * undirected edge list `und` with columns (u, v), u < v, no
