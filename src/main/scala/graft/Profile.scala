@@ -21,6 +21,9 @@ object Profile {
           org.apache.spark.sql.execution.FormattedMode))
       }
       val times = (1 to 3).map { _ =>
+        // --clear reproduces the bench harness's per-query isolation
+        // (fresh plan + codegen + no reused persists each repeat)
+        if (args.contains("--clear")) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

@@ -72,16 +72,12 @@ object ProductAnalytics {
     }),
 
     // market-basket co-occurrence: part pairs bought in the same
-    // order; the self-join is keyed on the order and the quadratic
-    // blowup is bounded by per-order basket size (≤ a handful of
-    // lines), so cost stays linear in orders at any scale
+    // order; pairs explode narrowly out of the per-order basket set
+    // ([[baskets]]) and the quadratic blowup is bounded by basket
+    // size (≤ a handful of lines), so cost stays linear in orders
     "part_cooccurrence" -> ((s, dir) => {
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey"))
-        .filter(col("part_a") < col("part_b"))
+      basketPairs(baskets(Tables(s, dir).lineitem), ordered = true)
+        .select(col("a").as("part_a"), col("b").as("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
@@ -107,14 +103,11 @@ object ProductAnalytics {
     // the bounded heap, not a global window.
     "part_pagerank" -> ((s, dir) => {
       graft.functions.TopKByScore.register(s)
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      val edges = a.join(b, Seq("l_orderkey"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
-      val nodes = li.select(col("l_partkey").as("part")).distinct()
+      val bk = baskets(Tables(s, dir).lineitem)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = basketPairs(bk, ordered = false)
+        .select(col("a").as("src"), col("b").as("dst")).distinct()
+      val nodes = bk.select(explode(col("parts")).as("part")).distinct()
       pageRankRatios(nodes, edges, rounds = 3)
         .agg(graft.functions.TopKByScore
           .topk_by_score(col("pr_ratio"), col("part"), 20).as("top"))
@@ -138,13 +131,8 @@ object ProductAnalytics {
     // bounded heap, not a global window.
     "part_triangles" -> ((s, dir) => {
       graft.functions.TopKByScore.register(s)
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
-      val und = a.join(b, Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
+      val und = basketPairs(baskets(Tables(s, dir).lineitem), ordered = true)
+        .select(col("a").as("u"), col("b").as("v")).distinct()
       triangleParticipation(und)
         .agg(graft.functions.TopKByScore
           .topk_by_score(col("n_tri").cast("double"), col("part"), 20).as("top"))
@@ -161,18 +149,15 @@ object ProductAnalytics {
     // doubles, so both engines agree bit-for-bit. The basket total
     // joins in as a 1-row broadcast.
     "association_rules" -> ((s, dir) => {
-      val li = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val pairs = a.join(b, Seq("l_orderkey"))
-        .filter(col("part_a") =!= col("part_b")) // directed: keep both orders
-        .groupBy(col("part_a"), col("part_b"))
+      val bk = baskets(Tables(s, dir).lineitem)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val itemN = bk.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val pairs = basketPairs(bk, ordered = false) // directed: keep both orders
+        .groupBy(col("a").as("part_a"), col("b").as("part_b"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2)
-      val total = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
+      val total = bk.agg(count(lit(1)).as("n_orders"))
       pairs
         .join(itemN.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")),
           Seq("part_a"))
@@ -215,6 +200,32 @@ object ProductAnalytics {
     })
   )
 
+  /** One row per order: the deduplicated basket as an array — the
+    * shared first stage of every market-basket query. ONE
+    * map-side-combined shuffle on the order key replaces the previous
+    * three wide ops (distinct on (order, part), self-join on order,
+    * pair distinct): pairs fall out of a narrow double explode of the
+    * basket array, already deduplicated within the order because the
+    * basket is a set. Basket size is bounded by order line count, so
+    * the explode is O(lines × basket), never corpus-quadratic.
+    */
+  def baskets(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+
+  /** Per-order co-purchase pairs from the basket relation: one output
+    * row per (order, a, b). `ordered` keeps a < b (undirected graphs,
+    * co-occurrence counts); otherwise both directions minus the
+    * diagonal (directed rules, PageRank edges).
+    */
+  def basketPairs(bk: DataFrame, ordered: Boolean): DataFrame = {
+    val p = bk.select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+    if (ordered) p.filter(col("a") < col("b"))
+    else p.filter(col("a") =!= col("b"))
+  }
+
   /** Fixed-iteration PageRank normalized to uniform-rank ratio:
     * (part, pr_ratio = round(pr·N, 6)). `nodes` (one `part` column)
     * may include isolated vertices — they keep the (1−d)/N floor;
@@ -236,8 +247,12 @@ object ProductAnalytics {
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(broadcast(nn))
+    // nodes persist too: the relation feeds the init, every round's
+    // left join, and the count — unpersisted, each reference replays
+    // the whole upstream (a lineitem scan + distinct per round)
+    val nd = nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = nd.agg(count(lit(1)).as("n"))
+    var pr = nd.crossJoin(broadcast(nn))
       .select(col("part"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to rounds) {
       val contrib = ed
@@ -245,8 +260,9 @@ object ProductAnalytics {
           Seq("src"))
         .groupBy(col("dst"))
         .agg(sum((col("pr") / col("outdeg")).cast("decimal(38,18)")).as("s"))
-      pr = nodes
-        .join(contrib.withColumnRenamed("dst", "part"), Seq("part"), "left")
+      pr = nd
+        .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
+          Seq("part"), "left")
         .crossJoin(broadcast(nn))
         .select(col("part"),
           (lit(0.15) / col("n") +
@@ -261,7 +277,11 @@ object ProductAnalytics {
     * duplicates. Nodes in no triangle are absent. See the
     * `part_triangles` entry for the degree-orientation scale argument.
     */
-  def triangleParticipation(und: DataFrame): DataFrame = {
+  def triangleParticipation(undIn: DataFrame): DataFrame = {
+    // the edge list feeds the degree count (twice, via the union) and
+    // the orientation join — persist it or the upstream basket
+    // self-join replays three times
+    val und = undIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("p"))
       .unionAll(und.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))

@@ -27,6 +27,9 @@ class PlanLintSpec extends SparkSpec {
     "bigram_logprob" -> "1-row vocab-size broadcast",
     "hard_negatives" -> "1-row label-count broadcast",
     "part_pagerank" -> "1-row node-count broadcast per round",
+    "dsir_weights" -> "1-row LM-totals broadcast",
+    "source_kl" -> "1-row corpus-total broadcast",
+    "pmi_collocations" -> "1-row pair/token-total broadcast",
     // bounded QUERY-BATCH broadcast × one corpus scan — the
     // brute-force ANN baseline by design (the corpus side is never
     // broadcast or re-scanned; candidates ≤ corpus × NumQueries)
