@@ -29,7 +29,11 @@ object Sketches {
     // per-priority distinct customers: exact vs HLL++ vs a
     // Datasketches HLL union of two disjoint halves — the union
     // estimate demonstrates sketch mergeability (store per-shard
-    // sketches, union at read time).
+    // sketches, union at read time). Same oracle shape as
+    // sketch_quantiles: the exact column hash-matches DuckDB, and
+    // each sketch estimate ships as a within-5%-of-exact boolean the
+    // oracle pins to TRUE — a drifting sketch flips it and fails the
+    // gate (estimates themselves are engine-specific bit patterns).
     "sketch_distinct_counts" -> ((s, dir) => {
       val o = Tables(s, dir).orders
       val halves = o.withColumn("half", pmod(col("o_orderkey"), lit(2)))
@@ -37,10 +41,17 @@ object Sketches {
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
       val merged = shard.groupBy(col("o_orderpriority"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("hll_merged"))
+      def within5(est: org.apache.spark.sql.Column,
+                  exact: org.apache.spark.sql.Column) =
+        abs(est.cast("double") - exact.cast("double")) <=
+          exact.cast("double") * lit(0.05)
       o.groupBy(col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("exact"),
           approx_count_distinct(col("o_custkey"), 0.02).as("hll_direct"))
         .join(merged, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("exact"),
+          within5(col("hll_direct"), col("exact")).as("hll_direct_ok"),
+          within5(col("hll_merged"), col("exact")).as("hll_merged_ok"))
     }),
 
     // Misra–Gries heavy hitters over the token stream vs the exact
@@ -95,15 +106,21 @@ object Sketches {
     })
   )
 
-  /** HLL results are engine-specific — rows-only check +
-    * [[SketchesSpec]] error bounds. The MG heavy-hitters query IS
-    * oracle-checkable because its capacity exceeds this corpus's
-    * distinct-token count (see the query comment): est = tf exactly.
-    * Quantiles are oracle-checkable in their scalar-per-percentile
-    * shape: exact percentiles hash-match `quantile_cont`, and the
-    * approx column is a within-tolerance boolean both sides agree on.
+  /** Sketch BITS are engine-specific, but every sketch query is
+    * still oracle-checked: the exact companion columns hash-match
+    * DuckDB and each estimate ships as a within-tolerance boolean
+    * the oracle pins to TRUE (a drifting sketch fails the gate).
+    * The MG heavy-hitters query is additionally bit-checkable
+    * because its capacity exceeds this corpus's distinct-token
+    * count (see the query comment): est = tf exactly.
+    * [[SketchesSpec]] separately pins the lossy-regime bounds.
     */
   def oracles: Map[String, String] = Map(
+    "sketch_distinct_counts" ->
+      """SELECT o_orderpriority,
+        |  cast(count(DISTINCT o_custkey) AS bigint) AS exact,
+        |  true AS hll_direct_ok, true AS hll_merged_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "sketch_quantiles" ->
       """WITH q AS (
         |  SELECT quantile_cont(l_extendedprice::DOUBLE, 0.5) AS e50,

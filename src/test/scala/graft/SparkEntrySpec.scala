@@ -14,11 +14,10 @@ class SparkEntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // rows-only queries are allowed but must be a conscious choice:
-    // HLL sketch estimates are engine-specific and can't hash-match
-    // exact SQL — spec-verified instead (error bounds in SketchesSpec)
-    val rowsOnly = Set("sketch_distinct_counts")
-    assert((q -- o) == rowsOnly, s"queries without oracles: ${q -- o}")
+    // every query is oracle-checked — sketch queries ship exact
+    // companion columns plus oracle-pinned within-tolerance booleans
+    // instead of engine-specific sketch bits
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
   }
 
   test("oracle SQL never references tables outside the testdata set") {

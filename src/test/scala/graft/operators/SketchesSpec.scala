@@ -13,13 +13,12 @@ class SketchesSpec extends SparkSpec {
       .collect()
     assert(rows.length == 5) // one row per order priority
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact").toDouble
-      val direct = r.getAs[Long]("hll_direct").toDouble
-      val merged = r.getAs[Long]("hll_merged").toDouble
-      assert(math.abs(direct - exact) / exact < 0.05,
-        s"approx_count_distinct off: $direct vs $exact")
-      assert(math.abs(merged - exact) / exact < 0.05,
-        s"merged HLL union off: $merged vs $exact")
+      assert(r.getAs[Long]("exact") > 0L)
+      // the query carries the 5% bound as oracle-pinned booleans
+      assert(r.getAs[Boolean]("hll_direct_ok"),
+        s"approx_count_distinct off for ${r.get(0)}")
+      assert(r.getAs[Boolean]("hll_merged_ok"),
+        s"merged HLL union off for ${r.get(0)}")
     }
   }
 
