@@ -291,4 +291,28 @@ class PlanQualitySpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
       "MG summary lost map-side partial aggregation — full token stream would shuffle")
   }
+
+  test("weighted sample prunes the text column and heap-aggregates partially") {
+    val p = planOf("weighted_sample")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"),
+      s"A-ES sampling needs only (doc_id, source, n_chars); scan reads: $readSchema")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "per-source reservoir lost map-side partial heap aggregation")
+  }
+
+  test("DSIR weights: token-keyed shuffle join, bounded top-k, LM never broadcast") {
+    val p = planOf("dsir_weights")
+    assert(p.contains("ShuffledHashJoin"),
+      "token↔LM join must shuffle on the token key (the LM is vocab-sized)")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 select degenerated to a global sort")
+  }
+
+  test("PMI: unigram joins shuffle on token keys, top-20 bounded") {
+    val p = planOf("pmi_collocations")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 2,
+      "both unigram-role joins must shuffle (unigram table is vocab-sized)")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
