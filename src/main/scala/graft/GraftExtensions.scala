@@ -13,6 +13,9 @@ import graft.functions.{CosineSimilarity, HeavyHitters, HyperplaneSig, IvfCell, 
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // grouped-top-k window filters plan as bounded-heap aggregates
+    // (see graft.plans.WindowTopKToHeap for the soundness guards)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKToHeap)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -17,6 +17,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // custom Catalyst surface: native expressions + the
+      // window-top-k → heap-aggregate optimizer rule
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // the 100-entry default thrashes on a 100+-query suite: every
