@@ -18,12 +18,18 @@ import org.apache.spark.sql.types._
   *
   * Why this exists (SURVEY.md §7.5): the window formulation
   * (`row_number() OVER (PARTITION BY q ORDER BY score DESC) <= k`)
-  * shuffles EVERY scored row to rank them — at 100 TB the corpus ×
-  * queries scored set is the dominant data volume. A
-  * TypedImperativeAggregate keeps a k-element min-heap per partition
-  * (partial aggregation, map-side combined), so only `k` rows per
-  * partition per group ever cross the wire. Same results, shuffle
-  * reduced from O(corpus) to O(partitions × k).
+  * ranks by SORTING. Spark 4's `InferWindowGroupLimit` does cap its
+  * shuffle at k rows per map partition per group, but it finds them
+  * by fully sorting every map partition — O(n log n) comparisons on
+  * the corpus — and sorts again after the exchange before the Window
+  * pass. This TypedImperativeAggregate keeps a k-element min-heap
+  * per partition (partial aggregation, map-side combined): the same
+  * O(partitions × k) shuffle volume, but one O(n log k) streaming
+  * scan instead of two sorts and a window. At 100 TB the corpus ×
+  * queries scored set is the dominant data volume, and not sorting
+  * it is the difference that matters. The optimizer rule
+  * [[graft.plans.WindowTopKToHeap]] rewrites guarded window
+  * formulations into this aggregate automatically.
   */
 case class TopKByScore(
     score: Expression,

@@ -122,9 +122,10 @@ object CorpusMixture {
     * (Efraimidis–Spirakis): rank by ln(u)/weight descending, u a
     * deterministic 50-bit md5-derived uniform in (0,1] — byte-for-byte
     * reproducible in SQL, no RNG state. The per-source top-k runs in
-    * the bounded-heap aggregate, so only k rows per partition per
-    * source reach the shuffle — the window formulation would shuffle
-    * every doc to rank it.
+    * the bounded-heap aggregate: k rows per partition per source
+    * reach the shuffle and nothing is ever sorted (the window
+    * formulation pays two sorts even with Spark's group-limit cap —
+    * see TopKByScore's scaladoc).
     */
   def weightedSample(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession

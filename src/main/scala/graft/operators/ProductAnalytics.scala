@@ -177,11 +177,11 @@ object ProductAnalytics {
 
     // grouped top-k: top-3 customers by spend within every nation.
     // Planned through the bounded-heap TypedImperativeAggregate
-    // (functions.TopKByScore) instead of a window rank: the window
-    // formulation shuffles EVERY customer row into the per-nation
-    // sort, while the heap keeps k entries per partition per nation
-    // and combines map-side — only partitions×k rows cross the wire.
-    // Same results (score DESC, id ASC tie-break in both).
+    // (functions.TopKByScore) instead of a window rank: same shuffle
+    // volume as Spark 4's WindowGroupLimit-capped window, but one
+    // O(n log k) heap scan replaces its two sorts + window pass (see
+    // TopKByScore's scaladoc). Same results (score DESC, id ASC
+    // tie-break in both).
     "top_customers_per_nation" -> ((s, dir) => {
       graft.functions.TopKByScore.register(s)
       val t = Tables(s, dir)
