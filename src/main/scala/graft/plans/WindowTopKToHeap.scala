@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 import graft.functions.TopKByScore
 
@@ -31,12 +31,16 @@ import graft.functions.TopKByScore
   *    with a non-empty partitionSpec;
   *  - the filter is `rk <= lit` / `rk < lit` / `rk = 1` and
   *    references nothing but rk;
-  *  - the ordering is exactly (score: double DESC, id: long ASC) on
-  *    NON-NULLABLE child attributes (the heap skips nulls, the window
-  *    ranks them NULLS LAST — non-nullability makes the behaviors
-  *    identical). Note most arithmetic (`%`, `/`, `sum`) is
-  *    statically nullable; wrap the score in `coalesce(s, lit(…))`
-  *    to declare the null semantics and activate the rewrite;
+  *  - the ordering is exactly (score DESC, id ASC) on NON-NULLABLE
+  *    child attributes (the heap skips nulls, the window ranks them
+  *    NULLS LAST — non-nullability makes the behaviors identical).
+  *    Note most arithmetic (`%`, `/`, `sum`) is statically nullable;
+  *    wrap the score in `coalesce(s, lit(…))` to declare the null
+  *    semantics and activate the rewrite. Score may be double, float
+  *    or int (float/int embed EXACTLY into the heap's double, so the
+  *    cast in and back out preserves both order and value — long
+  *    scores are refused: above 2^53 a double collapses distinct
+  *    longs). Id may be long or int;
   *  - every column consumed above is one of partition ∪ {rk, score,
   *    id}: any other column makes heap output underdetermined — and
   *    conversely, under this guard two rows tying on (score, id) in a
@@ -87,13 +91,13 @@ object WindowTopKToHeap extends Rule[LogicalPlan] {
         case _ => None
       }
       if k >= 1
-      // ordering: (score double DESC, id long ASC), both non-nullable
-      // child attributes
+      // ordering: (score DESC, id ASC), both non-nullable child
+      // attributes of exactly-double-embeddable / long-embeddable type
       (score, id) <- w.orderSpec match {
         case Seq(SortOrder(s: AttributeReference, Descending, _, _),
                  SortOrder(i: AttributeReference, Ascending, _, _))
-          if s.dataType == DoubleType && !s.nullable &&
-             i.dataType == LongType && !i.nullable => Some((s, i))
+          if scoreTypes(s.dataType) && !s.nullable &&
+             idTypes(i.dataType) && !i.nullable => Some((s, i))
         case _ => None
       }
       parts <- Some(w.partitionSpec).collect {
@@ -103,8 +107,13 @@ object WindowTopKToHeap extends Rule[LogicalPlan] {
       allowed = AttributeSet(parts ++ Seq(rkAttr, score, id))
       if consumed.forall(_.references.subsetOf(allowed))
     } yield {
+      val scoreIn =
+        if (score.dataType == DoubleType) score: Expression
+        else Cast(score, DoubleType)
+      val idIn =
+        if (id.dataType == LongType) id: Expression else Cast(id, LongType)
       val topAlias = Alias(
-        TopKByScore(score, id, Literal(k)).toAggregateExpression(), "top")()
+        TopKByScore(scoreIn, idIn, Literal(k)).toAggregateExpression(), "top")()
       val agg = Aggregate(parts, parts :+ topAlias, w.child)
       val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
       val entryType = StructType(Seq(
@@ -113,16 +122,30 @@ object WindowTopKToHeap extends Rule[LogicalPlan] {
       val gen = Generate(PosExplode(topAlias.toAttribute),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(posAttr, colAttr), child = agg)
-      // re-emit rk/score/id under their ORIGINAL exprIds so every
-      // consumer above resolves unchanged
+      // re-emit rk/score/id under their ORIGINAL exprIds (and
+      // original types — the double→float / long→int casts are exact
+      // round-trips for values that entered through the widening
+      // cast) so every consumer above resolves unchanged
+      val scoreOut: Expression = {
+        val f = GetStructField(colAttr, 0, Some("score"))
+        if (score.dataType == DoubleType) f else Cast(f, score.dataType)
+      }
+      val idOut: Expression = {
+        val f = GetStructField(colAttr, 1, Some("id"))
+        if (id.dataType == LongType) f else Cast(f, id.dataType)
+      }
       Project(
         parts.map(a => a: NamedExpression) ++ Seq(
           Alias(Add(posAttr, Literal(1)), rkAttr.name)(exprId = rkAttr.exprId),
-          Alias(GetStructField(colAttr, 0, Some("score")), score.name)(
-            exprId = score.exprId),
-          Alias(GetStructField(colAttr, 1, Some("id")), id.name)(
-            exprId = id.exprId)),
+          Alias(scoreOut, score.name)(exprId = score.exprId),
+          Alias(idOut, id.name)(exprId = id.exprId)),
         gen)
     }
   }
+
+  private def scoreTypes(dt: DataType): Boolean =
+    dt == DoubleType || dt == FloatType || dt == IntegerType
+
+  private def idTypes(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType
 }

@@ -100,6 +100,30 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(planOf(q).contains("Window"), "fired on a nullable score column")
   }
 
+  test("float score + int id fire with exact round-trip values; long score refused") {
+    val typed = spark.range(5000).select(
+      coalesce(pmod(col("id"), lit(11L)), lit(0L)).as("g"),
+      xxhash64(col("id")).cast("float").as("score"),
+      col("id").cast("int").as("iid"))
+    val wT = Window.partitionBy(col("g")).orderBy(desc("score"), asc("iid"))
+    val q = typed.withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 4).select(col("g"), col("rk"), col("iid"), col("score"))
+    assert(!planOf(q).contains("Window"), planOf(q).take(1200))
+    val got = q.collect()
+    assert(got.nonEmpty)
+    // output schema keeps the original types
+    assert(q.schema("score").dataType.typeName == "float")
+    assert(q.schema("iid").dataType.typeName == "integer")
+    // long scores must refuse: doubles collapse distinct longs > 2^53
+    val wL = Window.partitionBy(col("g")).orderBy(desc("lscore"), asc("id"))
+    val ql = spark.range(5000).select(
+      coalesce(pmod(col("id"), lit(11L)), lit(0L)).as("g"),
+      xxhash64(col("id")).as("lscore"), col("id"))
+      .withColumn("rk", row_number().over(wL))
+      .filter(col("rk") <= 4).select(col("g"), col("id"))
+    assert(planOf(ql).contains("Window"), "fired on a long score")
+  }
+
   test("guard: rank() / unpartitioned windows keep the window") {
     val q1 = base.withColumn("rk", rank().over(w))
       .filter(col("rk") <= 5).select(col("g"), col("id"))
