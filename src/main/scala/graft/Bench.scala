@@ -29,6 +29,24 @@ object Bench {
     // a crashing query must surface as an err entry, not be billed a
     // fast "time" inside a clean-looking total
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // contention telemetry: the round-6 driver recording was inflated
+    // 2.4x by a foreign CPU burst on the shared box (BASELINE.md
+    // round-7 reconciliation). Sampling /proc lets every recording
+    // carry its own evidence: foreign_cpu_sec is busy CPU seconds
+    // spent by OTHER processes during the run (idle run: a few sec of
+    // kernel/daemon time; the r6-style burst: hundreds). Jiffy-based,
+    // USER_HZ=100 on Linux; -1 when /proc is unavailable.
+    def procBusyAndSelfJiffies(): (Long, Long) =
+      try {
+        val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        val busyTotal = stat.sum - stat(3) - stat(4) // minus idle + iowait
+        val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+          .split("\\s+")
+        (busyTotal, self(13).toLong + self(14).toLong) // utime + stime
+      } catch { case _: Throwable => (-1L, -1L) }
+    val (busy0, self0) = procBusyAndSelfJiffies()
+    val wall0 = System.nanoTime()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -59,12 +77,19 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    val (busy1, self1) = procBusyAndSelfJiffies()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val (selfCpuSec, foreignCpuSec) =
+      if (busy0 < 0 || busy1 < 0) (-1.0, -1.0)
+      else ((self1 - self0) / 100.0,
+        math.max(0L, (busy1 - busy0) - (self1 - self0)) / 100.0)
     // the stdout budget (driver captures only the final ~2000 chars)
     // can't hold all per-query times — the COMPLETE record goes to a
     // side file in the repo root for the judge / cross-round diffs
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"warm_total":${fmt(warmTotal)},
+         |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},
          |"errors":${jsmap(errors.toSeq)},
          |"cold":${jmap(cold)},
          |"warm":${jmap(warm)}}""".stripMargin
@@ -83,7 +108,7 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val er = if (errors.nonEmpty) s""","errors":${jsmap(errors.toSeq)}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(qs)},"warm_total":${fmt(warmTotal)}$om$er,"full":"bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(qs)},"warm_total":${fmt(warmTotal)},"foreign_cpu_sec":${fmt(foreignCpuSec)}$om$er,"full":"bench_full.json","sf":"$sfDir"}"""
     }
     var keep = cold.sortBy(-_._2)
     while (line(keep.sortBy(_._1), cold.size - keep.size).length > budget && keep.size > 1)
