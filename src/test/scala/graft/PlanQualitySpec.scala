@@ -118,14 +118,16 @@ class PlanQualitySpec extends SparkSpec {
       "edge relation lost its persist — basket self-join recomputes per round")
   }
 
-  test("triangle count wedges and closes over the one cached oriented edge list") {
+  test("triangle count intersects adjacency lists over the one cached oriented edge list") {
     val p = planOf("part_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "wedge ordering predicate must ride the src equi-join, not a theta join")
+      "adjacency attach must ride keyed equi-joins, not a theta join")
     assert("ShuffledHashJoin".r.findAllIn(p).length >= 3,
-      "degree attach, wedge, or closing join lost its keyed shuffle-hash shape")
+      "degree attach or adjacency attach lost its keyed shuffle-hash shape")
     assert(p.contains("InMemoryTableScan"),
       "oriented edge relation lost its persist")
+    assert(p.contains("array_intersect"),
+      "triangles must close by inline adjacency intersection, not a wedge join")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "per-part triangle count lost its partial combine")
   }
