@@ -42,6 +42,37 @@ object CurationFilters {
           concat(element_at(col("ws"), col("i")), lit(" "),
             element_at(col("ws"), col("i") + lit(1)))).as("bg"))
 
+  /** Shared derivation for the two decontamination variants: the
+    * train-split n-gram stream `(doc_id, h)` (NOT distinct — repeats
+    * collapse after the match, see the `decontaminate` entry) and the
+    * hot-key-capped benchmark n-gram set `(bench_doc, h)` (distinct;
+    * n-grams in >10 benchmark docs dropped — the boilerplate guard).
+    * Split is the same md5 bucket split as `dataset_split`: buckets
+    * 0–79 train, 90–99 held-out benchmark.
+    */
+  private def decontamSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    Md5Hash60.register(s)
+    val bucket = pmod(
+      Md5Hash60.md5_hash60(col("doc_id").cast("string")), lit(100L))
+    val base = Tables(s, dir).documents
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"),
+        bucket.as("bucket"))
+      .filter(size(col("ws")) >= 8 && (col("bucket") < 80 || col("bucket") >= 90))
+    val ng = base
+      .select(col("doc_id"), col("bucket"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - lit(7))).as("i"))
+      .select(col("doc_id"), col("bucket"),
+        Md5Hash60.md5_hash60(
+          array_join(slice(col("ws"), col("i"), lit(8)), " ")).as("h"))
+    val trainNg = ng.filter(col("bucket") < 80).select(col("doc_id"), col("h"))
+    val benchNg = ng.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("bench_doc"), col("h")).distinct()
+    val keep = benchNg.groupBy(col("h"))
+      .agg(count(lit(1)).as("nb")).filter(col("nb") <= 10).select(col("h"))
+    (trainNg, benchNg.join(keep, Seq("h")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gopher-style repetition quality gate: fraction of duplicated
@@ -75,32 +106,40 @@ object CurationFilters {
     // benchmark n-grams in >10 benchmark docs are dropped first (see
     // object Scaladoc — hot-key guard).
     "decontaminate" -> ((s, dir) => {
-      Md5Hash60.register(s)
-      val bucket = pmod(
-        Md5Hash60.md5_hash60(col("doc_id").cast("string")), lit(100L))
-      val base = Tables(s, dir).documents
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"),
-          bucket.as("bucket"))
-        .filter(size(col("ws")) >= 8 && (col("bucket") < 80 || col("bucket") >= 90))
-      val ng = base
-        .select(col("doc_id"), col("bucket"), col("ws"),
-          explode(sequence(lit(1), size(col("ws")) - lit(7))).as("i"))
-        .select(col("doc_id"), col("bucket"),
-          Md5Hash60.md5_hash60(
-            array_join(slice(col("ws"), col("i"), lit(8)), " ")).as("h"))
       // The benchmark side is BOUNDED (eval suites are MBs against a
       // 100 TB train corpus) — broadcast it so the train n-gram
       // stream is probed map-side and never shuffles; only matching
       // (contaminated) rows reach the per-doc aggregate. No distinct
       // on the train side: countDistinct collapses repeats after the
       // join, when the stream is already tiny.
-      val trainNg = ng.filter(col("bucket") < 80).select(col("doc_id"), col("h"))
-      val benchNg = ng.filter(col("bucket") >= 90)
-        .select(col("doc_id").as("bench_doc"), col("h")).distinct()
-      val keep = benchNg.groupBy(col("h"))
-        .agg(count(lit(1)).as("nb")).filter(col("nb") <= 10).select(col("h"))
-      trainNg.join(broadcast(benchNg.join(keep, Seq("h"))), Seq("h"))
+      val (trainNg, benchKept) = decontamSides(s, dir)
+      trainNg.join(broadcast(benchKept), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_ngrams"),
+          countDistinct(col("bench_doc")).as("n_bench_docs"))
+    }),
+
+    // Decontamination for the regime where the benchmark n-gram SET
+    // is too big to broadcast exactly (say a thousand eval suites):
+    // collapse it to a FIXED-SIZE Bloom bitmap (2^23 bits = 1 MB
+    // regardless of set size), gate the train n-gram stream map-side
+    // with might_contain, and exact-verify only the hits with a
+    // shuffle-hash join — no broadcast of the pair set anywhere.
+    // False positives just add a few rows to the verify join, so the
+    // output is identical to `decontaminate` (same oracle). The one
+    // driver-side value is the serialized bitmap — the same bounded-
+    // model-ship shape as the ANN quantizers.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val (trainNg, benchKept) = decontamSides(s, dir)
+      graft.functions.BloomGate.register(s)
+      val bloomBytes = benchKept
+        .agg(graft.functions.BloomGate.bloom_agg(
+          col("h"), lit(1L << 20), lit(1L << 23)))
+        .head.getAs[Array[Byte]](0)
+      trainNg
+        .filter(graft.functions.BloomGate.bloom_might_contain(
+          lit(bloomBytes), col("h")))
+        .join(benchKept.hint("shuffle_hash"), Seq("h"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("h")).as("n_shared_ngrams"),
           countDistinct(col("bench_doc")).as("n_bench_docs"))
@@ -295,6 +334,25 @@ object CurationFilters {
           col("col.en") - col("col.st") + 1), " ").as("chunk_text"))
   }
 
+  private val decontamOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+      |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS bucket
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |ng AS (
+      |  SELECT doc_id, bucket,
+      |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::bigint AS h
+      |  FROM (SELECT doc_id, bucket, ws, unnest(range(1, len(ws) - 7 + 1)) AS i
+      |        FROM base
+      |        WHERE len(ws) >= 8 AND (bucket < 80 OR bucket >= 90))),
+      |train_ng AS (SELECT DISTINCT doc_id, h FROM ng WHERE bucket < 80),
+      |bench_ng AS (SELECT DISTINCT doc_id AS bench_doc, h FROM ng WHERE bucket >= 90),
+      |keep AS (SELECT h FROM bench_ng GROUP BY h HAVING count(*) <= 10)
+      |SELECT t.doc_id, cast(count(DISTINCT t.h) AS bigint) AS n_shared_ngrams,
+      |  cast(count(DISTINCT b.bench_doc) AS bigint) AS n_bench_docs
+      |FROM train_ng t JOIN bench_ng b USING (h) JOIN keep USING (h)
+      |GROUP BY t.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "sequence_packing" ->
       s"""WITH base AS (
@@ -366,24 +424,10 @@ object CurationFilters {
         |  CASE WHEN dup_word_frac > 0.6 OR top_bigram_frac > 0.1
         |       THEN 'repetitive' ELSE 'ok' END AS repetition_flag
         |FROM scored""".stripMargin,
-    "decontaminate" ->
-      """WITH base AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
-        |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS bucket
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |ng AS (
-        |  SELECT doc_id, bucket,
-        |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::bigint AS h
-        |  FROM (SELECT doc_id, bucket, ws, unnest(range(1, len(ws) - 7 + 1)) AS i
-        |        FROM base
-        |        WHERE len(ws) >= 8 AND (bucket < 80 OR bucket >= 90))),
-        |train_ng AS (SELECT DISTINCT doc_id, h FROM ng WHERE bucket < 80),
-        |bench_ng AS (SELECT DISTINCT doc_id AS bench_doc, h FROM ng WHERE bucket >= 90),
-        |keep AS (SELECT h FROM bench_ng GROUP BY h HAVING count(*) <= 10)
-        |SELECT t.doc_id, cast(count(DISTINCT t.h) AS bigint) AS n_shared_ngrams,
-        |  cast(count(DISTINCT b.bench_doc) AS bigint) AS n_bench_docs
-        |FROM train_ng t JOIN bench_ng b USING (h) JOIN keep USING (h)
-        |GROUP BY t.doc_id""".stripMargin,
+    "decontaminate" -> decontamOracle,
+    // the Bloom gate is a pure prefilter before an exact verify join,
+    // so the bloom variant answers the SAME query
+    "decontaminate_bloom" -> decontamOracle,
     "doc_chunks" ->
       """SELECT doc_id,
         |  (s - 1) // 48 AS chunk_id,

@@ -150,6 +150,15 @@ class PlanQualitySpec extends SparkSpec {
       "benchmark ngram set lost its broadcast — train corpus would shuffle on h")
   }
 
+  test("bloom decontamination gates the train stream map-side and verifies without broadcast") {
+    val p = planOf("decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      "train ngram stream lost its map-side Bloom gate")
+    assert(p.contains("ShuffledHashJoin"),
+      "exact verify join must be a keyed shuffle-hash join (the whole point: no broadcast of the pair set)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("prefix-filter similarity join never broadcasts a corpus-sized relation") {
     val p = planOf("jaccard_prefix_join")
     assert(!p.contains("BroadcastExchange"),
