@@ -194,7 +194,18 @@ object Similarity {
       graft.functions.CosineSimilarity.register(s)
       val emb = Tables(s, dir).embeddings
       ivfTopK(emb, trainCentroids(emb), nprobe = Cells)
-    })
+    }),
+
+    // Full-corpus distributed Lloyd's k-means exposed as a first-class
+    // clustering operator (the building block semdedup/mixture design
+    // consume): per-vector (cluster, distance) after fixed refinement
+    // passes. Deterministic cross-engine: init is the first k vectors
+    // by id, per-pass means go through the decimal-exact sum (order-
+    // independent) and round to 6 dp before re-entering the distance
+    // math, so both engines iterate over bit-identical centroids and
+    // assignment ties break to the lowest cell.
+    "kmeans_clusters" -> ((s, dir) =>
+      kmeansAssignments(Tables(s, dir).embeddings, Cells, LloydIters))
   )
 
   /** Semantic dedup over an `(vec_id, label, embedding)` relation:
@@ -340,6 +351,50 @@ object Similarity {
     centroids
   }
 
+  /** Distributed Lloyd's k-means over the FULL corpus: `iters`
+    * passes of (assign to nearest centroid, recompute per-cell
+    * means), then a final assignment with the squared-L2 distance.
+    * Per pass the corpus is scanned once (codegen'd [[IvfCell]]
+    * assignment) and aggregated once (k × dim groups, map-side
+    * combined); only the k × dim model crosses to the driver — the
+    * standard quantizer-ship shape, invariant to partitioning.
+    *
+    * Cross-engine determinism: per-cell means sum decimal(38,18)
+    * casts (exact, order-independent) and ROUND to 6 dp before the
+    * next distance pass, so every engine computing the same spec
+    * sees bit-identical centroids; empty cells keep their previous
+    * centroid; assignment ties break to the lowest cell.
+    */
+  def kmeansAssignments(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.IvfCell.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val means = e.withColumn("cell", cellOf(col("embedding"), centroids))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(
+          sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 6).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell).map { rows =>
+          val m = old.clone()
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          m
+        }.getOrElse(old)
+      }
+    }
+    val dists = array(centroids.map(c => l2sq(col("embedding"), c)): _*)
+    e.withColumn("cluster", cellOf(col("embedding"), centroids))
+      .select(col("vec_id"), col("cluster"),
+        round(sqrt(element_at(dists, col("cluster") + 1)), 6).as("dist"))
+  }
+
   /** Probe-then-search: corpus bucketed by nearest centroid, each
     * query explodes into its `nprobe` nearest cells, and only those
     * cells' members are scored. The query side (queries × nprobe rows)
@@ -464,6 +519,48 @@ object Similarity {
          |  cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS int) AS rank,
          |  round(cosine, 4) AS cosine
          |FROM scored
-         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin,
+    "kmeans_clusters" -> kmeansOracle
   )
+
+  /** DuckDB mirror of [[kmeansAssignments]]: the same init, the same
+    * decimal-exact + round-6dp mean update per pass, the same
+    * lowest-cell tie rule — unrolled `LloydIters` times. Squared-L2
+    * is the same left-to-right double fold as [[l2sq]]/[[IvfCell]].
+    */
+  private lazy val kmeansOracle: String = {
+    def l2(e: String, c: String): String =
+      s"""list_sum(list_transform(range(1, len($e) + 1),
+         |      i -> ($e[i]::DOUBLE - $c[i]) * ($e[i]::DOUBLE - $c[i])))""".stripMargin
+    def assign(n: Int, cents: String): String =
+      s"""a$n AS (
+         |  SELECT e.vec_id, c.cell, ${l2("e.embedding", "c.c")} AS d
+         |  FROM e CROSS JOIN $cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c.cell) = 1)""".stripMargin
+    def pass(n: Int): String = {
+      val prev = s"c${n - 1}"
+      s"""${assign(n, prev)},
+         |m$n AS (
+         |  SELECT cell, i,
+         |    round(cast(sum(cast(emb[i]::DOUBLE AS decimal(38,18))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM (SELECT a.cell, e.embedding AS emb,
+         |          unnest(range(1, len(e.embedding) + 1)) AS i
+         |        FROM a$n a JOIN e USING (vec_id))
+         |  GROUP BY cell, i),
+         |c$n AS (
+         |  SELECT $prev.cell, coalesce(g.c, $prev.c) AS c
+         |  FROM $prev LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY i) AS c FROM m$n GROUP BY cell) g
+         |    USING (cell))""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM e ORDER BY vec_id LIMIT $Cells),
+       |${(1 to LloydIters).map(pass).mkString(",\n")},
+       |${assign(LloydIters + 1, s"c$LloydIters")}
+       |SELECT vec_id, cell AS cluster, round(sqrt(d), 6) AS dist
+       |FROM a${LloydIters + 1}""".stripMargin
+  }
 }

@@ -159,6 +159,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("kmeans final assignment is a pure map over the cached corpus") {
+    val p = planOf("kmeans_clusters")
+    assert(p.contains("ivf_cell"),
+      "assignment lost the one-pass native cell expression")
+    assert(p.contains("InMemoryTableScan"),
+      "corpus lost its persist across the Lloyd passes")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "per-vector assignment must not shuffle or join — it is a scan-side map")
+  }
+
   test("prefix-filter similarity join never broadcasts a corpus-sized relation") {
     val p = planOf("jaccard_prefix_join")
     assert(!p.contains("BroadcastExchange"),
