@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.catalog.Tables
+
+/** Feature-engineering operators feeding model training: fixed
+  * random-projection compression of embeddings, hashing-trick linear
+  * scoring of documents, and semi-structured property extraction from
+  * event payloads.
+  *
+  * All three are shuffle-light by construction: the projection and the
+  * JSON parse are pure per-row projections (zero shuffle, whole-stage
+  * codegen), and the scorer's only wide operation is the per-doc
+  * aggregate — the hashing trick means there is NO vocabulary table
+  * and therefore no token-keyed join at any corpus size.
+  */
+object Features {
+
+  /** Projected dimensionality (64 → 16). The 1/√k scale is 1/4 — a
+    * power of two, so the final division is exact in IEEE and the
+    * whole projection is bit-reproducible across engines.
+    */
+  val ProjDim = 16
+  val EmbDim = 64
+
+  /** Rademacher (±1) entry of the fixed projection matrix, derived
+    * from the md5 of the cell coordinates — the standard
+    * database-friendly JL construction (Achlioptas 2003: ±1 entries
+    * satisfy the JL lemma like Gaussians do). Computed driver-side
+    * once; the same literals are baked into the DuckDB oracle, so
+    * engine agreement is structural, not numerical luck.
+    */
+  private[operators] def sign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+    if ((d(7) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection of the embedding column
+    * to [[ProjDim]] dims: p_j = (Σ_i emb_i · sign(i,j)) / √k. The
+    * scale path for ANN over wide embeddings — compress 64→16 (or
+    * 768→64 in production) BEFORE the distance computations, cutting
+    * candidate-scan cost ~4× while preserving pairwise distances to
+    * 1±ε (whp). One narrow per-row Project: no shuffle, no UDF, the
+    * sign matrix lives in the plan as literals (k·d = 1024 terms —
+    * far below codegen's method-split thresholds). Each output is a
+    * fixed left-associated sum, so Spark and the oracle evaluate the
+    * identical IEEE operation sequence (Catalyst does not
+    * re-associate floating-point adds); round(6) is belt and braces.
+    */
+  def jlProject(embeddings: DataFrame): DataFrame = {
+    val cols = (0 until ProjDim).map { j =>
+      val terms: Seq[Column] = (0 until EmbDim).map { i =>
+        element_at(col("embedding"), i + 1).cast("double") * lit(sign(i, j))
+      }
+      round(terms.reduceLeft(_ + _) / lit(4.0), 6).as(f"p$j%02d")
+    }
+    embeddings.select(col("vec_id") +: cols: _*)
+  }
+
+  /** Hashing-trick linear document scorer — the shape of a
+    * fastText-style quality classifier applied at corpus scale. Each
+    * token hashes straight to its weight (md5-derived, in
+    * [-1, 1] with 0.001 resolution); a real deployment would look up
+    * trained weights by the same hash, and these deterministic stub
+    * weights exercise the identical dataflow. Because features are
+    * hashed, scoring needs NO vocabulary join: one explode, one
+    * doc-keyed aggregate, a bounded top-k — nothing vocab- or
+    * corpus-sized crosses the cluster. The per-doc mean accumulates
+    * as an exact integer sum (order-invariant under shuffle), turned
+    * into a double only by one final division — bit-identical in any
+    * engine.
+    */
+  def linearScore(docs: DataFrame, topK: Int): DataFrame = {
+    graft.functions.Md5Hash60.register(docs.sparkSession)
+    val w = pmod(graft.functions.Md5Hash60.md5_hash60(col("tok")), lit(2001L)) -
+      lit(1000L)
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), w.as("wi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("wi")).cast("double") /
+          (count(lit(1)) * lit(1000L)).cast("double")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+  }
+
+  /** Semi-structured property extraction: parse the JSON `props`
+    * payload with a DECLARED schema (`from_json`, codegen'd — never
+    * schema inference, which would scan the corpus twice) and
+    * aggregate the extracted field per event type. The parse is a
+    * per-row projection fused into the scan stage; the only shuffle
+    * is the final 5-group aggregate. Integer sums keep every output
+    * exactly reproducible (avg = exact sum / exact count, one IEEE
+    * division).
+    */
+  def jsonProps(events: DataFrame): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    events
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k")).cast("double"))
+          .as("avg_k"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_project" -> ((s, dir) => jlProject(Tables(s, dir).embeddings)),
+    "quality_linear_score" -> ((s, dir) =>
+      linearScore(Tables(s, dir).documents, topK = 50)),
+    "events_json_extract" -> ((s, dir) => jsonProps(Tables(s, dir).events))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "embed_project" -> {
+      val cols = (0 until ProjDim).map { j =>
+        val terms = (0 until EmbDim).map { i =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ${sign(i, j)}"
+        }.mkString(" + ")
+        f"round(($terms) / 4.0, 6) AS p$j%02d"
+      }.mkString(",\n")
+      s"SELECT vec_id,\n$cols\nFROM embeddings"
+    },
+    "quality_linear_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS wi
+        |  FROM toks)
+        |SELECT doc_id, cast(count(*) AS BIGINT) AS n_toks,
+        |  cast(sum(wi) AS DOUBLE) / (count(*) * 1000)::DOUBLE AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "events_json_extract" ->
+      """WITH ex AS (
+        |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |SELECT event_type,
+        |  cast(count(k) AS BIGINT) AS n_events,
+        |  cast(sum(k) AS BIGINT) AS sum_k,
+        |  cast(min(k) AS BIGINT) AS min_k,
+        |  cast(max(k) AS BIGINT) AS max_k,
+        |  cast(sum(k) AS DOUBLE) / cast(count(k) AS DOUBLE) AS avg_k
+        |FROM ex GROUP BY event_type""".stripMargin
+  )
+}
