@@ -7,6 +7,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same custom Catalyst surface the library sessions get
+      // (GraftSession.local): without it the bench times a plan the
+      // engine would never produce — grouped-top-k stays a full
+      // window sort instead of the bounded-heap aggregate
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -9,6 +9,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // register the custom optimizer rule + function surface here
+      // too, so the DuckDB oracle gate validates the SAME plans the
+      // library produces (a WindowTopKToHeap bug must fail THIS gate,
+      // not only the unit specs)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
