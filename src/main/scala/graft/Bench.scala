@@ -15,6 +15,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-naive events.ts reads as session-tz (UTC) TIMESTAMP, not
+      // NTZ — matches the DuckDB oracle's view of the same file
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // the 100-entry default thrashes on a 100+-query suite: every
       // generated class is evicted before its next use, so the "warm"

@@ -31,6 +31,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has TIMESTAMP(NANOS); surface as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is tz-naive parquet timestamp[us]; Spark 4 would
+      // infer TIMESTAMP_NTZ, which unix_micros/watermarks reject.
+      // Read it as session-tz TIMESTAMP instead — the session tz is
+      // pinned UTC above, so the values match what the DuckDB oracle
+      // reads from the same file.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     // dev escape hatch: SPARK_GRAFT_CONF="k=v;k=v" overlays any conf
     // (profiling experiments — never required for correctness)

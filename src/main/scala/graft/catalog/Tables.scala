@@ -21,10 +21,18 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` the
-    * column surfaces as epoch-nanos LongType and is normalized here to
-    * a proper microsecond TimestampType.
+  /** events.parquet's `ts` has shipped in several physical shapes
+    * across testdata generations; normalize every one of them to a
+    * session-tz (UTC-pinned) microsecond TimestampType so downstream
+    * operators see one stable type:
+    *   - TIMESTAMP(NANOS): rejected by the vectorized reader; with
+    *     `spark.sql.legacy.parquet.nanosAsLong` it surfaces as
+    *     epoch-nanos LongType and is converted here.
+    *   - tz-naive timestamp[us]: Spark 4 infers TIMESTAMP_NTZ (when
+    *     `parquet.inferTimestampNTZ` is on), which `unix_micros` and
+    *     streaming watermarks reject; cast to TimestampType — under
+    *     the UTC session tz the instant is unchanged and matches the
+    *     DuckDB oracle's reading of the same file.
     */
   def events: DataFrame = {
     val raw = t("events")
@@ -33,6 +41,10 @@ final class Tables(spark: SparkSession, dir: String) {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
