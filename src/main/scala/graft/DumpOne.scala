@@ -7,6 +7,10 @@ object DumpOne {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-naive events.ts reads as session-tz (UTC) TIMESTAMP, not
+      // NTZ — matches the DuckDB oracle's view of the same file
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // the 100-entry default thrashes on a 100+-query suite: every
       // generated class is evicted before its next use, so the "warm"

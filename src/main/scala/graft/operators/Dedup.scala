@@ -162,6 +162,11 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     }),
 
+    // character-level near-dup: banded-MinHash candidates verified
+    // with exact Levenshtein at ≤ 25% of the longer text — catches
+    // the typo-edit dups token-set Jaccard under-scores
+    "dedup_edit_pairs" -> ((s, dir) => editPairs(Tables(s, dir).documents)),
+
     // SimHash: 60-bit per-doc fingerprint from shingle hash bit votes
     "simhash" -> ((s, dir) => simhashFingerprints(Tables(s, dir).documents)),
 
@@ -713,8 +718,11 @@ object Dedup {
     labels
   }
 
-  /** The full shingle→minhash→band→bucket-join→verify pipeline,
-    * exposed for reuse/tests. `docs` needs (doc_id, text).
+  /** Banded-MinHash candidate pairs (doc_a < doc_b, distinct) over
+    * the WHOLE corpus — the LSH candidate stage shared by
+    * [[minhashPairs]] (Jaccard verify) and [[editPairs]]
+    * (edit-distance verify). Linear in corpus size plus the
+    * (band, sig) bucket self-join; nothing corpus-sized broadcasts.
     *
     * `spreadInput` repartitions the docs before the hash-heavy
     * signature map: right for relations arriving as few (often 1)
@@ -722,7 +730,8 @@ object Dedup {
     * already the output of a shuffle (CorpusCuration's deduped
     * survivors sit on the session's shuffle partitioning).
     */
-  def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
+  def minhashBandCandidates(docs: DataFrame,
+                            spreadInput: Boolean = true): DataFrame = {
       graft.functions.MinHash60.register(docs.sparkSession)
       // The hash-heavy shingle×perm map (16 md5s per shingle) should
       // run spread across the cluster (see spreadInput above). The
@@ -747,12 +756,19 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the bucket self-join shuffles on (band, sig) — bands is
       // corpus×8 rows, so a broadcast of either side can't scale
-      val cands = bands.as("x")
+      bands.as("x")
         .join(bands.as("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+  }
+
+  /** The full shingle→minhash→band→bucket-join→verify pipeline,
+    * exposed for reuse/tests. `docs` needs (doc_id, text).
+    */
+  def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
+      val cands = minhashBandCandidates(docs, spreadInput)
       val sets = shingleSets(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
@@ -773,6 +789,48 @@ object Dedup {
           greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
         .filter(col("jac") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Relative edit-distance threshold for [[editPairs]]: a pair is a
+    * near-duplicate when levenshtein ≤ 25% of the longer text. 0.25
+    * is exactly representable in binary, and distance/length are
+    * exact ints, so the threshold compare is bit-stable across
+    * engines.
+    */
+  private[operators] val EditRelThreshold = 0.25
+
+  /** Edit-distance near-dup pairs: banded-MinHash candidates (the
+    * same deterministic LSH stage as [[minhashPairs]], reproduced
+    * bit-exactly by the oracle) verified with an EXACT Levenshtein
+    * distance at ≤ [[EditRelThreshold]] of the longer text. The
+    * character-level complement of the shingle-set Jaccard verify:
+    * token-reordering dups score high on Jaccard but far on edit
+    * distance; small in-word typo dups score low on token Jaccard
+    * but near on edit distance.
+    *
+    * Scale shape: the O(len_a·len_b) DP runs ONLY on candidate pairs
+    * (LSH-bounded, ≪ corpus²), behind the length pigeonhole
+    * |len_a − len_b| ≤ t·max — a necessary condition for the
+    * threshold (every length-difference char costs ≥ 1 edit) that
+    * skips the quadratic DP on length-incompatible candidates for
+    * the price of two ints. Verify joins shuffle-hash on doc_id;
+    * the corpus text relation is never broadcast.
+    */
+  def editPairs(docs: DataFrame): DataFrame = {
+    val t = lit(EditRelThreshold)
+    val txt = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val maxLen = greatest(col("len_a"), col("len_b")).cast("double")
+    minhashBandCandidates(docs)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+        col("len").as("len_a")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+        col("len").as("len_b")).hint("shuffle_hash"), Seq("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")).cast("double") <= t * maxLen)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("dist").cast("double") <= t * maxLen)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"),
+        round(col("dist").cast("double") / maxLen, 4).as("rel_dist"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -839,6 +897,22 @@ object Dedup {
          |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
          |      / greatest(len(a.toks), 1)::DOUBLE >= $ContainmentThreshold""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql("documents"),
+    // same deterministic banded candidates (the shared CTE chain),
+    // then the exact Levenshtein verify — DuckDB's levenshtein and
+    // Spark's agree (both count single-character edits; the corpus
+    // is ASCII so code-point vs byte semantics can't diverge)
+    "dedup_edit_pairs" ->
+      s"""WITH ${minhashOracleCtes("documents")},
+         |txt AS (SELECT doc_id, text, length(text) AS len FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  cast(levenshtein(a.text, b.text) AS int) AS dist,
+         |  round(levenshtein(a.text, b.text)::DOUBLE
+         |        / greatest(a.len, b.len)::DOUBLE, 4) AS rel_dist
+         |FROM cands c
+         |JOIN txt a ON a.doc_id = c.doc_a
+         |JOIN txt b ON b.doc_id = c.doc_b
+         |WHERE levenshtein(a.text, b.text)::DOUBLE
+         |      <= $EditRelThreshold * greatest(a.len, b.len)::DOUBLE""".stripMargin,
     // true connected components via recursive label reachability —
     // UNION (not UNION ALL) dedups rows so the recursion terminates
     // on the cyclic undirected graph

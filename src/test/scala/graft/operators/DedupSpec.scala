@@ -51,6 +51,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("edit pairs: typo-distance dups found, reordered tokens rejected") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact: dist 0
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // 3 char edits
+      (4L, "again and again the quick brown fox jumps over the lazy dog"), // reordered: same tokens, far in edit space
+      (5L, "completely different words about spark query engines here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) == 3) // dog -> cat
+    // token-identical but rotated text: candidate (identical shingles
+    // minus boundary) yet levenshtein far beyond 25% of 60 chars
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
+  test("edit pairs at sf0.001 stay within the relative threshold") {
+    val out = run("dedup_edit_pairs").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("rel_dist") <= Dedup.EditRelThreshold + 1e-9)
+    }
+  }
+
   test("clusters: transitive near-dups collapse to one component") {
     // 1≈2 (exact), 2≈3 (near) — 3 must join 1's cluster transitively
     val docs = Seq(
