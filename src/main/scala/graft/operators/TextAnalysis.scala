@@ -216,6 +216,13 @@ object TextAnalysis {
     // adjacent pair; this is that round's candidate ranking as one
     // explode + one map-side-combined aggregation + a bounded top-k
     // (TakeOrderedAndProject, no global sort)
+    // iterative BPE merge LEARNING (5 rounds): count adjacent symbol
+    // pairs over the word-frequency table, adopt the most frequent
+    // pair as a merge, rewrite, repeat — the real tokenizer-trainer
+    // loop, where bpe_pair_stats is only its first half-round
+    "bpe_learn_merges" -> ((s, dir) =>
+      bpeLearnMerges(Tables(s, dir).documents, BpeRounds)),
+
     "bpe_pair_stats" -> ((s, dir) => {
       val words = Tables(s, dir).documents
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -332,7 +339,145 @@ object TextAnalysis {
         round(avg(col("nll")), 4).as("avg_nll"))
   }
 
+  /** Rounds for [[bpeLearnMerges]]: enough to show the merge chain
+    * compounding (late rounds merge symbols earlier rounds created)
+    * while the unrolled oracle SQL stays readable.
+    */
+  private[operators] val BpeRounds = 5
+
+  /** Iterative byte-pair-encoding merge learning — the actual
+    * tokenizer-trainer loop (Sennrich et al.'s BPE): per round,
+    * count adjacent symbol pairs, adopt the single most frequent
+    * pair (count DESC, then lexicographic — a total order, so the
+    * argmax is engine-stable) as a merge rule, rewrite every word
+    * greedily left-to-right, repeat. Output: one row per learned
+    * merge (step, lhs, rhs, merged, n).
+    *
+    * Scale shape: the trainer never touches the corpus after the
+    * first pass — it folds `documents` into the WORD-FREQUENCY table
+    * (vocab-sized, orders of magnitude smaller; the standard BPE
+    * trick) and iterates there. Per round: one map-side-combined
+    * pair-count shuffle, a 1-ROW driver argmax (the same bounded
+    * per-round scalar as [[Similarity]]'s k-means loop — not a
+    * corpus collect), and a narrow codegen'd `aggregate` fold that
+    * applies the merge in one pass per word. Each round's symbol
+    * table is persisted and the previous round's dropped, so
+    * lineage stays one round deep.
+    *
+    * The fold merges greedily left-to-right over non-overlapping
+    * occurrences: a merge fires only on ORIGINAL adjacent symbols
+    * (the merged token `lhs+rhs` can never equal `lhs`, since `rhs`
+    * is non-empty, so a freshly-merged element can't chain into the
+    * next match within the same round). That is exactly "keep the
+    * 1st, 3rd, … match of every maximal run of consecutive match
+    * positions", which is how the oracle states it with window
+    * functions — same semantics, two independent formulations.
+    */
+  def bpeLearnMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val session = docs.sparkSession
+    val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vocab = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    var syms = vocab.select(col("w"), col("wf"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("sym"))
+      .persist(ML)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (k <- 1 to rounds) {
+      val top = syms
+        .select(col("wf"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("wf")).as("n"))
+        .orderBy(desc("n"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (lS, rS, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, lS, rS, lS + rS, n))
+        val (l, r, m) = (lit(lS), lit(rS), lit(lS + rS))
+        // greedy merge as a single fold; try_element_at (not
+        // element_at) so the empty-accumulator probe stays null
+        // under ANSI instead of raising
+        val next = syms.withColumn("sym",
+          aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                try_element_at(acc, lit(-1)) === l && x === r,
+              concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+              .otherwise(concat(acc, array(x)))))
+          .persist(ML)
+        next.count() // materialize BEFORE dropping the parent, or the
+        syms.unpersist() // unpersisted lineage replays every round
+        syms = next
+      }
+    }
+    syms.unpersist()
+    import session.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "n")
+      .select(col("step").cast("int").as("step"), col("lhs"), col("rhs"),
+        col("merged"), col("n"))
+  }
+
+  /** Unrolled-CTE oracle for [[bpeLearnMerges]]: per round, the pair
+    * count, the 1-row argmax, match positions, the greedy
+    * run-alternation keep set (window formulation of left-to-right
+    * non-overlapping merging), and the rewritten symbol table.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH vocab AS (
+        |  SELECT w, cast(count(*) AS bigint) AS wf FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE length(w) >= 1 GROUP BY w),
+        |syms0 AS (
+        |  SELECT w, wf,
+        |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS sym
+        |  FROM vocab)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      val p = k - 1
+      val rewrite = if (k == rounds) "" else s""",
+        |syms$k AS (
+        |  SELECT p.w, p.wf,
+        |    list(CASE WHEN ka.i IS NOT NULL THEN p.sym[p.i] || p.sym[p.i + 1]
+        |         ELSE p.sym[p.i] END ORDER BY p.i) AS sym
+        |  FROM pos$k p
+        |  LEFT JOIN keep$k ka ON ka.w = p.w AND ka.i = p.i
+        |  LEFT JOIN keep$k kb ON kb.w = p.w AND kb.i = p.i - 1
+        |  WHERE kb.i IS NULL
+        |  GROUP BY p.w, p.wf)"""
+      s""",
+        |pairs$k AS (
+        |  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, sum(wf) AS n
+        |  FROM (SELECT wf, sym, unnest(range(1, len(sym))) AS i FROM syms$p)
+        |  GROUP BY 1, 2),
+        |top$k AS (
+        |  SELECT lhs, rhs, cast(n AS bigint) AS n
+        |  FROM pairs$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+        |pos$k AS (
+        |  SELECT s.w, s.wf, s.sym, s.i,
+        |    (s.sym[s.i] = t.lhs AND s.sym[s.i + 1] = t.rhs) AS m
+        |  FROM (SELECT w, wf, sym, unnest(range(1, len(sym) + 1)) AS i
+        |        FROM syms$p) s, top$k t),
+        |keep$k AS (
+        |  SELECT w, i FROM (
+        |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+        |    FROM (
+        |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+        |      FROM pos$k WHERE m))
+        |  WHERE rn % 2 = 1)$rewrite"""
+    }.mkString
+    val tail = (1 to rounds)
+      .map(k => s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, n FROM top$k")
+      .mkString("\n", "\nUNION ALL\n", "")
+    (head + roundCtes + tail).stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "bpe_learn_merges" -> bpeOracleSql(BpeRounds),
     "text_tokens" ->
       s"""SELECT doc_id,
          |  cast($sqlNWords AS bigint) AS n_ws_tokens,
