@@ -223,6 +223,13 @@ object TextAnalysis {
     "bpe_learn_merges" -> ((s, dir) =>
       bpeLearnMerges(Tables(s, dir).documents, BpeRounds)),
 
+    // apply the learned merges: per-doc whitespace-word and
+    // post-merge BPE token counts (the tokenizer-compression
+    // diagnostic); the word stream joins the vocab-sized final
+    // symbol table on the word key
+    "bpe_encode_counts" -> ((s, dir) =>
+      bpeEncodeCounts(Tables(s, dir).documents, BpeRounds)),
+
     "bpe_pair_stats" -> ((s, dir) => {
       val words = Tables(s, dir).documents
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -375,6 +382,39 @@ object TextAnalysis {
     */
   def bpeLearnMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val session = docs.sparkSession
+    val (merges, syms) = bpeTrain(docs, rounds)
+    syms.unpersist()
+    import session.implicits._
+    merges.toDF("step", "lhs", "rhs", "merged", "n")
+      .select(col("step").cast("int").as("step"), col("lhs"), col("rhs"),
+        col("merged"), col("n"))
+  }
+
+  /** Tokenize with the learned merges: every document's word stream
+    * joined against the final per-word symbol table (vocab-sized —
+    * the join shuffles on the word key, nothing broadcasts the
+    * corpus), counting whitespace words and post-merge BPE tokens
+    * per document. The compression ratio n_bpe_tokens / n_chars is
+    * the standard tokenizer-quality diagnostic this feeds.
+    */
+  def bpeEncodeCounts(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, syms) = bpeTrain(docs, rounds)
+    val words = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    words
+      .join(syms.select(col("w"), size(col("sym")).as("n_sym"))
+        .hint("shuffle_hash"), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** The shared trainer loop: returns the learned merges and the
+    * final persisted per-word symbol table (caller unpersists or
+    * leaves it for the session's clearCache).
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vocab = docs
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -415,11 +455,7 @@ object TextAnalysis {
         syms = next
       }
     }
-    syms.unpersist()
-    import session.implicits._
-    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "n")
-      .select(col("step").cast("int").as("step"), col("lhs"), col("rhs"),
-        col("merged"), col("n"))
+    (merges.toSeq, syms)
   }
 
   /** Unrolled-CTE oracle for [[bpeLearnMerges]]: per round, the pair
@@ -427,20 +463,39 @@ object TextAnalysis {
     * run-alternation keep set (window formulation of left-to-right
     * non-overlapping merging), and the rewritten symbol table.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleCtes(rounds: Int): String = {
     val head =
-      """WITH vocab AS (
+      """vocab AS MATERIALIZED (
         |  SELECT w, cast(count(*) AS bigint) AS wf FROM (
         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         |    FROM documents) WHERE length(w) >= 1 GROUP BY w),
-        |syms0 AS (
+        |syms0 AS MATERIALIZED (
         |  SELECT w, wf,
         |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS sym
         |  FROM vocab)""".stripMargin
     val roundCtes = (1 to rounds).map { k =>
       val p = k - 1
-      val rewrite = if (k == rounds) "" else s""",
-        |syms$k AS (
+      s""",
+        |pairs$k AS MATERIALIZED (
+        |  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, sum(wf) AS n
+        |  FROM (SELECT wf, sym, unnest(range(1, len(sym))) AS i FROM syms$p)
+        |  GROUP BY 1, 2),
+        |top$k AS MATERIALIZED (
+        |  SELECT lhs, rhs, cast(n AS bigint) AS n
+        |  FROM pairs$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+        |pos$k AS MATERIALIZED (
+        |  SELECT s.w, s.wf, s.sym, s.i,
+        |    (s.sym[s.i] = t.lhs AND s.sym[s.i + 1] = t.rhs) AS m
+        |  FROM (SELECT w, wf, sym, unnest(range(1, len(sym) + 1)) AS i
+        |        FROM syms$p) s, top$k t),
+        |keep$k AS MATERIALIZED (
+        |  SELECT w, i FROM (
+        |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+        |    FROM (
+        |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+        |      FROM pos$k WHERE m))
+        |  WHERE rn % 2 = 1),
+        |syms$k AS MATERIALIZED (
         |  SELECT p.w, p.wf,
         |    list(CASE WHEN ka.i IS NOT NULL THEN p.sym[p.i] || p.sym[p.i + 1]
         |         ELSE p.sym[p.i] END ORDER BY p.i) AS sym
@@ -448,36 +503,31 @@ object TextAnalysis {
         |  LEFT JOIN keep$k ka ON ka.w = p.w AND ka.i = p.i
         |  LEFT JOIN keep$k kb ON kb.w = p.w AND kb.i = p.i - 1
         |  WHERE kb.i IS NULL
-        |  GROUP BY p.w, p.wf)"""
-      s""",
-        |pairs$k AS (
-        |  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, sum(wf) AS n
-        |  FROM (SELECT wf, sym, unnest(range(1, len(sym))) AS i FROM syms$p)
-        |  GROUP BY 1, 2),
-        |top$k AS (
-        |  SELECT lhs, rhs, cast(n AS bigint) AS n
-        |  FROM pairs$k ORDER BY n DESC, lhs, rhs LIMIT 1),
-        |pos$k AS (
-        |  SELECT s.w, s.wf, s.sym, s.i,
-        |    (s.sym[s.i] = t.lhs AND s.sym[s.i + 1] = t.rhs) AS m
-        |  FROM (SELECT w, wf, sym, unnest(range(1, len(sym) + 1)) AS i
-        |        FROM syms$p) s, top$k t),
-        |keep$k AS (
-        |  SELECT w, i FROM (
-        |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
-        |    FROM (
-        |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
-        |      FROM pos$k WHERE m))
-        |  WHERE rn % 2 = 1)$rewrite"""
+        |  GROUP BY p.w, p.wf)""".stripMargin
     }.mkString
+    head + roundCtes
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val tail = (1 to rounds)
       .map(k => s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, n FROM top$k")
       .mkString("\n", "\nUNION ALL\n", "")
-    (head + roundCtes + tail).stripMargin
+    "WITH " + bpeOracleCtes(rounds) + tail
   }
 
   def oracles: Map[String, String] = Map(
     "bpe_learn_merges" -> bpeOracleSql(BpeRounds),
+    "bpe_encode_counts" ->
+      (s"WITH ${bpeOracleCtes(BpeRounds)}" +
+        s""",
+          |doc_words AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          |    FROM documents) WHERE length(w) >= 1)
+          |SELECT d.doc_id, cast(count(*) AS bigint) AS n_words,
+          |  cast(sum(len(s.sym)) AS bigint) AS n_bpe_tokens
+          |FROM doc_words d JOIN syms$BpeRounds s ON d.w = s.w
+          |GROUP BY d.doc_id""".stripMargin),
     "text_tokens" ->
       s"""SELECT doc_id,
          |  cast($sqlNWords AS bigint) AS n_ws_tokens,
@@ -536,7 +586,7 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)),
         |cvw AS (SELECT v, w, count(*) AS cvw FROM bi GROUP BY v, w),
         |cv AS (SELECT v, count(*) AS cv FROM bi GROUP BY v),
-        |vocab AS (
+        |vocab AS MATERIALIZED (
         |  SELECT count(DISTINCT w) AS vsize FROM (
         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         |    FROM documents))

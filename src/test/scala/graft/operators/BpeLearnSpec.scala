@@ -32,6 +32,19 @@ class BpeLearnSpec extends SparkSpec {
       Seq(("aa", 3L), ("aaaa", 1L)))
   }
 
+  test("encode counts words and post-merge symbols per document") {
+    // after rounds=2 on this corpus (merges: aa then ab — see the
+    // first test), 'aaab' = [aa, ab] (2 tokens), 'ab' = [ab] (1)
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab"),
+      (2L, "ab")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeCounts(docs, rounds = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 4L, 7L), (2L, 1L, 1L)))
+  }
+
   test("sf0.001 merges are deterministic and count-monotone within ties") {
     val out = run("bpe_learn_merges").orderBy("step").collect()
     assert(out.length == TextAnalysis.BpeRounds)
