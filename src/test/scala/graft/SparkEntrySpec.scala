@@ -26,7 +26,7 @@ class SparkEntrySpec extends SparkSpec {
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // collect CTE names to exclude them
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         assert(tables.contains(t) || ctes.contains(t) || t == "range",
