@@ -336,4 +336,23 @@ class PlanQualitySpec extends SparkSpec {
       "both unigram-role joins must shuffle (unigram table is vocab-sized)")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("edit pairs: candidate + text-attach joins all shuffle, corpus never broadcast") {
+    val p = planOf("dedup_edit_pairs")
+    assert(!p.contains("BroadcastExchange"),
+      "corpus-sized relation broadcast in the edit-pair pipeline — driver-collect at scale")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 3,
+      "expected shuffle-hash band self-join plus two text-attach joins")
+  }
+
+  test("BPE encode: word-keyed shuffle join to the symbol table, partial aggregation") {
+    val p = SparkEntry.queries("bpe_encode_counts")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "doc-words ↔ symbol-table join must shuffle on the word key " +
+        "(the vocab is corpus-scale at 100 TB; broadcasting it is a driver collect)")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "per-doc count lost map-side partial aggregation")
+  }
 }
