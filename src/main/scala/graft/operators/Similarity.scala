@@ -179,6 +179,18 @@ object Similarity {
     // verify path runs requireExact = true: if any bucket ever grew
     // past the cap (where the plan switches to approximate banding)
     // this fails loudly instead of silently hash-mismatching.
+    // k-NN SELF-join: every vector's top-k nearest in-block
+    // neighbors — the dataset-graph builder behind semdedup-style
+    // curation and duplicate-cluster analysis. The label plays the
+    // IVF coarse cell (same blocking as dedup_embedding_pairs):
+    // blocks bound the quadratic compare, and the per-vector top-k
+    // leaves through the bounded heap, never a window sort. Blocks
+    // past the cap RAISE instead of silently degrading — exact
+    // top-k cannot survive in-block banding; an oversized block
+    // belongs to the IVF-probed ANN path.
+    "knn_join_blocked" -> ((s, dir) =>
+      knnJoinBlocked(Tables(s, dir).embeddings)),
+
     "semdedup" -> ((s, dir) =>
       semDedup(Tables(s, dir).embeddings, requireExact = true)),
 
@@ -207,6 +219,50 @@ object Similarity {
     "kmeans_clusters" -> ((s, dir) =>
       kmeansAssignments(Tables(s, dir).embeddings, Cells, LloydIters))
   )
+
+  /** Per-vector top-k for [[knnJoinBlocked]]. */
+  private[operators] val KnnK = 3
+
+  /** Exact blocked k-NN self-join: `(vec_id, rk, nbr, cosine)` —
+    * every vector's [[KnnK]] most-similar neighbors within its label
+    * block (cosine DESC, vec_id ASC tie-break). The block bounds the
+    * quadratic compare the way an IVF cell does; per-vector top-k
+    * goes through the bounded-heap aggregate (map-side combined, k
+    * rows per partition reach the shuffle — no window sort). Blocks
+    * over `blockCap` raise via the piggybacked size column (zero
+    * extra jobs) rather than silently switching to approximate
+    * candidates: exact per-vector top-k cannot survive banding, and
+    * an oversized block belongs to the IVF-probed ANN path.
+    */
+  def knnJoinBlocked(emb: DataFrame, k: Int = KnnK,
+                     blockCap: Int = 10000): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    graft.functions.TopKByScore.register(emb.sparkSession)
+    val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+    val checked = sizes.withColumn("bn",
+      when(col("bn") > blockCap, raise_error(concat(
+        lit("knnJoinBlocked: a block holds "), col("bn").cast("string"),
+        lit(s" vectors (> cap $blockCap); exact in-block top-k would go " +
+          "quadratic — route oversized blocks through the IVF ANN path"))))
+        .otherwise(col("bn")))
+    val t = emb.join(broadcast(checked), Seq("label"))
+      // always-true reference: without it column pruning drops bn —
+      // and the raise_error guard with it — from the plan entirely
+      .filter(col("bn") > 0)
+      .select(col("label"), col("vec_id"), col("embedding"))
+    val pairs = t.select(col("label"), col("vec_id"), col("embedding").as("ea"))
+      .join(t.select(col("label"), col("vec_id").as("nbr"),
+        col("embedding").as("eb")).hint("shuffle_hash"), Seq("label"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosine_sim(col("ea"), col("eb")))
+    pairs.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByScore
+        .topk_by_score(col("cosine"), col("nbr"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("nbr"), round(col("col.score"), 4).as("cosine"))
+  }
 
   /** Semantic dedup over an `(vec_id, label, embedding)` relation:
     * returns `(vec_id, cluster_id, kept)` where cluster_id is the
@@ -447,6 +503,21 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // quadratic in-block all-pairs + window top-k — the heap
+    // aggregate must match it exactly (cosine DESC, nbr ASC)
+    "knn_join_blocked" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |    / (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}) AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id != b.vec_id)
+         |SELECT vec_id, cast(row_number() OVER w AS int) AS rk, nbr,
+         |  round(cosine, 4) AS cosine
+         |FROM pairs
+         |WINDOW w AS (PARTITION BY vec_id ORDER BY cosine DESC, nbr ASC)
+         |QUALIFY row_number() OVER w <= $KnnK""".stripMargin,
     "ann_cosine_topk" -> bruteForceOracle,
     "ann_topk_agg" -> bruteForceOracle,
     // recall-complete IVF (nprobe = all cells) scores exactly the

@@ -70,6 +70,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedup(empty, requireExact = true).count() == 0)
   }
 
+  test("knn join: per-vector ranks complete, symmetric scores, cap raises") {
+    val out = run("knn_join_blocked").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every vector gets exactly KnnK ranked rows (each sf0.001 label
+    // block is larger than k) with ranks 1..k
+    out.groupBy(_._1).foreach { case (v, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"vector $v ranks not contiguous")
+    }
+    // cosine is symmetric: if b is a's #1 at c, a scores c with b too
+    val score = out.map(t => (t._1, t._3) -> t._4).toMap
+    out.filter(_._2 == 1).foreach { case (a, _, b, c) =>
+      score.get((b, a)).foreach(cb => assert(math.abs(cb - c) < 1e-9))
+    }
+    // an over-cap block fails loudly instead of degrading
+    val emb = (1L to 12L).map(i =>
+      (i, 0, Array.fill(4)(i.toFloat))).toDF("vec_id", "label", "embedding")
+    val e = intercept[Exception] {
+      Similarity.knnJoinBlocked(emb, k = 2, blockCap = 5).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("semdedup: clusters are consistent and representatives minimal") {
     val out = run("semdedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
