@@ -821,23 +821,21 @@ object Dedup {
     val txt = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
     val maxLen = greatest(col("len_a"), col("len_b")).cast("double")
-    // Banded DP bound: any qualifying pair has dist ≤ t·max(len_a,
-    // len_b) ≤ ⌊t·corpusMaxLen⌋ (dist is an int), so the thresholded
-    // levenshtein — O(threshold·len) band instead of the O(len²)
-    // full table — returns the exact distance for every pair that
-    // can pass the filter and -1 (pruned early) only for pairs that
-    // could not. One bounded 1-row driver scalar, same pattern as
-    // the k-means/similarity model loops.
-    val corpusMax = docs.agg(max(length(col("text")))).head()
-    val band = if (corpusMax.isNullAt(0)) 0
-      else (EditRelThreshold * corpusMax.getInt(0)).toInt
+    // Banded DP bound: any qualifying pair has dist ≤ ⌊t·max(len_a,
+    // len_b)⌋ (dist is an int), so the thresholded levenshtein —
+    // O(threshold·len) band instead of the O(len²) full table —
+    // returns the exact distance for every pair that can pass the
+    // filter and -1 (pruned early) only for pairs that could not.
+    // The threshold is a PER-PAIR expression (Levenshtein's third
+    // arg is any expression), so each pair gets its tightest band.
     minhashBandCandidates(docs)
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
         col("len").as("len_a")).hint("shuffle_hash"), Seq("doc_a"))
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
         col("len").as("len_b")).hint("shuffle_hash"), Seq("doc_b"))
       .filter(abs(col("len_a") - col("len_b")).cast("double") <= t * maxLen)
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), band))
+      .withColumn("dist", expr("levenshtein(text_a, text_b, " +
+        s"cast(floor($EditRelThreshold * greatest(len_a, len_b)) as int))"))
       .filter(col("dist") >= 0 && col("dist").cast("double") <= t * maxLen)
       .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"),
         round(col("dist").cast("double") / maxLen, 4).as("rel_dist"))
