@@ -167,6 +167,31 @@ object Dedup {
     // the typo-edit dups token-set Jaccard under-scores
     "dedup_edit_pairs" -> ((s, dir) => editPairs(Tables(s, dir).documents)),
 
+    // cross-source duplication matrix: near-dup pair counts + mean
+    // similarity per (source, source) cell — "how much does crawl A
+    // re-serve crawl B", the corpus-mixture diagnostic that decides
+    // which sources to drop or downweight. Pure composition: the
+    // minhash pair relation joins doc→source twice (shuffle-hash on
+    // doc_id) and aggregates on the normalized source pair. The mean
+    // rides EXACT ints (4-decimal jaccards scaled ×10⁴), so shuffle
+    // order can never flip a last-ulp double across engines.
+    "source_overlap_matrix" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val src = docs.select(col("doc_id"), col("source"))
+      minhashPairs(docs)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
+          .hint("shuffle_hash"), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+          .hint("shuffle_hash"), Seq("doc_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"),
+          round(col("jaccard") * 10000, 0).cast("long").as("j4"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("j4")).cast("double") /
+            (lit(10000.0) * count(lit(1)).cast("double")), 4).as("avg_jaccard"))
+    }),
+
     // SimHash: 60-bit per-doc fingerprint from shingle hash bit votes
     "simhash" -> ((s, dir) => simhashFingerprints(Tables(s, dir).documents)),
 
@@ -905,6 +930,20 @@ object Dedup {
          |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
          |      / greatest(len(a.toks), 1)::DOUBLE >= $ContainmentThreshold""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql("documents"),
+    // the pair relation joined to sources twice; the mean rides the
+    // exact scaled-int jaccards so engines agree bit-for-bit
+    "source_overlap_matrix" ->
+      s"""WITH ${minhashOracleCtes("documents")},
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  cast(count(*) AS bigint) AS n_pairs,
+         |  round(sum(cast(round(jaccard * 10000, 0) AS bigint))::DOUBLE
+         |        / (10000.0::DOUBLE * count(*)::DOUBLE), 4) AS avg_jaccard
+         |FROM mh_pairs p
+         |JOIN src a ON p.doc_a = a.doc_id
+         |JOIN src b ON p.doc_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     // same deterministic banded candidates (the shared CTE chain),
     // then the exact Levenshtein verify — DuckDB's levenshtein and
     // Spark's agree (both count single-character edits; the corpus

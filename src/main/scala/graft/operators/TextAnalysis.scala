@@ -198,6 +198,34 @@ object TextAnalysis {
     "dedup_substring_rewrite" -> ((s, dir) =>
       substringRewrite(Tables(s, dir).documents)),
 
+    // vocabulary coverage curve (the vocab-size sizing diagnostic):
+    // what fraction of all corpus token OCCURRENCES the top-N
+    // most-frequent types cover, at several N. The vocab relation is
+    // aggregated (map-side combined) then cut to the largest N by
+    // TakeOrderedAndProject — the only window runs over those ≤ 50
+    // rows, never the corpus. Coverage sums ride exact int token
+    // counts; the single division is rounded once.
+    "vocab_coverage_curve" -> ((s, dir) => {
+      val cuts = Seq(5, 10, 20, 50)
+      val vocab = Tables(s, dir).documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      val total = vocab.agg(sum(col("tf")).as("n_total"))
+      val top = vocab.orderBy(desc("tf"), asc("w")).limit(cuts.max)
+      val ranked = top.withColumn("rk", row_number().over(
+        Window.orderBy(desc("tf"), asc("w")))) // ≤ 50 rows — bounded
+      ranked.crossJoin(broadcast(total))
+        .select(explode(array(cuts.map(lit): _*)).as("vocab_size"),
+          col("rk"), col("tf"), col("n_total"))
+        .filter(col("rk") <= col("vocab_size"))
+        .groupBy(col("vocab_size"))
+        .agg(sum(col("tf")).as("covered_tokens"),
+          first(col("n_total")).as("n_total"))
+        .select(col("vocab_size"), col("covered_tokens"),
+          round(col("covered_tokens").cast("double") /
+            col("n_total").cast("double"), 4).as("coverage"))
+    }),
+
     // vocabulary statistics (BPE/vocab-training prep): corpus-wide
     // token frequency + document frequency, top 50 by count
     "vocab_token_freq" -> ((s, dir) => {
@@ -560,6 +588,20 @@ object TextAnalysis {
          |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM scores""".stripMargin,
+    "vocab_coverage_curve" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, cast(count(*) AS bigint) AS tf FROM toks GROUP BY w),
+        |total AS (SELECT cast(sum(tf) AS bigint) AS n_total FROM vocab),
+        |ranked AS (
+        |  SELECT w, tf, row_number() OVER (ORDER BY tf DESC, w ASC) AS rk
+        |  FROM vocab QUALIFY rk <= 50)
+        |SELECT v.vocab_size, cast(sum(tf) AS bigint) AS covered_tokens,
+        |  round(sum(tf)::DOUBLE / (SELECT n_total FROM total)::DOUBLE, 4) AS coverage
+        |FROM ranked, (VALUES (5), (10), (20), (50)) v(vocab_size)
+        |WHERE rk <= v.vocab_size
+        |GROUP BY v.vocab_size""".stripMargin,
     "vocab_token_freq" ->
       """SELECT w, cast(count(*) AS bigint) AS tf,
         |  cast(count(DISTINCT doc_id) AS bigint) AS df

@@ -35,7 +35,8 @@ class PlanLintSpec extends SparkSpec {
     // broadcast or re-scanned; candidates ≤ corpus × NumQueries)
     "ann_cosine_topk" -> "bounded query-batch broadcast, one corpus scan",
     "ann_topk_agg" -> "bounded query-batch broadcast, heap-aggregated",
-    "bm25_search" -> "bounded query-term broadcast over the posting scan"
+    "bm25_search" -> "bounded query-term broadcast over the posting scan",
+    "vocab_coverage_curve" -> "1-row token-total broadcast"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {
@@ -62,7 +63,8 @@ class PlanLintSpec extends SparkSpec {
   private val globalWindowAllowed: Map[String, String] = Map(
     "window_ratio_report" -> "ratio-to-report over a 3-row aggregate",
     "best_performing_product" -> "pct-of-total over a per-day aggregate",
-    "lang_temperature_weights" -> "normalizer over a per-language aggregate"
+    "lang_temperature_weights" -> "normalizer over a per-language aggregate",
+    "vocab_coverage_curve" -> "rank over the top-50 limit of the vocab aggregate"
   )
 
   test("no query runs a partition-less window over a non-aggregated relation") {
