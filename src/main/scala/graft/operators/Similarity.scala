@@ -179,6 +179,9 @@ object Similarity {
     // verify path runs requireExact = true: if any bucket ever grew
     // past the cap (where the plan switches to approximate banding)
     // this fails loudly instead of silently hash-mismatching.
+    "semdedup" -> ((s, dir) =>
+      semDedup(Tables(s, dir).embeddings, requireExact = true)),
+
     // k-NN SELF-join: every vector's top-k nearest in-block
     // neighbors — the dataset-graph builder behind semdedup-style
     // curation and duplicate-cluster analysis. The label plays the
@@ -190,9 +193,6 @@ object Similarity {
     // belongs to the IVF-probed ANN path.
     "knn_join_blocked" -> ((s, dir) =>
       knnJoinBlocked(Tables(s, dir).embeddings)),
-
-    "semdedup" -> ((s, dir) =>
-      semDedup(Tables(s, dir).embeddings, requireExact = true)),
 
     // IVF ANN: k-means coarse quantizer trained on the corpus
     // (deterministic seed init + fixed Lloyd passes), vectors bucketed

@@ -209,6 +209,9 @@ object TextAnalysis {
       val cuts = Seq(5, 10, 20, 50)
       val vocab = Tables(s, dir).documents
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        // blank-text docs split to [""] — not a token (same contract
+        // as the BPE trainer's vocab)
+        .filter(length(col("w")) >= 1)
         .groupBy(col("w")).agg(count(lit(1)).as("tf"))
       val total = vocab.agg(sum(col("tf")).as("n_total"))
       val top = vocab.orderBy(desc("tf"), asc("w")).limit(cuts.max)
@@ -410,7 +413,8 @@ object TextAnalysis {
     */
   def bpeLearnMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val session = docs.sparkSession
-    val (merges, syms) = bpeTrain(docs, rounds)
+    // learn-only: the final round's rewrite is never read, skip it
+    val (merges, syms) = bpeTrain(docs, rounds, needFinalSyms = false)
     syms.unpersist()
     import session.implicits._
     merges.toDF("step", "lhs", "rhs", "merged", "n")
@@ -426,7 +430,7 @@ object TextAnalysis {
     * the standard tokenizer-quality diagnostic this feeds.
     */
   def bpeEncodeCounts(docs: DataFrame, rounds: Int): DataFrame = {
-    val (_, syms) = bpeTrain(docs, rounds)
+    val (_, syms) = bpeTrain(docs, rounds, needFinalSyms = true)
     val words = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -439,9 +443,13 @@ object TextAnalysis {
 
   /** The shared trainer loop: returns the learned merges and the
     * final persisted per-word symbol table (caller unpersists or
-    * leaves it for the session's clearCache).
+    * leaves it for the session's clearCache). With
+    * `needFinalSyms = false` the LAST round's rewrite is skipped —
+    * the merge tuple is collected before the rewrite, so a
+    * merges-only caller saves one vocab-sized fold+materialize job
+    * (the returned table is then the second-to-last round's).
     */
-  private def bpeTrain(docs: DataFrame, rounds: Int)
+  private def bpeTrain(docs: DataFrame, rounds: Int, needFinalSyms: Boolean)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vocab = docs
@@ -467,20 +475,22 @@ object TextAnalysis {
         val (lS, rS, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, lS, rS, lS + rS, n))
-        val (l, r, m) = (lit(lS), lit(rS), lit(lS + rS))
-        // greedy merge as a single fold; try_element_at (not
-        // element_at) so the empty-accumulator probe stays null
-        // under ANSI instead of raising
-        val next = syms.withColumn("sym",
-          aggregate(col("sym"), array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                try_element_at(acc, lit(-1)) === l && x === r,
-              concat(slice(acc, lit(1), size(acc) - 1), array(m)))
-              .otherwise(concat(acc, array(x)))))
-          .persist(ML)
-        next.count() // materialize BEFORE dropping the parent, or the
-        syms.unpersist() // unpersisted lineage replays every round
-        syms = next
+        if (k < rounds || needFinalSyms) {
+          val (l, r, m) = (lit(lS), lit(rS), lit(lS + rS))
+          // greedy merge as a single fold; try_element_at (not
+          // element_at) so the empty-accumulator probe stays null
+          // under ANSI instead of raising
+          val next = syms.withColumn("sym",
+            aggregate(col("sym"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  try_element_at(acc, lit(-1)) === l && x === r,
+                concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+                .otherwise(concat(acc, array(x)))))
+            .persist(ML)
+          next.count() // materialize BEFORE dropping the parent, or the
+          syms.unpersist() // unpersisted lineage replays every round
+          syms = next
+        }
       }
     }
     (merges.toSeq, syms)
@@ -491,6 +501,11 @@ object TextAnalysis {
     * run-alternation keep set (window formulation of left-to-right
     * non-overlapping merging), and the rewritten symbol table.
     */
+  // pos$k joins top$k with LEFT JOIN ON true (not a cross join): on a
+  // corpus that merges out before `rounds`, top$k is empty and a cross
+  // join would cascade every later syms CTE to zero rows — the LEFT
+  // JOIN leaves m null, keep$k empty, and syms$k a pass-through,
+  // matching the Spark trainer's `if (top.nonEmpty)` skip exactly.
   private def bpeOracleCtes(rounds: Int): String = {
     val head =
       """vocab AS MATERIALIZED (
@@ -515,7 +530,7 @@ object TextAnalysis {
         |  SELECT s.w, s.wf, s.sym, s.i,
         |    (s.sym[s.i] = t.lhs AND s.sym[s.i + 1] = t.rhs) AS m
         |  FROM (SELECT w, wf, sym, unnest(range(1, len(sym) + 1)) AS i
-        |        FROM syms$p) s, top$k t),
+        |        FROM syms$p) s LEFT JOIN top$k t ON true),
         |keep$k AS MATERIALIZED (
         |  SELECT w, i FROM (
         |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rn
@@ -590,8 +605,9 @@ object TextAnalysis {
          |FROM scores""".stripMargin,
     "vocab_coverage_curve" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        |  FROM documents),
+        |  SELECT w FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE length(w) >= 1),
         |vocab AS (SELECT w, cast(count(*) AS bigint) AS tf FROM toks GROUP BY w),
         |total AS (SELECT cast(sum(tf) AS bigint) AS n_total FROM vocab),
         |ranked AS (

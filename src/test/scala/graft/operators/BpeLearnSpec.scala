@@ -45,6 +45,20 @@ class BpeLearnSpec extends SparkSpec {
       Seq((1L, 4L, 7L), (2L, 1L, 1L)))
   }
 
+  test("merge exhaustion: rounds beyond the last pair are skipped, encode still counts") {
+    // 'ab ab': round 1 merges (a,b); rounds 2-3 find no pairs — learn
+    // must return ONE row and encode must count the fully-merged
+    // single symbol per word (the oracle's LEFT JOIN pass-through
+    // matches this exactly)
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeLearnMerges(docs, rounds = 3).collect()
+    assert(merges.map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq ==
+      Seq((1, "ab", 2L)))
+    val enc = TextAnalysis.bpeEncodeCounts(docs, rounds = 3).collect()
+    assert(enc.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L)))
+  }
+
   test("sf0.001 merges are deterministic and count-monotone within ties") {
     val out = run("bpe_learn_merges").orderBy("step").collect()
     assert(out.length == TextAnalysis.BpeRounds)
