@@ -859,8 +859,14 @@ object Dedup {
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
         col("len").as("len_b")).hint("shuffle_hash"), Seq("doc_b"))
       .filter(abs(col("len_a") - col("len_b")).cast("double") <= t * maxLen)
-      .withColumn("dist", expr("levenshtein(text_a, text_b, " +
-        s"cast(floor($EditRelThreshold * greatest(len_a, len_b)) as int))"))
+      // equality short-circuit: EXACT copies are the dominant pair
+      // class in a real dedup corpus (every copy pair band-collides),
+      // and they need an O(len) compare, not the DP — a 10×-copies
+      // adversarial smoke (ScaleSmoke) spent most of its verify time
+      // proving dist=0 the slow way
+      .withColumn("dist", when(col("text_a") === col("text_b"), lit(0))
+        .otherwise(expr("levenshtein(text_a, text_b, " +
+          s"cast(floor($EditRelThreshold * greatest(len_a, len_b)) as int))")))
       .filter(col("dist") >= 0 && col("dist").cast("double") <= t * maxLen)
       .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"),
         round(col("dist").cast("double") / maxLen, 4).as("rel_dist"))
