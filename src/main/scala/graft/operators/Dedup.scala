@@ -789,12 +789,68 @@ object Dedup {
         .distinct()
   }
 
+  /** One representative per DISTINCT text (md5 groups, min doc_id),
+    * with the member list and the ≥ 2-words banding gate — the
+    * exact-then-near composition's first stage, shared by
+    * [[minhashPairs]] and [[editPairs]]. Identical texts have
+    * identical signatures and identical similarity to everything, so
+    * running the LSH + verify machinery on representatives and
+    * expanding back to members is OUTPUT-IDENTICAL to running on the
+    * raw corpus — while a copy-heavy corpus (the normal case; every
+    * copy pair band-collides) pays candidate/verify cost once per
+    * distinct text instead of once per copy pair (ScaleSmoke:
+    * 12× on the 10×-copies corpus).
+    */
+  private def textGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"),
+        first(col("text")).as("text"),
+        (size(split(trim(first(col("text"))), "\\s+")) >= 2).as("bandable"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Intra-group member pairs (doc_a < doc_b) of bandable texts,
+    * with constant `payload` columns appended (distance 0 /
+    * similarity 1 — identical texts).
+    */
+  private def intraGroupPairs(groups: DataFrame,
+                              payload: Seq[org.apache.spark.sql.Column]): DataFrame =
+    groups.filter(col("bandable") && size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a").as("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a") +: col("doc_b") +: payload: _*)
+
+  /** Expand verified representative pairs to every member pair,
+    * carrying `payload` columns through (the similarity of a member
+    * pair IS its representatives' — identical texts). Joins are
+    * shuffle-hash on the rep key; nothing corpus-sized broadcasts.
+    */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
+                             payload: Seq[String]): DataFrame = {
+    val pay = payload.map(col)
+    repPairs
+      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(pay :+ explode(col("ma")).as("a") :+ col("mb"): _*)
+      .select(pay :+ col("a") :+ explode(col("mb")).as("b"): _*)
+      .select(least(col("a"), col("b")).as("doc_a") +:
+        greatest(col("a"), col("b")).as("doc_b") +: pay: _*)
+  }
+
   /** The full shingle→minhash→band→bucket-join→verify pipeline,
-    * exposed for reuse/tests. `docs` needs (doc_id, text).
+    * exposed for reuse/tests. `docs` needs (doc_id, text). Runs on
+    * one representative per distinct text and expands back to
+    * members (see [[textGroups]] — output-identical, copy-robust).
     */
   def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
-      val cands = minhashBandCandidates(docs, spreadInput)
-      val sets = shingleSets(docs)
+      val groups = textGroups(docs)
+      val reps = groups.select(col("rep").as("doc_id"), col("text"))
+      val cands = minhashBandCandidates(reps, spreadInput)
+      val sets = shingleSets(reps)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
       // of materializing the union array too.
@@ -802,7 +858,7 @@ object Dedup {
       // `sets` is the whole corpus's shingle arrays, and a broadcast
       // would collect the corpus to the driver — a scale-killer at
       // 100 TB. Candidates ≪ corpus, so the shuffle is cheap.
-      cands
+      val repPairs = cands
         .join(sets.select(col("doc_id").as("doc_a"),
           col("toks").as("toks_a"), size(col("toks")).as("na"))
           .hint("shuffle_hash"), Seq("doc_a"))
@@ -814,6 +870,8 @@ object Dedup {
           greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
         .filter(col("jac") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      intraGroupPairs(groups, Seq(lit(1.0).as("jaccard")))
+        .unionAll(expandRepPairs(repPairs, groups, Seq("jaccard")))
   }
 
   /** Relative edit-distance threshold for [[editPairs]]: a pair is a
@@ -833,43 +891,42 @@ object Dedup {
     * distance; small in-word typo dups score low on token Jaccard
     * but near on edit distance.
     *
-    * Scale shape: the O(len_a·len_b) DP runs ONLY on candidate pairs
-    * (LSH-bounded, ≪ corpus²), behind the length pigeonhole
-    * |len_a − len_b| ≤ t·max — a necessary condition for the
-    * threshold (every length-difference char costs ≥ 1 edit) that
-    * skips the quadratic DP on length-incompatible candidates for
-    * the price of two ints. Verify joins shuffle-hash on doc_id;
+    * Scale shape — exact-then-near composition: the whole LSH +
+    * verify machinery runs on one REPRESENTATIVE per distinct text
+    * (md5 groups, min doc_id), and results expand back to members at
+    * the end. Identical texts have identical signatures and
+    * identical distances to everything, so the expansion is
+    * OUTPUT-IDENTICAL to running on the raw corpus — but a corpus
+    * with heavy exact duplication (the normal case: every copy pair
+    * band-collides) pays candidate/verify cost once per distinct
+    * text instead of once per copy pair. Intra-group pairs are
+    * emitted directly with distance 0 (gated on the same ≥ 2 words
+    * the banding needs — a 1-word doc never bands, so its copies
+    * never pair). The per-pair-banded DP (O(threshold·len), not
+    * O(len²)) then runs only on distinct-text candidate pairs behind
+    * the length pigeonhole; verify joins shuffle-hash on doc_id and
     * the corpus text relation is never broadcast.
     */
   def editPairs(docs: DataFrame): DataFrame = {
     val t = lit(EditRelThreshold)
-    val txt = docs.select(col("doc_id"), col("text"),
-      length(col("text")).as("len"))
     val maxLen = greatest(col("len_a"), col("len_b")).cast("double")
-    // Banded DP bound: any qualifying pair has dist ≤ ⌊t·max(len_a,
-    // len_b)⌋ (dist is an int), so the thresholded levenshtein —
-    // O(threshold·len) band instead of the O(len²) full table —
-    // returns the exact distance for every pair that can pass the
-    // filter and -1 (pruned early) only for pairs that could not.
-    // The threshold is a PER-PAIR expression (Levenshtein's third
-    // arg is any expression), so each pair gets its tightest band.
-    minhashBandCandidates(docs)
+    val groups = textGroups(docs)
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    val txt = reps.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val repPairs = minhashBandCandidates(reps)
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
         col("len").as("len_a")).hint("shuffle_hash"), Seq("doc_a"))
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
         col("len").as("len_b")).hint("shuffle_hash"), Seq("doc_b"))
       .filter(abs(col("len_a") - col("len_b")).cast("double") <= t * maxLen)
-      // equality short-circuit: EXACT copies are the dominant pair
-      // class in a real dedup corpus (every copy pair band-collides),
-      // and they need an O(len) compare, not the DP — a 10×-copies
-      // adversarial smoke (ScaleSmoke) spent most of its verify time
-      // proving dist=0 the slow way
-      .withColumn("dist", when(col("text_a") === col("text_b"), lit(0))
-        .otherwise(expr("levenshtein(text_a, text_b, " +
-          s"cast(floor($EditRelThreshold * greatest(len_a, len_b)) as int))")))
+      .withColumn("dist", expr("levenshtein(text_a, text_b, " +
+        s"cast(floor($EditRelThreshold * greatest(len_a, len_b)) as int))"))
       .filter(col("dist") >= 0 && col("dist").cast("double") <= t * maxLen)
       .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"),
         round(col("dist").cast("double") / maxLen, 4).as("rel_dist"))
+    intraGroupPairs(groups, Seq(lit(0).as("dist"), lit(0.0).as("rel_dist")))
+      .unionAll(expandRepPairs(repPairs, groups, Seq("dist", "rel_dist")))
   }
 
   def oracles: Map[String, String] = Map(
