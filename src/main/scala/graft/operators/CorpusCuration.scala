@@ -44,7 +44,7 @@ object CorpusCuration {
     // kept2 already sits on the session's shuffle partitioning (the
     // md5 window shuffled it) — skip minhashPairs' input respread
     val nearDupLosers = Dedup.minhashPairs(
-        kept2.select(col("doc_id"), col("text")), spreadInput = false)
+        kept2.select(col("doc_id"), col("text")))
       .select(col("doc_b").as("doc_id")).distinct()
     kept2.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }

@@ -845,11 +845,15 @@ object Dedup {
     * exposed for reuse/tests. `docs` needs (doc_id, text). Runs on
     * one representative per distinct text and expands back to
     * members (see [[textGroups]] — output-identical, copy-robust).
+    * The representative relation is the output of the groups shuffle,
+    * already spread across the cluster, so the candidate stage never
+    * needs its input respread (the `spreadInput` knob only matters
+    * for callers of [[minhashBandCandidates]] feeding raw splits).
     */
-  def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame = {
+  def minhashPairs(docs: DataFrame): DataFrame = {
       val groups = textGroups(docs)
       val reps = groups.select(col("rep").as("doc_id"), col("text"))
-      val cands = minhashBandCandidates(reps, spreadInput)
+      val cands = minhashBandCandidates(reps, spreadInput = false)
       val sets = shingleSets(reps)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
@@ -914,7 +918,7 @@ object Dedup {
     val reps = groups.select(col("rep").as("doc_id"), col("text"))
     val txt = reps.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
-    val repPairs = minhashBandCandidates(reps)
+    val repPairs = minhashBandCandidates(reps, spreadInput = false)
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
         col("len").as("len_a")).hint("shuffle_hash"), Seq("doc_a"))
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
