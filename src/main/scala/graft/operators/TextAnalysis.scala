@@ -261,6 +261,16 @@ object TextAnalysis {
     "bpe_encode_counts" -> ((s, dir) =>
       bpeEncodeCounts(Tables(s, dir).documents, BpeRounds)),
 
+    // tokenizer FERTILITY per language — post-merge BPE tokens per
+    // whitespace word, the standard multilingual tokenizer-equity
+    // diagnostic (a language whose fertility stays high after
+    // training is under-served by the learned merges and pays more
+    // sequence length per word). Same word-keyed join as
+    // bpe_encode_counts, aggregated per language; the ratio divides
+    // two exact ints and is rounded once.
+    "bpe_fertility_by_lang" -> ((s, dir) =>
+      bpeFertilityByLang(Tables(s, dir).documents, BpeRounds)),
+
     "bpe_pair_stats" -> ((s, dir) => {
       val words = Tables(s, dir).documents
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -441,6 +451,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
   }
 
+  /** Per-language fertility of the learned tokenizer: whitespace
+    * words, post-merge BPE tokens, and tokens-per-word per `lang`.
+    * Same scale shape as [[bpeEncodeCounts]] (vocab-sized symbol
+    * table, word-keyed shuffle join, map-side-combined aggregate).
+    */
+  def bpeFertilityByLang(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, syms) = bpeTrain(docs, rounds, needFinalSyms = true)
+    val words = docs
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    words
+      .join(syms.select(col("w"), size(col("sym")).as("n_sym"))
+        .hint("shuffle_hash"), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 4).as("fertility"))
+  }
+
   /** The shared trainer loop: returns the learned merges and the
     * final persisted per-word symbol table (caller unpersists or
     * leaves it for the session's clearCache). With
@@ -560,6 +590,18 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "bpe_learn_merges" -> bpeOracleSql(BpeRounds),
+    "bpe_fertility_by_lang" ->
+      (s"WITH ${bpeOracleCtes(BpeRounds)}" +
+        s""",
+          |doc_words AS (
+          |  SELECT lang, w FROM (
+          |    SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          |    FROM documents) WHERE length(w) >= 1)
+          |SELECT d.lang, cast(count(*) AS bigint) AS n_words,
+          |  cast(sum(len(s.sym)) AS bigint) AS n_bpe_tokens,
+          |  round(sum(len(s.sym))::DOUBLE / count(*)::DOUBLE, 4) AS fertility
+          |FROM doc_words d JOIN syms$BpeRounds s ON d.w = s.w
+          |GROUP BY d.lang""".stripMargin),
     "bpe_encode_counts" ->
       (s"WITH ${bpeOracleCtes(BpeRounds)}" +
         s""",
