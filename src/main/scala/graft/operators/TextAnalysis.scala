@@ -198,6 +198,44 @@ object TextAnalysis {
     "dedup_substring_rewrite" -> ((s, dir) =>
       substringRewrite(Tables(s, dir).documents)),
 
+    // Winnowing fingerprints (Schleimer et al.'s MOSS algorithm):
+    // hash every 8-char gram, keep the MINIMUM of each sliding
+    // window of 4 hashes — any substring of length ≥ k+w−1 = 11
+    // shared by two documents is GUARANTEED to share a fingerprint
+    // (the local-min selection is position-independent), at expected
+    // density 2/(w+1) of the gram stream. The windowed upgrade of
+    // doc_fingerprint's single global min: a fingerprint SET supports
+    // partial-overlap detection, not just whole-doc identity. One
+    // doc-keyed shuffle (the window) + one doc-keyed aggregate —
+    // linear in corpus characters, no cross-doc operation.
+    "winnow_fingerprints" -> ((s, dir) => {
+      graft.functions.Md5Hash60.register(s)
+      val (k, w) = (8, 4)
+      val docs = Tables(s, dir).documents
+      val g = docs.filter(length(col("text")) >= k)
+        .select(col("doc_id"), (length(col("text")) - (k - 1)).as("n"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"),
+          col("text"))
+        .select(col("doc_id"), col("n"), col("pos"),
+          graft.functions.Md5Hash60.md5_hash60(
+            col("text").substr(col("pos"), lit(k))).as("h"))
+      val wmin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, w - 1)
+      val fps = g.withColumn("mh", min(col("h")).over(wmin))
+        // windows start at 1..n−w+1 (a doc with fewer than w grams
+        // gets exactly one window over what exists)
+        .filter(col("pos") <= greatest(col("n") - (w - 1), lit(1)))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("mh"))).as("fps"))
+      docs.select(col("doc_id"))
+        .join(fps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(size(col("fps")), lit(0)).cast("long").as("n_fps"),
+          md5(coalesce(array_join(
+            transform(col("fps"), x => x.cast("string")), ","), lit("")))
+            .as("fp_digest"))
+    }),
+
     // vocabulary coverage curve (the vocab-size sizing diagnostic):
     // what fraction of all corpus token OCCURRENCES the top-N
     // most-frequent types cover, at several N. The vocab relation is
@@ -645,6 +683,24 @@ object TextAnalysis {
          |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM scores""".stripMargin,
+    "winnow_fingerprints" ->
+      """WITH g AS (
+        |  SELECT doc_id, length(text) - 7 AS n, i AS pos,
+        |    ('0x' || substr(md5(substring(text, i, 8)), 1, 15))::bigint AS h
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+        |        FROM documents WHERE length(text) >= 8)),
+        |m AS (
+        |  SELECT doc_id, pos, n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id, list_sort(list(DISTINCT mh)) AS fps
+        |  FROM m WHERE pos <= greatest(n - 3, 1) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(coalesce(len(f.fps), 0) AS bigint) AS n_fps,
+        |  md5(coalesce(array_to_string(f.fps, ','), '')) AS fp_digest
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id""".stripMargin,
     "vocab_coverage_curve" ->
       """WITH toks AS (
         |  SELECT w FROM (
