@@ -198,6 +198,34 @@ object TextAnalysis {
     "dedup_substring_rewrite" -> ((s, dir) =>
       substringRewrite(Tables(s, dir).documents)),
 
+    // One-row dataset card ("datasheets for datasets"): the release
+    // summary every corpus ships — size, token volume, language and
+    // source breadth, exact-duplication rate, and length stats. One
+    // pass of map-side-combined aggregates (the token count folds
+    // into the same scan); the dup rate compares distinct text
+    // hashes to row count. Exact ints everywhere except the two
+    // once-rounded ratios and the interpolated median (identical
+    // linear-interpolation semantics in both engines).
+    "dataset_card" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(nWords).as("n_ws_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        sum(col("n_chars")).as("n_chars_total"),
+        percentile(col("n_chars"), lit(0.5)).as("p50_chars"))
+        .select(col("n_docs"), col("n_ws_tokens"), col("n_langs"),
+          col("n_sources"),
+          round(lit(1.0) - col("n_distinct_texts").cast("double") /
+            col("n_docs").cast("double"), 4).as("exact_dup_rate"),
+          col("n_chars_total"),
+          round(col("n_chars_total").cast("double") /
+            col("n_docs").cast("double"), 4).as("mean_chars"),
+          col("p50_chars"))
+    }),
+
     // Winnowing fingerprints (Schleimer et al.'s MOSS algorithm):
     // hash every 8-char gram, keep the MINIMUM of each sliding
     // window of 4 hashes — any substring of length ≥ k+w−1 = 11
@@ -683,6 +711,17 @@ object TextAnalysis {
          |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM scores""".stripMargin,
+    "dataset_card" ->
+      s"""SELECT cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum($sqlNWords) AS bigint) AS n_ws_tokens,
+         |  cast(count(DISTINCT lang) AS bigint) AS n_langs,
+         |  cast(count(DISTINCT source) AS bigint) AS n_sources,
+         |  round(1.0::DOUBLE - count(DISTINCT md5(text))::DOUBLE
+         |        / count(*)::DOUBLE, 4) AS exact_dup_rate,
+         |  cast(sum(n_chars) AS bigint) AS n_chars_total,
+         |  round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 4) AS mean_chars,
+         |  quantile_cont(n_chars::DOUBLE, 0.5) AS p50_chars
+         |FROM documents""".stripMargin,
     "winnow_fingerprints" ->
       """WITH g AS (
         |  SELECT doc_id, length(text) - 7 AS n, i AS pos,
