@@ -178,6 +178,41 @@ object ProductAnalytics {
         .limit(20)
     }),
 
+    // RFM segmentation — the classic customer battery: per-customer
+    // recency (days since last order vs the corpus max date),
+    // frequency, monetary; quintile scores from exact percentile
+    // boundaries (1-row broadcast, the equi_depth_buckets pattern —
+    // no global ntile window funneling customers through one task);
+    // segments aggregated with EXACT decimal monetary sums so
+    // shuffle order never flips a double. Recency scores invert
+    // (recent = 5).
+    "rfm_segments" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("recency", datediff(col("anchor"), col("last_order")))
+      val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+      val bounds = per.agg(
+        percentile(col("recency"), qs).as("rb"),
+        percentile(col("freq"), qs).as("fb"),
+        percentile(col("monetary").cast("double"), qs).as("mb"))
+      def above(c: org.apache.spark.sql.Column, bs: String) =
+        (1 to 4).map(i =>
+          when(c > element_at(col(bs), i), 1).otherwise(0)).reduce(_ + _)
+      per.crossJoin(broadcast(bounds))
+        .select(col("o_custkey"), col("monetary"),
+          (lit(5) - above(col("recency").cast("double"), "rb")).as("r_score"),
+          (lit(1) + above(col("freq").cast("double"), "fb")).as("f_score"),
+          (lit(1) + above(col("monetary").cast("double"), "mb")).as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("monetary")).cast("double"), 2).as("segment_revenue"))
+    }),
+
     // grouped top-k: top-3 customers by spend within every nation.
     // Planned through the bounded-heap TypedImperativeAggregate
     // (functions.TopKByScore) instead of a window rank: same shuffle
@@ -458,6 +493,32 @@ object ProductAnalytics {
         |JOIN item ia ON part_a = ia.l_partkey
         |JOIN item ib ON part_b = ib.l_partkey, total
         |ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+    "rfm_segments" ->
+      """WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate), (SELECT anchor FROM anchor)) AS recency,
+        |    cast(count(*) AS bigint) AS freq,
+        |    sum(cast(o_totalprice AS decimal(18,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT quantile_cont(recency::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |         quantile_cont(freq::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |         quantile_cont(monetary::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM per),
+        |scored AS (
+        |  SELECT o_custkey, monetary,
+        |    5 - ((recency::DOUBLE > rb[1])::int + (recency::DOUBLE > rb[2])::int
+        |       + (recency::DOUBLE > rb[3])::int + (recency::DOUBLE > rb[4])::int) AS r_score,
+        |    1 + ((freq::DOUBLE > fb[1])::int + (freq::DOUBLE > fb[2])::int
+        |       + (freq::DOUBLE > fb[3])::int + (freq::DOUBLE > fb[4])::int) AS f_score,
+        |    1 + ((monetary::DOUBLE > mb[1])::int + (monetary::DOUBLE > mb[2])::int
+        |       + (monetary::DOUBLE > mb[3])::int + (monetary::DOUBLE > mb[4])::int) AS m_score
+        |  FROM per, b)
+        |SELECT r_score, f_score, m_score,
+        |  cast(count(*) AS bigint) AS n_customers,
+        |  round(cast(sum(monetary) AS double), 2) AS segment_revenue
+        |FROM scored GROUP BY 1, 2, 3""".stripMargin,
     "top_customers_per_nation" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_cosine_topk" -> "bounded query-batch broadcast, one corpus scan",
     "ann_topk_agg" -> "bounded query-batch broadcast, heap-aggregated",
     "bm25_search" -> "bounded query-term broadcast over the posting scan",
-    "vocab_coverage_curve" -> "1-row token-total broadcast"
+    "vocab_coverage_curve" -> "1-row token-total broadcast",
+    "rfm_segments" -> "1-row anchor-date and quintile-boundary broadcasts"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {
