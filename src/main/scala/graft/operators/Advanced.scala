@@ -29,6 +29,28 @@ object Advanced {
   private val SessionGapMin = 30
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // user-behavior Markov transition matrix: P(next event type |
+    // current) from per-user event sequences — one user-keyed window
+    // (lead) for the consecutive pairs, one map-side-combined count,
+    // and the row normalizer rides a window over the AGGREGATED
+    // 4×4-ish matrix (bounded by event-type cardinality², never the
+    // stream). Probabilities divide exact ints, rounded once.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+      val counts = pairs.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("row_total").cast("double"), 4)
+            .as("p"))
+    }),
+
     // gap-based sessionization, batch form (streaming twin lives in
     // graft.streaming): flag gaps > 30 min, running-sum the flags
     // into session ids, aggregate per session
@@ -270,6 +292,19 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, cast(count(*) AS bigint) AS n
+        |  FROM pairs WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type)::DOUBLE, 4) AS p
+        |FROM c""".stripMargin,
     "events_sessionize" ->
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, ts, value,
