@@ -138,6 +138,17 @@ object Dedup {
     // connected components over the near-dup graph (cluster ids)
     "dedup_clusters" -> ((s, dir) => minhashClusters(Tables(s, dir).documents)),
 
+    // cluster-size histogram — the standard dedup report (how many
+    // singletons vs how many size-k near-dup families, and what doc
+    // volume each stratum holds): two map-side-combined aggregates
+    // over the cluster assignment
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      minhashClusters(Tables(s, dir).documents)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))),
+
     // embedding-cosine near-dup: pairwise cosine inside label blocks
     // (the label plays the IVF coarse-quantizer cell — at 100 TB the
     // blocking key bounds the quadratic compare exactly like
@@ -1042,6 +1053,26 @@ object Dedup {
          |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a)
          |SELECT doc AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY doc""".stripMargin,
+    // same component CTE, then the size histogram
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes("documents")},
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a),
+         |clusters AS (
+         |  SELECT doc AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |sizes AS (
+         |  SELECT cluster_id, cast(count(*) AS bigint) AS sz
+         |  FROM clusters GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, cast(count(*) AS bigint) AS n_clusters,
+         |  cast(sum(sz) AS bigint) AS n_docs
+         |FROM sizes GROUP BY sz""".stripMargin,
     // same component CTE as dedup_clusters, then the 80/10/10 md5
     // gate on the CLUSTER id (leakage-safe split)
     "cluster_safe_split" ->
