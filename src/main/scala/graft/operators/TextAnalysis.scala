@@ -105,6 +105,32 @@ object TextAnalysis {
             .as("quality_bucket"))
     }),
 
+    // per-source quality league table — the artifact source
+    // dropping/reweighting decisions actually read: per source, doc
+    // count, share reaching the "good" quality bucket, and the
+    // corpus-level stopword ratio (sum of exact int hits over sum of
+    // exact int words — NOT a mean of per-doc doubles, so shuffle
+    // order can never move a bit). One map-side-combined aggregate.
+    "source_quality_report" -> ((s, dir) => {
+      val stop = hits(" the ") + hits(" a ") + hits(" of ") + hits(" and ")
+      Tables(s, dir).documents
+        .select(col("source"), nWords.as("n_words"), stop.as("stop_hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_words") >= 20 && col("stop_hits") > 0, 1L)
+            .otherwise(0L)).as("n_good"),
+          sum(col("n_words")).as("n_words_total"),
+          sum(col("stop_hits")).as("stop_hits_total"))
+        .select(col("source"), col("n_docs"),
+          round(col("n_good").cast("double") / col("n_docs").cast("double"), 4)
+            .as("good_share"),
+          round(col("stop_hits_total").cast("double") /
+            greatest(col("n_words_total"), lit(1L)).cast("double"), 4)
+            .as("stop_ratio"),
+          round(col("n_words_total").cast("double") /
+            col("n_docs").cast("double"), 4).as("mean_words"))
+    }),
+
     // language-ID: marker-n-gram scores with deterministic argmax
     "lang_id" -> ((s, dir) => {
       val sEn = hits(" the ") + hits(" a ")
@@ -711,6 +737,19 @@ object TextAnalysis {
          |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM scores""".stripMargin,
+    "source_quality_report" ->
+      s"""WITH d AS (
+         |  SELECT source, $sqlNWords AS n_words,
+         |    ${sqlHits(" the ")} + ${sqlHits(" a ")} + ${sqlHits(" of ")}
+         |      + ${sqlHits(" and ")} AS stop_hits
+         |  FROM documents)
+         |SELECT source, cast(count(*) AS bigint) AS n_docs,
+         |  round(sum(CASE WHEN n_words >= 20 AND stop_hits > 0
+         |            THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS good_share,
+         |  round(sum(stop_hits)::DOUBLE
+         |        / greatest(sum(n_words), 1)::DOUBLE, 4) AS stop_ratio,
+         |  round(sum(n_words)::DOUBLE / count(*)::DOUBLE, 4) AS mean_words
+         |FROM d GROUP BY source""".stripMargin,
     "dataset_card" ->
       s"""SELECT cast(count(*) AS bigint) AS n_docs,
          |  cast(sum($sqlNWords) AS bigint) AS n_ws_tokens,
