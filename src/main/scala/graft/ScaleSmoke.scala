@@ -22,9 +22,14 @@ object ScaleSmoke {
     val spark = GraftSession.local()
     val t = graft.catalog.Tables(spark, sfDir)
 
-    def scaled(df: DataFrame, idCol: String): DataFrame =
+    // copy offset far above any real id (ids at larger sf can pass
+    // 10M; colliding copies would silently merge rows and corrupt
+    // the measurement)
+    val off = 1L << 40
+    def scaled(df: DataFrame, idCols: String*): DataFrame =
       (0 until mult).map(i =>
-        df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
+        idCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * off))))
         .reduce(_ unionAll _)
 
     val docs = scaled(t.documents, "doc_id")
@@ -52,6 +57,32 @@ object ScaleSmoke {
       graft.operators.Similarity.knnJoinBlocked(emb).count())
     time("embedding_pairs_blocked")(
       graft.operators.Dedup.embeddingPairsBlocked(emb).count())
+
+    // ---- graph trio at N× (r7 verdict #6) ---------------------------
+    // Offsetting BOTH orderkey and partkey yields N disjoint copies of
+    // the co-purchase graph — N× nodes and edges, so a linear plan
+    // shows ~N× time and a super-linear one (wedge blowup, hub task)
+    // shows immediately. (Offsetting only the orderkey would leave the
+    // DISTINCT edge set unchanged — a no-op smoke.)
+    import graft.operators.ProductAnalytics
+    val li = scaled(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"lineitem rows=${li.count()} (graph copies=$mult)")
+    time("part_triangles") {
+      val und = ProductAnalytics.basketPairs(ProductAnalytics.baskets(li),
+          ordered = true)
+        .select(col("a").as("u"), col("b").as("v")).distinct()
+      ProductAnalytics.triangleParticipation(und).count()
+    }
+    time("part_pagerank") {
+      val bk = ProductAnalytics.baskets(li)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = ProductAnalytics.basketPairs(bk, ordered = false)
+        .select(col("a").as("src"), col("b").as("dst")).distinct()
+      val nodes = bk.select(explode(col("parts")).as("part")).distinct()
+      ProductAnalytics.pageRankRatios(nodes, edges, rounds = 3).count()
+    }
     spark.stop()
   }
 }

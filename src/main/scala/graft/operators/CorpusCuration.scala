@@ -41,10 +41,13 @@ object CorpusCuration {
     val kept2 = kept1.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // kept2 already sits on the session's shuffle partitioning (the
-    // md5 window shuffled it) — skip minhashPairs' input respread
+    // kept2 is exact-deduped (one survivor per md5 group), so
+    // minhashPairs' dup-rate gate picks its direct branch; and kept2
+    // already sits on the session's shuffle partitioning (the md5
+    // window shuffled it), so that branch's input respread is
+    // skipped too
     val nearDupLosers = Dedup.minhashPairs(
-        kept2.select(col("doc_id"), col("text")))
+        kept2.select(col("doc_id"), col("text")), spreadInput = false)
       .select(col("doc_b").as("doc_id")).distinct()
     kept2.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }

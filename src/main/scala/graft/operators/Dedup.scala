@@ -265,6 +265,36 @@ object Dedup {
   private val injectivityVerdicts = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
 
+  /** Duplicate share above which the exact-then-near REP composition
+    * pays for itself. Both branches are exact, so the gate can never
+    * change output — it only decides whether the textGroups shuffle +
+    * member-expansion joins are worth buying. On a dup-free corpus
+    * they are pure overhead (r7: 2.6× on `dedup_minhash_lsh`); on a
+    * copy-heavy corpus they are 4–23× wins (ScaleSmoke). 5 % dups is
+    * comfortably below the break-even (the rep machinery costs ~2 s
+    * flat at sf0.1 and saves ~quadratic-in-copies verify work).
+    */
+  private[operators] val RepGateDupShare = 0.05
+
+  /** Memoized "corpus is essentially duplicate-free" verdicts for the
+    * rep-composition gate, keyed like [[injectivityVerdicts]] by the
+    * input's canonicalized plan — one cheap O(corpus) count-distinct
+    * agg per distinct input relation per JVM, map-side combined on
+    * the 128-bit content hash.
+    */
+  private val dupFreeVerdicts = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
+
+  private def essentiallyDupFree(docs: DataFrame): Boolean =
+    dupFreeVerdicts.computeIfAbsent(
+      docs.queryExecution.analyzed.canonicalized,
+      _ => {
+        val r = docs.agg(count(lit(1)),
+          count_distinct(md5(col("text")))).head()
+        val n = r.getLong(0)
+        n == 0L || (n - r.getLong(1)).toDouble / n.toDouble <= RepGateDupShare
+      })
+
   /** Blocked Jaccard near-dup pairs with the skew guard: blocks of at
     * most `blockCap` docs compare all-pairs (exact); larger blocks
     * generate candidates by MinHash banding *within* the block and
@@ -512,7 +542,50 @@ object Dedup {
     */
   def containmentPrefixJoin(docs: DataFrame,
                             threshold: Double = ContainmentThreshold,
-                            shingleK: Int = PrefixJoinShingleK): DataFrame = {
+                            shingleK: Int = PrefixJoinShingleK): DataFrame =
+    if (essentiallyDupFree(docs)) containmentDirect(docs, threshold, shingleK)
+    else {
+      // Rep composition for the ORDERED containment join (the r7 10×
+      // smoke's worst operator: 38 s, because BOTH sides fan out —
+      // every copy of A probes every copy of every B). Identical
+      // texts have identical shingle sets, so C(A→B) depends only on
+      // the (rep_A, rep_B) texts: run the whole prefix-filter join on
+      // one representative per distinct text and expand back to
+      // member pairs IN BOTH ROLES, order preserved (no least/
+      // greatest canonicalization — containment is asymmetric).
+      // Intra-group: identical non-empty shingle sets have C = 1 ≥ t,
+      // every ordered pair (a≠b) qualifies; docs under `shingleK`
+      // words have EMPTY shingle sets and C = 0/max(0,1) = 0 — they
+      // never pair (exactly the oracle's greatest(len(toks),1)
+      // denominator), hence the n_words ≥ shingleK gate.
+      val groups = textGroups(docs)
+      val reps = groups.select(col("rep").as("doc_id"), col("text"))
+      val repPairs = containmentDirect(reps, threshold, shingleK)
+      val intra = groups
+        .filter(col("n_words") >= shingleK && size(col("members")) > 1)
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a").as("doc_a"), explode(col("members")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("containment"))
+      val expanded = repPairs
+        .join(groups.select(col("rep").as("doc_a"), col("members").as("ma"))
+          .hint("shuffle_hash"), Seq("doc_a"))
+        .join(groups.select(col("rep").as("doc_b"), col("members").as("mb"))
+          .hint("shuffle_hash"), Seq("doc_b"))
+        .select(col("containment"), explode(col("ma")).as("a"), col("mb"))
+        .select(col("containment"), col("a").as("doc_a"),
+          explode(col("mb")).as("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+      intra.unionAll(expanded)
+    }
+
+  /** The direct (no rep indirection) prefix-filtered containment join
+    * — the dup-free branch of [[containmentPrefixJoin]] and the
+    * rep-level join of its copy-heavy branch.
+    */
+  private def containmentDirect(docs: DataFrame,
+                                threshold: Double,
+                                shingleK: Int): DataFrame = {
     val (prep, useHash) = dfOrderedPrep(docs, threshold, shingleK)
     val cIndex = prep.select(col("doc_id"), col("n"),
       posexplode(col("toks"))).withColumnRenamed("col", "w")
@@ -818,7 +891,8 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"),
         collect_list(col("doc_id")).as("members"),
         first(col("text")).as("text"),
-        (size(split(trim(first(col("text"))), "\\s+")) >= 2).as("bandable"))
+        size(split(trim(first(col("text"))), "\\s+")).as("n_words"))
+      .withColumn("bandable", col("n_words") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Intra-group member pairs (doc_a < doc_b) of bandable texts,
@@ -853,41 +927,60 @@ object Dedup {
   }
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,
-    * exposed for reuse/tests. `docs` needs (doc_id, text). Runs on
-    * one representative per distinct text and expands back to
-    * members (see [[textGroups]] — output-identical, copy-robust).
-    * The representative relation is the output of the groups shuffle,
-    * already spread across the cluster, so the candidate stage never
-    * needs its input respread (the `spreadInput` knob only matters
-    * for callers of [[minhashBandCandidates]] feeding raw splits).
+    * exposed for reuse/tests. `docs` needs (doc_id, text).
+    *
+    * DUP-RATE GATED composition (both branches exact, so the gate can
+    * never change output): on an essentially duplicate-free corpus
+    * (see [[RepGateDupShare]]) the pipeline runs DIRECTLY on the docs
+    * — the rep indirection's textGroups shuffle and member-expansion
+    * joins would be pure overhead. Above the gate it runs on one
+    * representative per distinct text and expands back to members
+    * (see [[textGroups]] — output-identical, and copy-heavy corpora
+    * pay candidate/verify cost once per distinct text instead of
+    * once per copy pair; ScaleSmoke: 4–23×). `spreadInput` only
+    * affects the direct branch (the rep relation is already the
+    * output of the groups shuffle).
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame =
+    if (essentiallyDupFree(docs)) {
+      val sets = shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minhashVerify(minhashBandCandidates(docs, spreadInput), sets)
+    } else {
       val groups = textGroups(docs)
       val reps = groups.select(col("rep").as("doc_id"), col("text"))
-      val cands = minhashBandCandidates(reps, spreadInput = false)
       val sets = shingleSets(reps)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
-      // of materializing the union array too.
-      // Verify joins are SHUFFLE-hash on doc_id, never broadcast:
-      // `sets` is the whole corpus's shingle arrays, and a broadcast
-      // would collect the corpus to the driver — a scale-killer at
-      // 100 TB. Candidates ≪ corpus, so the shuffle is cheap.
-      val repPairs = cands
-        .join(sets.select(col("doc_id").as("doc_a"),
-          col("toks").as("toks_a"), size(col("toks")).as("na"))
-          .hint("shuffle_hash"), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"),
-          col("toks").as("toks_b"), size(col("toks")).as("nb"))
-          .hint("shuffle_hash"), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-        .withColumn("jac", col("inter").cast("double") /
-          greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
-        .filter(col("jac") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      val repPairs =
+        minhashVerify(minhashBandCandidates(reps, spreadInput = false), sets)
       intraGroupPairs(groups, Seq(lit(1.0).as("jaccard")))
         .unionAll(expandRepPairs(repPairs, groups, Seq("jaccard")))
-  }
+    }
+
+  /** Exact-Jaccard verification of LSH candidate pairs against the
+    * per-doc shingle relation `sets` (doc_id, toks) — shared by both
+    * [[minhashPairs]] branches.
+    *
+    * |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
+    * of materializing the union array too.
+    * Verify joins are SHUFFLE-hash on doc_id, never broadcast:
+    * `sets` is the whole corpus's shingle arrays, and a broadcast
+    * would collect the corpus to the driver — a scale-killer at
+    * 100 TB. Candidates ≪ corpus, so the shuffle is cheap.
+    */
+  private def minhashVerify(cands: DataFrame, sets: DataFrame): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("toks").as("toks_a"), size(col("toks")).as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("toks").as("toks_b"), size(col("toks")).as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
 
   /** Relative edit-distance threshold for [[editPairs]]: a pair is a
     * near-duplicate when levenshtein ≤ 25% of the longer text. 0.25
@@ -922,14 +1015,35 @@ object Dedup {
     * the length pigeonhole; verify joins shuffle-hash on doc_id and
     * the corpus text relation is never broadcast.
     */
-  def editPairs(docs: DataFrame): DataFrame = {
+  def editPairs(docs: DataFrame): DataFrame =
+    if (essentiallyDupFree(docs)) {
+      // direct branch of the same dup-rate gate as [[minhashPairs]]:
+      // identical texts (≤ the gate share) still band-collide, pass
+      // the length pigeonhole and verify at distance 0 — exact either
+      // way, so the gate only picks the cheaper plan
+      editVerify(minhashBandCandidates(docs), docs)
+    } else {
+      val groups = textGroups(docs)
+      val reps = groups.select(col("rep").as("doc_id"), col("text"))
+      val repPairs =
+        editVerify(minhashBandCandidates(reps, spreadInput = false), reps)
+      intraGroupPairs(groups, Seq(lit(0).as("dist"), lit(0.0).as("rel_dist")))
+        .unionAll(expandRepPairs(repPairs, groups, Seq("dist", "rel_dist")))
+    }
+
+  /** Banded-Levenshtein verification of LSH candidate pairs against
+    * `docs` (doc_id, text) — shared by both [[editPairs]] branches.
+    * Length pigeonhole first (|len_a−len_b| alone can exceed the
+    * threshold), then the per-pair BANDED DP: Spark's 3-arg
+    * levenshtein early-exits at the bound, O(threshold·len) instead
+    * of O(len²) per pair.
+    */
+  private def editVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
     val t = lit(EditRelThreshold)
     val maxLen = greatest(col("len_a"), col("len_b")).cast("double")
-    val groups = textGroups(docs)
-    val reps = groups.select(col("rep").as("doc_id"), col("text"))
-    val txt = reps.select(col("doc_id"), col("text"),
+    val txt = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
-    val repPairs = minhashBandCandidates(reps, spreadInput = false)
+    cands
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
         col("len").as("len_a")).hint("shuffle_hash"), Seq("doc_a"))
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
@@ -940,8 +1054,6 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist").cast("double") <= t * maxLen)
       .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"),
         round(col("dist").cast("double") / maxLen, 4).as("rel_dist"))
-    intraGroupPairs(groups, Seq(lit(0).as("dist"), lit(0.0).as("rel_dist")))
-      .unionAll(expandRepPairs(repPairs, groups, Seq("dist", "rel_dist")))
   }
 
   def oracles: Map[String, String] = Map(

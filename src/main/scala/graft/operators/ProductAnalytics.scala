@@ -196,10 +196,16 @@ object ProductAnalytics {
         .crossJoin(broadcast(anchor))
         .withColumn("recency", datediff(col("anchor"), col("last_order")))
       val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+      // boundaries round to 6 dp IDENTICALLY in both engines before
+      // the > compares: percentile vs quantile_cont interpolate with
+      // different arithmetic, and an ulp-different boundary landing
+      // within an ulp of a data value would flip a whole segment row
+      val r6dp = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => round(x, 6))
       val bounds = per.agg(
-        percentile(col("recency"), qs).as("rb"),
-        percentile(col("freq"), qs).as("fb"),
-        percentile(col("monetary").cast("double"), qs).as("mb"))
+        r6dp(percentile(col("recency"), qs)).as("rb"),
+        r6dp(percentile(col("freq"), qs)).as("fb"),
+        r6dp(percentile(col("monetary").cast("double"), qs)).as("mb"))
       def above(c: org.apache.spark.sql.Column, bs: String) =
         (1 to 4).map(i =>
           when(c > element_at(col(bs), i), 1).otherwise(0)).reduce(_ + _)
@@ -273,17 +279,20 @@ object ProductAnalytics {
     */
   def pageRankRatios(nodes: DataFrame, edges: DataFrame,
                      rounds: Int): DataFrame = {
-    // edges persist WITH outdeg attached (count window over the
-    // src-partitioned pass) — the degree join is loop-invariant, so
-    // folding it into the cached relation leaves each unrolled
-    // round only the rank join; and because the cached scan reports
-    // hash(src) partitioning, only the (node-sized) rank side
+    // edges persist WITH outdeg attached — the degree join is
+    // loop-invariant, so folding it into the cached relation leaves
+    // each unrolled round only the rank join; and because the cached
+    // scan reports hash(src) partitioning (both groupBy and the
+    // shuffle-hash join key on src), only the (node-sized) rank side
     // shuffles per round — the edge side never re-exchanges.
-    // Without the persist the upstream (here, the basket self-join
-    // + distinct) recomputes once per round
-    val ed = edges
-      .withColumn("outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    // groupBy+join rather than count().over(partitionBy(src)): the
+    // window funnels an extreme hub's whole edge list through ONE
+    // task (windows aren't AQE-skew-splittable), while the partial-
+    // combined degree aggregate plus a skew-splittable join carries
+    // the same information. Without the persist the upstream (here,
+    // the basket self-join + distinct) recomputes once per round
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg.hint("shuffle_hash"), Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nodes persist too: the relation feeds the init, every round's
     // left join, and the count — unpersisted, each reference replays
@@ -348,17 +357,34 @@ object ProductAnalytics {
     // op whose volume is Σ_(u,v)∈E |N+(u)| = O(m^1.5) BYTES worst
     // case but with none of the join/row machinery per wedge, and
     // AQE's skew split applies to it.
+    //
+    // Neighbor lists are SORTED primitive long arrays and the
+    // per-edge intersection is the codegen two-pointer merge
+    // (functions.SortedIntersect): array_intersect allocated a boxed
+    // hash set per edge, the dominant CPU of the r7 plan. Credits
+    // leave through ONE weighted explode — u and v each close
+    // |N+(u)∩N+(v)| triangles on this edge (weight = size(ws)), each
+    // common neighbor w closes one — so the exploded relation is
+    // 2 rows per closing edge + 1 per triangle instead of 3 per
+    // triangle, and the per-part sum combines map-side as before.
+    graft.functions.SortedIntersect.register(undIn.sparkSession)
     val adj = e.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val withU = e.join(adj.hint("shuffle_hash"), Seq("src"))
       .select(col("src").as("u"), col("dst").as("v"), col("nbrs").as("nu"))
     val withBoth = withU.join(
       adj.select(col("src").as("v"), col("nbrs").as("nv"))
         .hint("shuffle_hash"), Seq("v"))
-    val tris = withBoth.select(col("u"), col("v"),
-      explode(array_intersect(col("nu"), col("nv"))).as("w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
-      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+    val perEdge = withBoth.select(col("u"), col("v"),
+      graft.functions.SortedIntersect.sorted_intersect(col("nu"), col("nv"))
+        .as("ws"))
+      .filter(size(col("ws")) > 0)
+    perEdge
+      .select(explode(concat(
+        array(struct(col("u").as("part"), size(col("ws")).cast("bigint").as("c")),
+          struct(col("v").as("part"), size(col("ws")).cast("bigint").as("c"))),
+        transform(col("ws"), w => struct(w.as("part"), lit(1L).as("c"))))).as("pc"))
+      .groupBy(col("pc.part").as("part")).agg(sum(col("pc.c")).as("n_tri"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -502,9 +528,12 @@ object ProductAnalytics {
         |    sum(cast(o_totalprice AS decimal(18,2))) AS monetary
         |  FROM orders GROUP BY o_custkey),
         |b AS (
-        |  SELECT quantile_cont(recency::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS rb,
-        |         quantile_cont(freq::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS fb,
-        |         quantile_cont(monetary::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  SELECT list_transform(quantile_cont(recency::DOUBLE, [0.2, 0.4, 0.6, 0.8]),
+        |           x -> round(x, 6)) AS rb,
+        |         list_transform(quantile_cont(freq::DOUBLE, [0.2, 0.4, 0.6, 0.8]),
+        |           x -> round(x, 6)) AS fb,
+        |         list_transform(quantile_cont(monetary::DOUBLE, [0.2, 0.4, 0.6, 0.8]),
+        |           x -> round(x, 6)) AS mb
         |  FROM per),
         |scored AS (
         |  SELECT o_custkey, monetary,

@@ -51,7 +51,13 @@ object EventsStream {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      // decimal sum: exact and order-invariant, so micro-batch
+      // boundaries (stream) and shuffle order (batch) can never
+      // flip a last-ulp double — the same dsum discipline the batch
+      // relational queries use
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -175,4 +181,49 @@ object EventsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Oracle-pinned BATCH registrations of the streaming transforms.
+    *
+    * The streaming operators were previously only spec-tested
+    * (stream ≡ batch suites); these rows put the SAME code paths
+    * under the driver's DuckDB hash gate too. `withWatermark` is a
+    * no-op on a batch Dataset (Catalyst's EliminateEventTimeWatermark
+    * removes the node when the child isn't streaming), so calling
+    * the transform on the batch events table executes the identical
+    * declarative plan a micro-batch would — one function, two
+    * execution modes, which is the whole point of Structured
+    * Streaming's unified model.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_counts" -> ((s, dir) =>
+      hourlyCounts(graft.catalog.Tables(s, dir).events)),
+    "stream_attribution_join" -> ((s, dir) =>
+      attributionJoin(graft.catalog.Tables(s, dir).events))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // tumbling 1h window ≡ date_trunc on the window start; decimal
+    // sum on both sides so neither engine's order can flip an ulp
+    "stream_hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  cast(count(*) AS bigint) AS cnt,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the stream-stream interval join is, declaratively, a plain
+    // interval equi+range join — the batch oracle states exactly that
+    "stream_attribution_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id AS p_user, ts AS purchase_ts,
+        |         event_id AS purchase_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, click_id, p_user AS user_id,
+        |  click_ts, purchase_ts, value
+        |FROM purchases JOIN clicks
+        |  ON p_user = c_user
+        | AND click_ts <= purchase_ts
+        | AND click_ts >= purchase_ts - INTERVAL 30 MINUTE""".stripMargin
+  )
 }

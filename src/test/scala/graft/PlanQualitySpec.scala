@@ -116,6 +116,11 @@ class PlanQualitySpec extends SparkSpec {
       "per-destination mass aggregate lost its partial combine")
     assert(p.contains("InMemoryTableScan"),
       "edge relation lost its persist — basket self-join recomputes per round")
+    // outdeg must come from groupBy+join, not count().over(src): a
+    // window funnels an extreme hub's edges through one task and
+    // AQE's skew split can't touch it
+    assert(!p.contains("Window"),
+      "outdeg reverted to a window — hub-skew unsplittable")
   }
 
   test("triangle count intersects adjacency lists over the one cached oriented edge list") {
@@ -126,8 +131,8 @@ class PlanQualitySpec extends SparkSpec {
       "degree attach or adjacency attach lost its keyed shuffle-hash shape")
     assert(p.contains("InMemoryTableScan"),
       "oriented edge relation lost its persist")
-    assert(p.contains("array_intersect"),
-      "triangles must close by inline adjacency intersection, not a wedge join")
+    assert(p.contains("sorted_intersect"),
+      "triangles must close by the codegen sorted-merge intersection, not a wedge join")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "per-part triangle count lost its partial combine")
   }

@@ -36,6 +36,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L))) // different blocking key (lang)
   }
 
+  test("containment rep branch on a copy-heavy corpus matches the hand oracle") {
+    // 4/8 docs are exact copies (50 % dup share ≫ the 5 % gate), so
+    // containmentPrefixJoin must take the rep-composition branch;
+    // expected ordered pairs computed by hand over trigram shingles
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),          // 3 trigrams
+      (2L, "w1 w2 w3 w4 w5"),          // copy of 1
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"), // container: all of 1's trigrams
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8"), // copy of 3
+      (5L, "x1 x2 x3 x4"),             // unrelated
+      (6L, "x1 x2 x3 x4"),             // copy of 5
+      (7L, "w1 w2"),                   // < 3 words: EMPTY shingle set
+      (8L, "w1 w2")                    // copy of 7 — must NOT pair
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPrefixJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val intra = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 6L), (6L, 5L))
+    // cross-group: every copy of {1,2} is fully inside every copy of
+    // {3,4} (C = 3/3); the reverse direction is 3/6 = 0.5 < 0.6
+    val cross = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(got.keySet == (intra ++ cross).toSet,
+      s"pair set mismatch: got ${got.keySet.toSeq.sorted}")
+    assert((intra ++ cross).forall(p => got(p) == 1.0))
+  }
+
   test("minhash-LSH finds planted exact and near duplicates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

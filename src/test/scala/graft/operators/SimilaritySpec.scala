@@ -91,6 +91,15 @@ class SimilaritySpec extends SparkSpec {
       Similarity.knnJoinBlocked(emb, k = 2, blockCap = 5).count()
     }
     assert(e.getMessage != null)
+    // the guard must also remain IN THE PLAN: it only survives
+    // because the always-true bn > 0 filter references the
+    // raise_error column, so an optimizer change that folds or
+    // prunes that filter would silently drop the cap check — catch
+    // that here instead of by a silent accuracy degradation
+    val plan = Similarity.knnJoinBlocked(emb, k = 2, blockCap = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("raise_error"),
+      "blockCap raise_error guard was optimized out of the plan")
   }
 
   test("semdedup: clusters are consistent and representatives minimal") {
