@@ -71,6 +71,10 @@ object Bench {
       // generated class is evicted before its next use, so the "warm"
       // pass recompiles everything. Sized to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // caches report their real partitioning (see GraftSession) —
+      // without this every consumer re-exchanges persisted relations
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,6 +28,18 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // With AQE on, a persisted plan is compiled under
+      // AdaptiveSparkPlan and by default REPORTS UnknownPartitioning
+      // to its consumers — so every join/agg keyed on the cache's own
+      // partitioning re-exchanges the cached relation (the r8 plan
+      // audit found an Exchange above every InMemoryTableScan in the
+      // graph queries: the per-round edge-cache reuse the persists
+      // exist for never happened). This flag lets the cache report
+      // its real (AQE-final) output partitioning; iterative
+      // consumers (PageRank rounds, triangle adjacency attach,
+      // minhash verify joins) then consume it exchange-free.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has TIMESTAMP(NANOS); surface as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -70,18 +70,16 @@ object ScaleSmoke {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"lineitem rows=${li.count()} (graph copies=$mult)")
     time("part_triangles") {
-      val und = ProductAnalytics.basketPairs(ProductAnalytics.baskets(li),
-          ordered = true)
-        .select(col("a").as("u"), col("b").as("v")).distinct()
+      val und = ProductAnalytics.copurchaseEdges(li, ordered = true)
+        .select(col("a").as("u"), col("b").as("v"))
       ProductAnalytics.triangleParticipation(und).count()
     }
     time("part_pagerank") {
-      val bk = ProductAnalytics.baskets(li)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges = ProductAnalytics.basketPairs(bk, ordered = false)
-        .select(col("a").as("src"), col("b").as("dst")).distinct()
-      val nodes = bk.select(explode(col("parts")).as("part")).distinct()
-      ProductAnalytics.pageRankRatios(nodes, edges, rounds = 3).count()
+      val edges = ProductAnalytics.copurchaseEdges(li, ordered = false)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = li.select(col("l_partkey").as("part")).distinct()
+      ProductAnalytics.pageRankRatios(nodes, edges, rounds = 3,
+        prePartitioned = true).count()
     }
     spark.stop()
   }

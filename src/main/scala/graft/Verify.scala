@@ -25,6 +25,10 @@ object Verify {
       // generated class is evicted before its next use, so the "warm"
       // pass recompiles everything. Sized to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // caches report their real partitioning (see GraftSession) —
+      // the gate must validate the same plans the library produces
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

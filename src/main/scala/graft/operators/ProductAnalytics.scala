@@ -103,17 +103,18 @@ object ProductAnalytics {
     // the bounded heap, not a global window.
     "part_pagerank" -> ((s, dir) => {
       graft.functions.TopKByScore.register(s)
-      val bk = baskets(Tables(s, dir).lineitem)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // NOTE a mirror formulation (dedup the a<b half, union the
-      // swapped projection) measured as a wash: ReuseExchange does
-      // not fire across the differently-aliased union branches, so
-      // both branches re-explode and re-shuffle — keep the single
-      // symmetric distinct
-      val edges = basketPairs(bk, ordered = false)
-        .select(col("a").as("src"), col("b").as("dst")).distinct()
-      val nodes = bk.select(explode(col("parts")).as("part")).distinct()
-      pageRankRatios(nodes, edges, rounds = 3)
+      val li = Tables(s, dir).lineitem
+      // codegen self-join edge build (see [[copurchaseEdges]]) — the
+      // basket-array formulation spent ~2.4 s in a non-codegen
+      // collect_set before the first edge existed. The alias-only
+      // select keeps the hash(a)→hash(src) partitioning, so the
+      // pageRank edge cache persists exchange-free (prePartitioned).
+      val edges = copurchaseEdges(li, ordered = false)
+        .select(col("a").as("src"), col("b").as("dst"))
+      // node set = every part on any order — same set the basket
+      // explode produced, straight off the column-pruned fact scan
+      val nodes = li.select(col("l_partkey").as("part")).distinct()
+      pageRankRatios(nodes, edges, rounds = 3, prePartitioned = true)
         .agg(graft.functions.TopKByScore
           .topk_by_score(col("pr_ratio"), col("part"), 20).as("top"))
         .select(posexplode(col("top")))
@@ -134,8 +135,10 @@ object ProductAnalytics {
     // leaves through the bounded heap, not a global window.
     "part_triangles" -> ((s, dir) => {
       graft.functions.TopKByScore.register(s)
-      val und = basketPairs(baskets(Tables(s, dir).lineitem), ordered = true)
-        .select(col("a").as("u"), col("b").as("v")).distinct()
+      // same codegen self-join edge build as part_pagerank (a < b
+      // keeps the undirected half) — see [[copurchaseEdges]]
+      val und = copurchaseEdges(Tables(s, dir).lineitem, ordered = true)
+        .select(col("a").as("u"), col("b").as("v"))
       triangleParticipation(und)
         .agg(graft.functions.TopKByScore
           .topk_by_score(col("n_tri").cast("double"), col("part"), 20).as("top"))
@@ -270,6 +273,41 @@ object ProductAnalytics {
     else p.filter(col("a") =!= col("b"))
   }
 
+  /** Distinct co-purchase edges straight from lineitem via a codegen
+    * equi-self-join — no basket arrays. The basket formulation
+    * (collect_set + double explode) routes the whole fact table
+    * through a non-codegen ObjectHashAggregate and costs ~2.4 s of
+    * the graph queries' budget before the first edge exists; the
+    * self-join on l_orderkey is whole-stage-codegen end to end and
+    * yields the identical distinct pair set. Dedup runs
+    * CO-PARTITIONED: the pair stream repartitions by its first
+    * endpoint once, and since hash(a) co-locates every (a,b) group,
+    * the distinct aggregate needs no further exchange — the returned
+    * relation reports hash(a) partitioning, exactly what the
+    * downstream degree count / adjacency build / rank join key on.
+    * (Cross-order pair multiplicity is near 1 on this graph, so a
+    * partial-agg-first distinct would compress nothing; a giant
+    * order's quadratic pair fan-out is intrinsic to the operator and
+    * the orderkey join stays AQE-skew-splittable.)
+    */
+  def copurchaseEdges(lineitem: DataFrame, ordered: Boolean): DataFrame = {
+    // in-place (order, part) dedup: hash(ok) satisfies the (ok, pk)
+    // clustering, so distinct adds no exchange and the join below
+    // consumes both branches exchange-free (ReuseExchange collapses
+    // the identical shuffle)
+    val sel = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok")).distinct()
+    val cond = if (ordered) col("a") < col("b") else col("a") =!= col("b")
+    sel.select(col("ok"), col("pk").as("a"))
+      .join(sel.select(col("ok"), col("pk").as("b")).hint("shuffle_hash"),
+        Seq("ok"))
+      .filter(cond)
+      .select(col("a"), col("b"))
+      .repartition(col("a"))
+      .distinct()
+  }
+
   /** Fixed-iteration PageRank normalized to uniform-rank ratio:
     * (part, pr_ratio = round(pr·N, 6)). `nodes` (one `part` column)
     * may include isolated vertices — they keep the (1−d)/N floor;
@@ -278,21 +316,34 @@ object ProductAnalytics {
     * bit-exactness notes.
     */
   def pageRankRatios(nodes: DataFrame, edges: DataFrame,
-                     rounds: Int): DataFrame = {
-    // edges persist WITH outdeg attached — the degree join is
-    // loop-invariant, so folding it into the cached relation leaves
-    // each unrolled round only the rank join; and because the cached
-    // scan reports hash(src) partitioning (both groupBy and the
-    // shuffle-hash join key on src), only the (node-sized) rank side
-    // shuffles per round — the edge side never re-exchanges.
+                     rounds: Int,
+                     prePartitioned: Boolean = false): DataFrame = {
+    // The edge list persists ONCE, hash(src)-partitioned — the
+    // upstream (here, the orderkey self-join + distinct) is
+    // expensive, and everything downstream (degree count, every
+    // round's contribution join) consumes this single cache
+    // exchange-free: the cached scan reports hash(src) partitioning,
+    // which satisfies both the groupBy(src) clustering and the
+    // shuffle-hash join key, so per round only the node-sized rank
+    // side shuffles. `prePartitioned` callers ([[copurchaseEdges]]
+    // output is already hash(first endpoint)) skip the respread.
+    // (A previous shape computed deg and the deg-attach join each
+    // directly from `edges` — that re-ran the pair build TWICE just
+    // to make the cache, 2.4× the whole query. NOTE the cache only
+    // REPORTS its partitioning when
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is
+    // on — see GraftSession — otherwise AQE-built caches read as
+    // UnknownPartitioning and every consumer re-exchanges them.)
     // groupBy+join rather than count().over(partitionBy(src)): the
     // window funnels an extreme hub's whole edge list through ONE
     // task (windows aren't AQE-skew-splittable), while the partial-
     // combined degree aggregate plus a skew-splittable join carries
-    // the same information. Without the persist the upstream (here,
-    // the basket self-join + distinct) recomputes once per round
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = edges.join(deg.hint("shuffle_hash"), Seq("src"))
+    // the same information. outdeg attaches to the NODE-sized rank
+    // side (pr/outdeg precomputed per src before the edge join), so
+    // the edge cache never widens and the degree join is node×node.
+    val ed = (if (prePartitioned) edges else edges.repartition(col("src")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nodes persist too: the relation feeds the init, every round's
     // left join, and the count — unpersisted, each reference replays
@@ -302,11 +353,15 @@ object ProductAnalytics {
     var pr = nd.crossJoin(broadcast(nn))
       .select(col("part"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to rounds) {
+      // per-row arithmetic is identical to the old edge-side attach:
+      // w = pr/outdeg (double) per src, cast to decimal inside the sum
+      val prw = pr.withColumnRenamed("part", "src")
+        .join(deg.hint("shuffle_hash"), Seq("src"))
+        .select(col("src"), (col("pr") / col("outdeg")).as("w"))
       val contrib = ed
-        .join(pr.withColumnRenamed("part", "src").hint("shuffle_hash"),
-          Seq("src"))
+        .join(prw.hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst"))
-        .agg(sum((col("pr") / col("outdeg")).cast("decimal(38,18)")).as("s"))
+        .agg(sum(col("w").cast("decimal(38,18)")).as("s"))
       pr = nd
         .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
           Seq("part"), "left")
