@@ -362,6 +362,20 @@ object Dedup {
     * copy for the codegen merge-intersect and the filtering prefix of
     * `n − ⌈t·n⌉ + 1` tokens. Returns (prep persisted, useHash).
     */
+  /** Repartition on `c` with an EXPLICIT partition count (the
+    * session's shuffle parallelism). A bare `repartition(col)` is a
+    * REPARTITION_BY_COL shuffle that AQE may coalesce to match data
+    * SIZE — and with `canChangeCachedPlanOutputPartitioning` that
+    * coalescing applies inside cached plans too, which collapsed the
+    * hash-heavy shingle/minhash maps downstream of this spread onto
+    * one task (the maps are CPU-bound, not byte-bound, so size-based
+    * coalescing is exactly wrong for them; r8: dedup_edit_pairs
+    * 3.4 → 10.1 s cold). An explicit count is REPARTITION_BY_NUM,
+    * which AQE must respect.
+    */
+  private def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, c)
+
   private def dfOrderedPrep(docs: DataFrame, threshold: Double,
                             shingleK: Int): (DataFrame, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -369,7 +383,7 @@ object Dedup {
     // join — persist so the regex tokenize + shingle explode runs
     // once, not once per consumer (unpersisted below once prep is
     // materialized, so repeated calls don't accumulate cache blocks)
-    val tok = shingleSetsK(docs.repartition(col("doc_id")), shingleK)
+    val tok = shingleSetsK(spread(docs, col("doc_id")), shingleK)
       .select(col("doc_id"), explode(col("toks")).as("w"))
       .persist(MEMORY_AND_DISK)
     // vocab-sized (one row per distinct shingle), feeds the
@@ -852,7 +866,7 @@ object Dedup {
       // array inside a Filter.
       val filtered = docs.filter(size(split(trim(col("text")), "\\s+")) >= 2)
       val minhashes = shingleSets(
-          if (spreadInput) filtered.repartition(col("doc_id")) else filtered)
+          if (spreadInput) spread(filtered, col("doc_id")) else filtered)
         .select(col("doc_id"),
           graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
       // (doc_id, band, sig) is tiny (docs × 8 rows) but feeds both
