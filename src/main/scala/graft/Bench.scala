@@ -30,7 +30,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver's recording environment (local[32]) —
+    // the r8 builder runs accidentally recorded at local[4] because
+    // this defaulted low, making the numbers incomparable to BASELINE
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // ---- idle gate (r7 verdict #4) ----------------------------------
     // The r6 and r7 driver recordings were inflated 1.3–2.4× by
     // foreign CPU bursts on the shared box (BASELINE.md round-7
