@@ -37,7 +37,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_topk_agg" -> "bounded query-batch broadcast, heap-aggregated",
     "bm25_search" -> "bounded query-term broadcast over the posting scan",
     "vocab_coverage_curve" -> "1-row token-total broadcast",
-    "rfm_segments" -> "1-row anchor-date and quintile-boundary broadcasts"
+    "rfm_segments" -> "1-row anchor-date and quintile-boundary broadcasts",
+    "dq_fk_orphans" -> "per-FK 1-row orphan/child-count aggregates crossed"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {
