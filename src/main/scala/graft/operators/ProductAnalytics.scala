@@ -122,6 +122,19 @@ object ProductAnalytics {
           col("col.id").as("part"), col("col.score").as("pr_ratio"))
     }),
 
+    // Bounded-hop BFS from the minimum edge-touched part: how much
+    // of the co-purchase graph is within 1/2/3 hops of one product —
+    // the reachability face of the graph trio. Frontier-only rounds
+    // (each joins ONLY the just-discovered ring against the cached
+    // edge list, not the whole distance table), so round r shuffles
+    // O(|ring_r| + m) rows; the histogram leaves via two map-side
+    // combined aggregates.
+    "part_bfs_hops" -> ((s, dir) => {
+      val edges = copurchaseEdges(Tables(s, dir).lineitem, ordered = false)
+        .select(col("a").as("src"), col("b").as("dst"))
+      bfsHopHistogram(edges, maxHops = 3)
+    }),
+
     // Per-part triangle participation over the co-purchase graph —
     // the third of the graph trio (PageRank, connected components,
     // triangles). Edges are degree-ORIENTED (low-(deg,id) endpoint →
@@ -442,7 +455,63 @@ object ProductAnalytics {
       .groupBy(col("pc.part").as("part")).agg(sum(col("pc.c")).as("n_tri"))
   }
 
+  /** Histogram (hops, n_parts) of shortest-path distances from the
+    * minimum edge-touched node, bounded to `maxHops` rounds —
+    * single-source BFS as iterative keyed dataflow.
+    *
+    * Scale shape: the edge list persists once, hash(src)-partitioned;
+    * each round joins ONLY the current frontier ring (nodes first
+    * discovered last round) against it, so a round's shuffle is the
+    * ring size, not the accumulated distance table, and rings in a
+    * bounded-hop crawl are the small side by construction. The only
+    * driver scalars are the source id and the per-round ring count
+    * (loop bookkeeping, same pattern as the CC fixpoint). Unreached
+    * nodes don't appear — reachability IS the report.
+    */
+  def bfsHopHistogram(edges: DataFrame, maxHops: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
+    val ed = edges.repartition(
+        spark.sessionState.conf.numShufflePartitions, col("src"))
+      .persist(MEMORY_AND_DISK)
+    val srcId = ed.agg(min(col("src"))).head().getLong(0)
+    var dist = spark.range(1).select(lit(srcId).as("id"), lit(0).as("d"))
+      .persist(MEMORY_AND_DISK)
+    var ring = dist
+    var r = 1
+    var ringSize = 1L
+    while (r <= maxHops && ringSize > 0) {
+      val next = ring.join(ed.hint("shuffle_hash"),
+          ring("id") === ed("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(r).as("d"))
+        .persist(MEMORY_AND_DISK)
+      ringSize = next.count()
+      dist = dist.unionAll(next)
+        .persist(MEMORY_AND_DISK)
+      ring = next
+      r += 1
+    }
+    dist.groupBy(col("d").as("hops"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "part_bfs_hops" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+        |reach(id, d) AS (
+        |  SELECT min(src), 0 FROM edges
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.d < 3),
+        |dist AS (SELECT id, min(d) AS d FROM reach GROUP BY id)
+        |SELECT d AS hops, cast(count(*) AS bigint) AS n_parts
+        |FROM dist GROUP BY d""".stripMargin,
     "events_funnel" ->
       """SELECT cast(count(*) AS bigint) AS n_users,
         |  cast(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_signed_up,
