@@ -81,6 +81,24 @@ object ScaleSmoke {
       ProductAnalytics.pageRankRatios(nodes, edges, rounds = 3,
         prePartitioned = true).count()
     }
+    time("part_bfs_hops") {
+      val edges = ProductAnalytics.copurchaseEdges(li, ordered = false)
+        .select(col("a").as("src"), col("b").as("dst"))
+      ProductAnalytics.bfsHopHistogram(edges, maxHops = 3).count()
+    }
+
+    // ---- vocabulary-bounded ops at N× ------------------------------
+    // linkage: N× part copies leave the DISTINCT-name relation
+    // unchanged (the whole point of the exact-then-near composition)
+    // — time should stay FLAT, only the first groupBy grows
+    val part = scaled(t.part, "p_partkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"part rows=${part.count()}")
+    time("linkage_name_pairs")(
+      graft.operators.RecordLinkage.nameLinks(part).count())
+    time("dq_profile")(
+      graft.operators.DataQuality.profile(
+        scaled(t.orders, "o_orderkey"), "orders").count())
     spark.stop()
   }
 }
