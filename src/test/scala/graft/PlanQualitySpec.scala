@@ -360,4 +360,34 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "per-doc count lost map-side partial aggregation")
   }
+
+  test("linkage: codegen jaro_winkler scores inside the blocked shuffle join") {
+    val p = planOf("linkage_name_pairs")
+    assert(p.contains("jaro_winkler"),
+      "native scorer missing — a UDF here would leave whole-stage codegen")
+    assert(p.contains("ShuffledHashJoin"),
+      "blocked name self-join must shuffle on the block key")
+    assert(!p.contains("CartesianProduct"),
+      "blocking degenerated to an all-pairs cross")
+  }
+
+  test("dq_profile: one aggregation pass per table, no per-column scans") {
+    val p = planOf("dq_profile")
+    // two profiled tables → exactly two parquet scans; per-column
+    // metrics must NOT each rescan their table (the formatted output
+    // names each node twice — tree line + "(n) Scan" detail header —
+    // so count the numbered detail headers)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 2,
+      "profile re-scans a table per metric instead of one agg pass")
+    assert(p.contains("Expand"),
+      "exact multi-column count(DISTINCT) should plan as one Expand")
+  }
+
+  test("bfs: frontier joins shuffle-hash against the cached edge list") {
+    val p = planOf("part_bfs_hops")
+    assert(p.contains("ShuffledHashJoin"),
+      "ring ⋈ edges must be a shuffle-hash equi-join")
+    assert(p.contains("InMemoryTableScan"),
+      "edge list should come from the persisted cache, not a rebuild")
+  }
 }
