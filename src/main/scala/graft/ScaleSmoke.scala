@@ -33,12 +33,26 @@ object ScaleSmoke {
         .reduce(_ unionAll _)
 
     val docs = scaled(t.documents, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val emb = scaled(t.embeddings, "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"docs=${docs.count()} vectors=${emb.count()} (mult=$mult over $sfDir)")
 
+    // inputs re-pinned (and re-materialized, OUTSIDE the timer) before
+    // every op — see time() below
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](docs, emb)
+
     def time(name: String)(body: => Long): Unit = {
+      // per-op isolation, same as Bench: drop the previous op's
+      // internal persists — without this a prior op's cache blocks
+      // linger and shift memory/GC cost onto whoever runs next (the
+      // r8 smoke saw jaccard_prefix_join swing 13→30 s on identical
+      // input from exactly this). Then re-pin + re-materialize the
+      // input frames before the timer starts, so every op reads the
+      // same warm cached inputs.
+      spark.catalog.clearCache()
+      pinned.foreach { df =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      }
       val t0 = System.nanoTime()
       val n = body
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s   rows=$n")
@@ -67,8 +81,8 @@ object ScaleSmoke {
     import graft.operators.ProductAnalytics
     val li = scaled(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"lineitem rows=${li.count()} (graph copies=$mult)")
+    pinned += li
     time("part_triangles") {
       val und = ProductAnalytics.copurchaseEdges(li, ordered = true)
         .select(col("a").as("u"), col("b").as("v"))
@@ -92,8 +106,8 @@ object ScaleSmoke {
     // unchanged (the whole point of the exact-then-near composition)
     // — time should stay FLAT, only the first groupBy grows
     val part = scaled(t.part, "p_partkey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"part rows=${part.count()}")
+    pinned += part
     time("linkage_name_pairs")(
       graft.operators.RecordLinkage.nameLinks(part).count())
     time("dq_profile")(

@@ -439,9 +439,44 @@ object Dedup {
     (prep, useHash)
   }
 
+  /** Exact global set-similarity join, dup-rate gated like
+    * [[minhashPairs]]/[[containmentPrefixJoin]]: on a copy-heavy
+    * corpus the prefix-filter machinery runs on one REPRESENTATIVE
+    * per distinct text and results expand back to member pairs
+    * (identical texts have identical shingle sets, so the expansion
+    * is output-identical) — candidate volume under N exact copies
+    * otherwise grows ~N² (every copy of A shares its rare prefix
+    * shingles with every copy of B), which the r8 10× smoke measured
+    * as 15–100 s memory-pressure-variance territory; the rep branch
+    * removes the blowup at its source. Intra-group: identical texts
+    * with ≥ 1 shingle are Jaccard-1 pairs; texts under `shingleK`
+    * words have EMPTY shingle sets and J = 0/max(0,1) = 0 — they
+    * never pair (exactly the oracle's greatest(union,1) denominator).
+    */
   def jaccardPrefixJoin(docs: DataFrame,
                         threshold: Double = JaccardThreshold,
-                        shingleK: Int = PrefixJoinShingleK): DataFrame = {
+                        shingleK: Int = PrefixJoinShingleK): DataFrame =
+    if (essentiallyDupFree(docs)) jaccardPrefixDirect(docs, threshold, shingleK)
+    else {
+      val groups = textGroups(docs)
+      val reps = groups.select(col("rep").as("doc_id"), col("text"))
+      val repPairs = jaccardPrefixDirect(reps, threshold, shingleK)
+      val intra = groups
+        .filter(col("n_words") >= shingleK && size(col("members")) > 1)
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a").as("doc_a"), explode(col("members")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      intra.unionAll(expandRepPairs(repPairs, groups, Seq("jaccard")))
+    }
+
+  /** The direct (no rep indirection) prefix-filtered join — the
+    * dup-free branch of [[jaccardPrefixJoin]] and the rep-level join
+    * of its copy-heavy branch.
+    */
+  private def jaccardPrefixDirect(docs: DataFrame,
+                                  threshold: Double,
+                                  shingleK: Int): DataFrame = {
     val (prep, useHash) = dfOrderedPrep(docs, threshold, shingleK)
     // Two prefixes per doc (Vernica/Carey/Li's asymmetric variant):
     // the INDEX prefix (n − ⌈t·n⌉ + 1 tokens, prep's `prefix`) and the

@@ -61,6 +61,30 @@ class DedupSpec extends SparkSpec {
     assert((intra ++ cross).forall(p => got(p) == 1.0))
   }
 
+  test("jaccard prefix join rep branch on a copy-heavy corpus matches the hand oracle") {
+    // 4/8 docs are exact copies (50 % dup share ≫ the 5 % gate), so
+    // jaccardPrefixJoin must take the rep-composition branch;
+    // expected unordered pairs computed by hand over trigram shingles
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),             // trigrams {123,234,345}
+      (2L, "w1 w2 w3 w4 w5"),             // copy of 1
+      (3L, "w1 w2 w3 w4 w5 w6"),          // {123,234,345,456}: J vs 1 = 3/4
+      (4L, "w1 w2 w3 w4 w5 w6"),          // copy of 3
+      (5L, "x1 x2 x3 x4"),                // unrelated
+      (6L, "x1 x2 x3 x4"),                // copy of 5
+      (7L, "w1 w2"),                      // < 3 words: EMPTY shingle set
+      (8L, "w1 w2")                       // copy of 7 — must NOT pair
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ones = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    val cross = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(got.keySet == (ones ++ cross).toSet,
+      s"pair set mismatch: got ${got.keySet.toSeq.sorted}")
+    assert(ones.forall(p => got(p) == 1.0))
+    assert(cross.forall(p => got(p) == 0.75))
+  }
+
   test("minhash-LSH finds planted exact and near duplicates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
