@@ -112,7 +112,87 @@ object Features {
           .as("avg_k"))
   }
 
+  /** Upper-triangle covariance matrix of the embedding column:
+    * (i, j, cov) for 0 ≤ i ≤ j < dim — the one-pass second-moment
+    * relation PCA/whitening/Mahalanobis all start from.
+    *
+    * Scale shape: per ROW the upper-triangle products unroll inside
+    * whole-stage codegen (nested `transform` over the array — no
+    * per-pair shuffle), then ONE partial→final aggregate folds them
+    * into dim·(dim+1)/2 groups — map-side combined, so the shuffle
+    * is #groups × #partitions regardless of corpus size, and only
+    * the dim²-sized moment relation exists after the scan. Exactness:
+    * per-row float→double products are order-fixed, cross-row sums
+    * go through decimal(38,18) (order-invariant — the kmeans
+    * discipline), and the final covariance rounds to 6 dp, so both
+    * engines agree bit-for-bit.
+    */
+  def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val prods = emb.select(explode(expr(
+      """flatten(transform(embedding, (x, i) ->
+        |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j0) ->
+        |    struct(i AS i, i + j0 AS j,
+        |      cast(x AS double) * cast(y AS double) AS p))))""".stripMargin)).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+    val moments = prods.groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(38,18)")).cast("double").as("sxy"),
+        count(lit(1)).as("n"))
+    val means = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos").as("k"))
+      .agg((sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("m"))
+    moments
+      .join(broadcast(means.select(col("k").as("i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("k").as("j"), col("m").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("sxy") / col("n") - col("mi") * col("mj"), 6).as("cov"))
+  }
+
+  /** PCA projection to `k` components: fit = the [[covarianceMatrix]]
+    * pass (distributed, one aggregate) + a dim×dim Jacobi eigensolve
+    * on the DRIVER — the only data crossing to the driver is the
+    * dim·(dim+1)/2 moment relation, bounded by the embedding width,
+    * never the corpus (the same quantizer-ship shape k-means and PQ
+    * use). Transform = centered dot products against the top-k
+    * eigenvectors baked into the plan as literals — shuffle-free,
+    * fixed-order sums. Eigenvector sign is canonicalized (largest-
+    * magnitude component positive) so the output is deterministic.
+    * Complements [[jlProject]]: JL is data-oblivious, PCA is the
+    * variance-optimal linear map.
+    */
+  def pcaProject(emb: DataFrame, k: Int): DataFrame = {
+    val covRows = covarianceMatrix(emb).collect()
+    val dim = covRows.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val means = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg((sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val (evals, evecs) = Pca.jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val comps = order.map { c =>
+      val v = evecs.map(_(c))
+      // sign canon: the largest-|x| component points positive
+      val lead = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(lead) < 0) v.map(x => -x) else v
+    }
+    val projCols = comps.zipWithIndex.map { case (v, c) =>
+      val terms = v.indices.map { i =>
+        (col("embedding").getItem(i).cast("double") - lit(means(i))) * lit(v(i))
+      }
+      round(terms.reduce(_ + _), 6).as(f"pc$c%02d")
+    }
+    emb.select(col("vec_id") +: projCols: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_covariance" -> ((s, dir) =>
+      covarianceMatrix(Tables(s, dir).embeddings)),
     "embed_project" -> ((s, dir) => jlProject(Tables(s, dir).embeddings)),
     "quality_linear_score" -> ((s, dir) =>
       linearScore(Tables(s, dir).documents, topK = 50)),
@@ -120,6 +200,27 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    // dim is 64 in the testdata contract (TESTDATA.md); the Spark
+    // side stays dim-agnostic, the oracle pins this corpus
+    "embedding_covariance" ->
+      """WITH prods AS (
+        |  SELECT cast(t1.i AS int) - 1 AS i, cast(t2.j AS int) - 1 AS j,
+        |    e.embedding[t1.i]::DOUBLE * e.embedding[t2.j]::DOUBLE AS p
+        |  FROM embeddings e, range(1, 65) t1(i), range(1, 65) t2(j)
+        |  WHERE t2.j >= t1.i),
+        |moments AS (
+        |  SELECT i, j, cast(sum(cast(p AS decimal(38,18))) AS double) AS sxy,
+        |    cast(count(*) AS bigint) AS n
+        |  FROM prods GROUP BY 1, 2),
+        |means AS (
+        |  SELECT cast(u.k AS int) - 1 AS k,
+        |    cast(sum(cast(e.embedding[u.k]::DOUBLE AS decimal(38,18))) AS double)
+        |      / count(*) AS m
+        |  FROM embeddings e, range(1, 65) u(k) GROUP BY 1)
+        |SELECT mo.i, mo.j, round(mo.sxy / mo.n - a.m * b.m, 6) AS cov
+        |FROM moments mo
+        |JOIN means a ON mo.i = a.k
+        |JOIN means b ON mo.j = b.k""".stripMargin,
     "embed_project" -> {
       val cols = (0 until ProjDim).map { j =>
         val terms = (0 until EmbDim).map { i =>

@@ -1,0 +1,82 @@
+package graft.operators
+
+/** Cyclic Jacobi eigendecomposition for the small SYMMETRIC matrices
+  * PCA ships to the driver (dim×dim, dim = embedding width — 64
+  * here; cost is O(dim³) per sweep, microseconds at this size).
+  * Plain-rotation textbook form: repeatedly zero the largest
+  * off-diagonal element until all are below tolerance; the
+  * accumulated rotations are the eigenvectors.
+  */
+object Pca {
+
+  /** Returns (eigenvalues, eigenvectors-as-columns): `vecs(i)(c)` is
+    * component i of eigenvector c, paired with `vals(c)`.
+    */
+  def jacobiEigen(m: Array[Array[Double]],
+                  tol: Double = 1e-12,
+                  maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(a)
+    while (off > tol && sweep < maxSweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > tol / (n * n)) rotate(a, v, p, q)
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a)
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- i + 1 until a.length) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  /** One Jacobi rotation zeroing a(p)(q), applied symmetrically and
+    * accumulated into v.
+    */
+  private def rotate(a: Array[Array[Double]], v: Array[Array[Double]],
+                     p: Int, q: Int): Unit = {
+    val n = a.length
+    val apq = a(p)(q)
+    if (apq == 0.0) return
+    val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+    // stable tan computation (Golub & Van Loan)
+    val t =
+      if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+      else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+    val c = 1.0 / math.sqrt(1.0 + t * t)
+    val s = t * c
+    var i = 0
+    while (i < n) {
+      val aip = a(i)(p); val aiq = a(i)(q)
+      a(i)(p) = c * aip - s * aiq
+      a(i)(q) = s * aip + c * aiq
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val api = a(p)(i); val aqi = a(q)(i)
+      a(p)(i) = c * api - s * aqi
+      a(q)(i) = s * api + c * aqi
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val vip = v(i)(p); val viq = v(i)(q)
+      v(i)(p) = c * vip - s * viq
+      v(i)(q) = s * vip + c * viq
+      i += 1
+    }
+  }
+}

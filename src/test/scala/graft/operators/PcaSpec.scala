@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** [[Pca.jacobiEigen]] against algebraic invariants and a planted
+  * structure; [[Features.pcaProject]] end-to-end on a corpus with a
+  * known dominant direction.
+  */
+class PcaJacobiSpec extends AnyFunSuite {
+
+  private def matmulVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+    m.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+
+  test("eigenpairs satisfy A v = λ v and vectors are orthonormal") {
+    // deterministic symmetric matrix
+    val n = 8
+    val a = Array.tabulate(n, n)((i, j) =>
+      math.sin(i * 3 + j) + math.sin(j * 3 + i)) // symmetric by construction
+    val (vals, vecs) = Pca.jacobiEigen(a)
+    for (c <- 0 until n) {
+      val v = vecs.map(_(c))
+      val av = matmulVec(a, v)
+      v.indices.foreach(i => assert(math.abs(av(i) - vals(c) * v(i)) < 1e-9,
+        s"A v != lambda v at ($i, $c)"))
+    }
+    for (c1 <- 0 until n; c2 <- c1 until n) {
+      val dot = (0 until n).map(i => vecs(i)(c1) * vecs(i)(c2)).sum
+      val want = if (c1 == c2) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"orthonormality ($c1, $c2)")
+    }
+  }
+
+  test("diagonal matrix: eigenvalues are the diagonal") {
+    val a = Array.tabulate(4, 4)((i, j) => if (i == j) (i + 1).toDouble else 0.0)
+    val (vals, _) = Pca.jacobiEigen(a)
+    assert(vals.sorted.sameElements(Array(1.0, 2.0, 3.0, 4.0)))
+  }
+}
+
+class PcaProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("first component captures a planted dominant direction") {
+    // vectors = t * u + small noise along a second axis; u is the
+    // dominant direction so pc00 must order by t
+    val dim = 6
+    val u = Array(1.0, 2.0, 0.0, -1.0, 0.5, 0.0).map(_ / math.sqrt(6.25))
+    val rows = (0 until 200).map { r =>
+      val t = (r % 21) - 10.0 // spread -10..10
+      val noise = math.sin(r.toDouble) * 0.01
+      val v = Array.tabulate(dim)(i => (t * u(i) + (if (i == 2) noise else 0.0)).toFloat)
+      (r.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Features.pcaProject(emb, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // projection onto pc00 must correlate (in absolute value) almost
+    // perfectly with t
+    val ts = rows.map { case (id, _) => (id % 21) - 10.0 }
+    val ps = rows.map { case (id, _) => out(id)._1 }
+    val corr = {
+      val n = ts.size
+      val mt = ts.sum / n; val mp = ps.sum / n
+      val cov = ts.zip(ps).map { case (a, b) => (a - mt) * (b - mp) }.sum
+      val st = math.sqrt(ts.map(a => (a - mt) * (a - mt)).sum)
+      val sp = math.sqrt(ps.map(b => (b - mp) * (b - mp)).sum)
+      cov / (st * sp)
+    }
+    assert(math.abs(corr) > 0.9999, s"pc00 does not track the planted direction: corr=$corr")
+    // per-component variance ordering: pc00 explains more than pc01
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v0 = variance(rows.map { case (id, _) => out(id)._1 })
+    val v1 = variance(rows.map { case (id, _) => out(id)._2 })
+    assert(v0 > v1 * 10, s"component variances not ordered: $v0 vs $v1")
+  }
+
+  test("projection is deterministic across invocations (sign canon)") {
+    val t = graft.catalog.Tables(spark, sf)
+    val a = Features.pcaProject(t.embeddings, k = 3).orderBy("vec_id").limit(5).collect()
+    val b = Features.pcaProject(t.embeddings, k = 3).orderBy("vec_id").limit(5).collect()
+    assert(a.sameElements(b))
+  }
+}
