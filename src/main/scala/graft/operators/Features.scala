@@ -190,6 +190,46 @@ object Features {
     emb.select(col("vec_id") +: projCols: _*)
   }
 
+  /** Mahalanobis distance per vector — the covariance-aware outlier
+    * score (axis-aligned z-scores miss correlated-feature outliers;
+    * this is the multivariate generalization). Fit reuses the
+    * [[covarianceMatrix]] pass; the precision matrix comes from the
+    * eigendecomposition with ridge `eps` on the eigenvalues
+    * (Σ⁻¹ = V diag(1/(λ+eps)) Vᵀ — degenerate directions are damped
+    * instead of exploding). Transform is a per-row quadratic form
+    * over plan literals: shuffle-free, fixed-order sums, top
+    * outliers via the bounded heap shape if callers limit.
+    */
+  def mahalanobisScores(emb: DataFrame, eps: Double = 1e-6): DataFrame = {
+    val covRows = covarianceMatrix(emb).collect()
+    val dim = covRows.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    val means = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg((sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val (evals, evecs) = Pca.jacobiEigen(cov)
+    // precision = V diag(1/(λ+eps)) Vᵀ
+    val prec = Array.tabulate(dim, dim) { (i, j) =>
+      (0 until dim).map(c => evecs(i)(c) * evecs(j)(c) / (evals(c) + eps)).sum
+    }
+    val centered = (0 until dim).map(i =>
+      (col("embedding").getItem(i).cast("double") - lit(means(i))).as(s"c$i"))
+    val tmp = emb.select(col("vec_id") +: centered: _*)
+    // quadratic form xᵀ P x, upper triangle doubled
+    val q = (for (i <- 0 until dim; j <- i until dim) yield {
+      val w = if (i == j) prec(i)(j) else 2.0 * prec(i)(j)
+      col(s"c$i") * col(s"c$j") * lit(w)
+    }).reduce(_ + _)
+    tmp.select(col("vec_id"),
+      round(sqrt(greatest(q, lit(0.0))), 6).as("mahalanobis"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_covariance" -> ((s, dir) =>
       covarianceMatrix(Tables(s, dir).embeddings)),

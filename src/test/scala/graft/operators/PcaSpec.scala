@@ -80,6 +80,24 @@ class PcaProjectSpec extends SparkSpec {
     assert(v0 > v1 * 10, s"component variances not ordered: $v0 vs $v1")
   }
 
+  test("mahalanobis flags a correlated-feature outlier that z-scores miss") {
+    // x1 ≈ x2 strongly correlated; the outlier keeps both coordinates
+    // within their marginal ranges but BREAKS the correlation —
+    // per-axis z-scores see nothing, Mahalanobis must rank it first
+    val rows = (0 until 100).map { r =>
+      val t = ((r % 21) - 10) / 10.0
+      (r.toLong, Seq(t.toFloat, (t + math.sin(r.toDouble) * 0.02).toFloat))
+    } :+ (999L, Seq(0.8f, -0.8f)) // in-range marginals, anti-correlated
+    val emb = rows.toDF("vec_id", "embedding")
+    val scores = Features.mahalanobisScores(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top = scores.maxBy(_._2)._1
+    assert(top == 999L, s"outlier not top-ranked: ${scores.toSeq.sortBy(-_._2).take(3)}")
+    // ... and by a wide margin over the inliers
+    val second = (scores - 999L).values.max
+    assert(scores(999L) > second * 3)
+  }
+
   test("projection is deterministic across invocations (sign canon)") {
     val t = graft.catalog.Tables(spark, sf)
     val a = Features.pcaProject(t.embeddings, k = 3).orderBy("vec_id").limit(5).collect()
