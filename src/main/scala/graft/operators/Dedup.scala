@@ -265,6 +265,22 @@ object Dedup {
   private val injectivityVerdicts = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
 
+  /** Verdict-map size cap: each key RETAINS a whole logical plan, so
+    * a long-lived service probing ever-fresh plans (e.g. per-batch
+    * temp views) would grow without bound. Past the cap the map is
+    * cleared — the only cost of a lost memo is one cheap re-probe.
+    */
+  private val VerdictCacheMax = 256
+
+  private def memoVerdict(
+      cache: java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean],
+      key: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(
+      probe: => Boolean): Boolean = {
+    if (cache.size() > VerdictCacheMax) cache.clear()
+    cache.computeIfAbsent(key, _ => probe)
+  }
+
   /** Duplicate share above which the exact-then-near REP composition
     * pays for itself. Both branches are exact, so the gate can never
     * change output — it only decides whether the textGroups shuffle +
@@ -286,14 +302,12 @@ object Dedup {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
 
   private def essentiallyDupFree(docs: DataFrame): Boolean =
-    dupFreeVerdicts.computeIfAbsent(
-      docs.queryExecution.analyzed.canonicalized,
-      _ => {
-        val r = docs.agg(count(lit(1)),
-          count_distinct(md5(col("text")))).head()
-        val n = r.getLong(0)
-        n == 0L || (n - r.getLong(1)).toDouble / n.toDouble <= RepGateDupShare
-      })
+    memoVerdict(dupFreeVerdicts, docs.queryExecution.analyzed.canonicalized) {
+      val r = docs.agg(count(lit(1)),
+        count_distinct(md5(col("text")))).head()
+      val n = r.getLong(0)
+      n == 0L || (n - r.getLong(1)).toDouble / n.toDouble <= RepGateDupShare
+    }
 
   /** Blocked Jaccard near-dup pairs with the skew guard: blocks of at
     * most `blockCap` docs compare all-pairs (exact); larger blocks
@@ -405,10 +419,11 @@ object Dedup {
     // pipeline stages — skips the extra job. (Caveat: replacing the
     // files UNDER an identical plan within one JVM reuses the verdict
     // — same staleness class as Spark's own file-index cache.)
-    val useHash = injectivityVerdicts.computeIfAbsent(
-      docs.queryExecution.analyzed.canonicalized,
-      _ => tokDf.agg(count(lit(1)) === count_distinct(xxhash64(col("w"))))
-        .head().getBoolean(0))
+    val useHash =
+      memoVerdict(injectivityVerdicts, docs.queryExecution.analyzed.canonicalized) {
+        tokDf.agg(count(lit(1)) === count_distinct(xxhash64(col("w"))))
+          .head().getBoolean(0)
+      }
     val idOf: Column => Column =
       if (useHash) xxhash64(_) else identity
     // per-doc shingles in global (df, w) order + the filtering prefix;
