@@ -46,7 +46,9 @@ object DataQuality {
     val aggs: Seq[Column] = cols.flatMap { f =>
       val c = col(f.name)
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_${f.name}"),
+        // count(1) - count(c), not sum(when(isNull)): the sum is NULL
+        // over an empty table while the oracle's count arithmetic is 0
+        (count(lit(1)) - count(c)).as(s"nn_${f.name}"),
         count_distinct(c).as(s"nd_${f.name}")) ++
         (if (numeric(f))
           Seq(round(min(c).cast("double"), 6).as(s"mn_${f.name}"),

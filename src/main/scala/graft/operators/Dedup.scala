@@ -303,8 +303,13 @@ object Dedup {
 
   private def essentiallyDupFree(docs: DataFrame): Boolean =
     memoVerdict(dupFreeVerdicts, docs.queryExecution.analyzed.canonicalized) {
+      // count_distinct skips NULLs, so null texts must be counted as
+      // ONE distinct group (textGroups treats them that way) — not as
+      // n_null "duplicates" that would misroute a dup-free corpus
+      // onto the rep branch
       val r = docs.agg(count(lit(1)),
-        count_distinct(md5(col("text")))).head()
+        count_distinct(md5(col("text"))) +
+          max(when(col("text").isNull, 1L).otherwise(0L))).head()
       val n = r.getLong(0)
       n == 0L || (n - r.getLong(1)).toDouble / n.toDouble <= RepGateDupShare
     }
@@ -476,13 +481,8 @@ object Dedup {
       val groups = textGroups(docs)
       val reps = groups.select(col("rep").as("doc_id"), col("text"))
       val repPairs = jaccardPrefixDirect(reps, threshold, shingleK)
-      val intra = groups
-        .filter(col("n_words") >= shingleK && size(col("members")) > 1)
-        .select(explode(col("members")).as("a"), col("members"))
-        .select(col("a").as("doc_a"), explode(col("members")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
-      intra.unionAll(expandRepPairs(repPairs, groups, Seq("jaccard")))
+      intraGroupPairs(groups, Seq(lit(1.0).as("jaccard")), minWords = shingleK)
+        .unionAll(expandRepPairs(repPairs, groups, Seq("jaccard")))
     }
 
   /** The direct (no rep indirection) prefix-filtered join — the
@@ -625,22 +625,10 @@ object Dedup {
       val groups = textGroups(docs)
       val reps = groups.select(col("rep").as("doc_id"), col("text"))
       val repPairs = containmentDirect(reps, threshold, shingleK)
-      val intra = groups
-        .filter(col("n_words") >= shingleK && size(col("members")) > 1)
-        .select(explode(col("members")).as("a"), col("members"))
-        .select(col("a").as("doc_a"), explode(col("members")).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), lit(1.0).as("containment"))
-      val expanded = repPairs
-        .join(groups.select(col("rep").as("doc_a"), col("members").as("ma"))
-          .hint("shuffle_hash"), Seq("doc_a"))
-        .join(groups.select(col("rep").as("doc_b"), col("members").as("mb"))
-          .hint("shuffle_hash"), Seq("doc_b"))
-        .select(col("containment"), explode(col("ma")).as("a"), col("mb"))
-        .select(col("containment"), col("a").as("doc_a"),
-          explode(col("mb")).as("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("containment"))
-      intra.unionAll(expanded)
+      intraGroupPairs(groups, Seq(lit(1.0).as("containment")),
+          minWords = shingleK, ordered = true)
+        .unionAll(expandRepPairs(repPairs, groups, Seq("containment"),
+          canonicalize = false))
     }
 
   /** The direct (no rep indirection) prefix-filtered containment join
@@ -956,19 +944,26 @@ object Dedup {
         collect_list(col("doc_id")).as("members"),
         first(col("text")).as("text"),
         size(split(trim(first(col("text"))), "\\s+")).as("n_words"))
-      .withColumn("bandable", col("n_words") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Intra-group member pairs (doc_a < doc_b) of bandable texts,
-    * with constant `payload` columns appended (distance 0 /
-    * similarity 1 — identical texts).
+  /** Intra-group member pairs with constant `payload` columns
+    * appended (distance 0 / similarity 1 — identical texts).
+    * `minWords` gates on the group's word count (≥ 2 for the
+    * bigram-shingle family, ≥ shingleK for the prefix joins — a
+    * group below it has an EMPTY shingle set and must never pair,
+    * matching the oracles' greatest(...,1) denominators); `ordered`
+    * emits ordered pairs both ways (containment) instead of
+    * doc_a < doc_b (symmetric similarity).
     */
   private def intraGroupPairs(groups: DataFrame,
-                              payload: Seq[org.apache.spark.sql.Column]): DataFrame =
-    groups.filter(col("bandable") && size(col("members")) > 1)
+                              payload: Seq[org.apache.spark.sql.Column],
+                              minWords: Int = 2,
+                              ordered: Boolean = false): DataFrame =
+    groups.filter(col("n_words") >= minWords && size(col("members")) > 1)
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a").as("doc_a"), explode(col("members")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(if (ordered) col("doc_a") =!= col("doc_b")
+              else col("doc_a") < col("doc_b"))
       .select(col("doc_a") +: col("doc_b") +: payload: _*)
 
   /** Expand verified representative pairs to every member pair,
@@ -977,17 +972,23 @@ object Dedup {
     * shuffle-hash on the rep key; nothing corpus-sized broadcasts.
     */
   private def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
-                             payload: Seq[String]): DataFrame = {
+                             payload: Seq[String],
+                             canonicalize: Boolean = true): DataFrame = {
     val pay = payload.map(col)
-    repPairs
+    val expanded = repPairs
       .join(groups.select(col("rep").as("doc_a"), col("members").as("ma"))
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(groups.select(col("rep").as("doc_b"), col("members").as("mb"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .select(pay :+ explode(col("ma")).as("a") :+ col("mb"): _*)
       .select(pay :+ col("a") :+ explode(col("mb")).as("b"): _*)
-      .select(least(col("a"), col("b")).as("doc_a") +:
+    // symmetric joins canonicalize a < b; ordered joins (containment)
+    // keep the (A, B) roles as scored
+    if (canonicalize)
+      expanded.select(least(col("a"), col("b")).as("doc_a") +:
         greatest(col("a"), col("b")).as("doc_b") +: pay: _*)
+    else
+      expanded.select(col("a").as("doc_a") +: col("b").as("doc_b") +: pay: _*)
   }
 
   /** The full shingle→minhash→band→bucket-join→verify pipeline,

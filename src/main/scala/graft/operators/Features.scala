@@ -112,40 +112,65 @@ object Features {
           .as("avg_k"))
   }
 
-  /** Upper-triangle covariance matrix of the embedding column:
-    * (i, j, cov) for 0 ≤ i ≤ j < dim — the one-pass second-moment
-    * relation PCA/whitening/Mahalanobis all start from.
-    *
-    * Scale shape: per ROW the upper-triangle products unroll inside
-    * whole-stage codegen (nested `transform` over the array — no
-    * per-pair shuffle), then ONE partial→final aggregate folds them
-    * into dim·(dim+1)/2 groups — map-side combined, so the shuffle
-    * is #groups × #partitions regardless of corpus size, and only
-    * the dim²-sized moment relation exists after the scan. Exactness:
-    * per-row float→double products are order-fixed, cross-row sums
+  /** (i, j, sxy, n) second-moment sums — shared by the declarative
+    * [[covarianceMatrix]] query and the driver-side [[fitMoments]].
+    * Per ROW the upper-triangle products unroll inside whole-stage
+    * codegen (nested `transform` over the array — no per-pair
+    * shuffle), then ONE partial→final aggregate folds them into
+    * dim·(dim+1)/2 groups — map-side combined, so the shuffle is
+    * #groups × #partitions regardless of corpus size. Cross-row sums
     * go through decimal(38,18) (order-invariant — the kmeans
-    * discipline), and the final covariance rounds to 6 dp, so both
-    * engines agree bit-for-bit.
+    * discipline) over order-fixed float→double per-row products.
     */
-  def covarianceMatrix(emb: DataFrame): DataFrame = {
-    val prods = emb.select(explode(expr(
+  private def momentSums(emb: DataFrame): DataFrame =
+    emb.select(explode(expr(
       """flatten(transform(embedding, (x, i) ->
         |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j0) ->
         |    struct(i AS i, i + j0 AS j,
         |      cast(x AS double) * cast(y AS double) AS p))))""".stripMargin)).as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
-    val moments = prods.groupBy(col("i"), col("j"))
+      .groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast("decimal(38,18)")).cast("double").as("sxy"),
         count(lit(1)).as("n"))
-    val means = emb.select(posexplode(col("embedding")))
+
+  /** (k, m) decimal-exact per-dimension means. */
+  private def meansDf(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")))
       .groupBy(col("pos").as("k"))
       .agg((sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
         count(lit(1))).as("m"))
-    moments
-      .join(broadcast(means.select(col("k").as("i"), col("m").as("mi"))), Seq("i"))
-      .join(broadcast(means.select(col("k").as("j"), col("m").as("mj"))), Seq("j"))
+
+  /** Upper-triangle covariance matrix of the embedding column:
+    * (i, j, cov) for 0 ≤ i ≤ j < dim — the one-pass second-moment
+    * relation PCA/whitening/Mahalanobis all start from; rounds to
+    * 6 dp so both engines agree bit-for-bit (see [[momentSums]] for
+    * the plan and exactness story).
+    */
+  def covarianceMatrix(emb: DataFrame): DataFrame =
+    momentSums(emb)
+      .join(broadcast(meansDf(emb).select(col("k").as("i"), col("m").as("mi"))),
+        Seq("i"))
+      .join(broadcast(meansDf(emb).select(col("k").as("j"), col("m").as("mj"))),
+        Seq("j"))
       .select(col("i"), col("j"),
         round(col("sxy") / col("n") - col("mi") * col("mj"), 6).as("cov"))
+
+  /** Driver-side fit shared by [[pcaProject]] and
+    * [[mahalanobisScores]]: ONE moments pass + ONE means pass over
+    * the corpus; the covariance assembles on the driver from the
+    * width-bounded collected relations (unrounded — rounding exists
+    * only for the oracle's cross-engine hash).
+    */
+  private def fitMoments(emb: DataFrame): (Array[Array[Double]], Array[Double]) = {
+    val means = meansDf(emb).collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val dim = means.length
+    val cov = Array.ofDim[Double](dim, dim)
+    momentSums(emb).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = r.getDouble(2) / r.getLong(3) - means(i) * means(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    (cov, means)
   }
 
   /** PCA projection to `k` components: fit = the [[covarianceMatrix]]
@@ -161,18 +186,7 @@ object Features {
     * variance-optimal linear map.
     */
   def pcaProject(emb: DataFrame, k: Int): DataFrame = {
-    val covRows = covarianceMatrix(emb).collect()
-    val dim = covRows.map(_.getInt(1)).max + 1
-    val cov = Array.ofDim[Double](dim, dim)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      cov(i)(j) = c; cov(j)(i) = c
-    }
-    val means = emb.select(posexplode(col("embedding")))
-      .groupBy(col("pos"))
-      .agg((sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
-        count(lit(1))).as("m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val (cov, means) = fitMoments(emb)
     val (evals, evecs) = Pca.jacobiEigen(cov)
     val order = evals.indices.sortBy(i => -evals(i)).take(k)
     val comps = order.map { c =>
@@ -201,18 +215,8 @@ object Features {
     * outliers via the bounded heap shape if callers limit.
     */
   def mahalanobisScores(emb: DataFrame, eps: Double = 1e-6): DataFrame = {
-    val covRows = covarianceMatrix(emb).collect()
-    val dim = covRows.map(_.getInt(1)).max + 1
-    val cov = Array.ofDim[Double](dim, dim)
-    covRows.foreach { r =>
-      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
-    }
-    val means = emb.select(posexplode(col("embedding")))
-      .groupBy(col("pos"))
-      .agg((sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
-        count(lit(1))).as("m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val (cov, means) = fitMoments(emb)
+    val dim = means.length
     val (evals, evecs) = Pca.jacobiEigen(cov)
     // precision = V diag(1/(λ+eps)) Vᵀ
     val prec = Array.tabulate(dim, dim) { (i, j) =>

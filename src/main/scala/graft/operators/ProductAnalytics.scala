@@ -132,7 +132,7 @@ object ProductAnalytics {
     "part_bfs_hops" -> ((s, dir) => {
       val edges = copurchaseEdges(Tables(s, dir).lineitem, ordered = false)
         .select(col("a").as("src"), col("b").as("dst"))
-      bfsHopHistogram(edges, maxHops = 3)
+      bfsHopHistogram(edges, maxHops = 3, prePartitioned = true)
     }),
 
     // Per-part triangle participation over the co-purchase graph —
@@ -468,14 +468,27 @@ object ProductAnalytics {
     * (loop bookkeeping, same pattern as the CC fixpoint). Unreached
     * nodes don't appear — reachability IS the report.
     */
-  def bfsHopHistogram(edges: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHopHistogram(edges: DataFrame, maxHops: Int,
+                      prePartitioned: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = edges.sparkSession
-    val ed = edges.repartition(
-        spark.sessionState.conf.numShufflePartitions, col("src"))
+    // copurchaseEdges already leaves hash(src) partitioning (alias-
+    // preserving select) — prePartitioned skips the respread, same
+    // contract as pageRankRatios
+    val ed = (if (prePartitioned) edges
+      else edges.repartition(
+        spark.sessionState.conf.numShufflePartitions, col("src")))
       .persist(MEMORY_AND_DISK)
-    val srcId = ed.agg(min(col("src"))).head().getLong(0)
-    var dist = spark.range(1).select(lit(srcId).as("id"), lit(0).as("d"))
+    val srcRow = ed.agg(min(col("src"))).head()
+    if (srcRow.isNullAt(0)) {
+      // no edges, no source: empty histogram (the oracle's seed row
+      // is guarded the same way)
+      ed.unpersist()
+      return spark.range(0)
+        .select(col("id").cast("int").as("hops"), col("id").as("n_parts"))
+    }
+    var dist = spark.range(1)
+      .select(lit(srcRow.getLong(0)).as("id"), lit(0).as("d"))
       .persist(MEMORY_AND_DISK)
     var ring = dist
     var r = 1
@@ -488,11 +501,15 @@ object ProductAnalytics {
         .select(col("id"), lit(r).as("d"))
         .persist(MEMORY_AND_DISK)
       ringSize = next.count()
-      dist = dist.unionAll(next)
-        .persist(MEMORY_AND_DISK)
+      val grown = dist.unionAll(next).persist(MEMORY_AND_DISK)
+      grown.count() // materialize before dropping the parents
+      if (ring ne dist) ring.unpersist()
+      dist.unpersist()
+      dist = grown
       ring = next
       r += 1
     }
+    if (ring ne dist) ring.unpersist()
     dist.groupBy(col("d").as("hops"))
       .agg(count(lit(1)).as("n_parts"))
   }
@@ -505,7 +522,7 @@ object ProductAnalytics {
         |  SELECT DISTINCT x.pk AS src, y.pk AS dst
         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
         |reach(id, d) AS (
-        |  SELECT min(src), 0 FROM edges
+        |  SELECT min(src), 0 FROM edges HAVING min(src) IS NOT NULL
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
         |  WHERE r.d < 3),

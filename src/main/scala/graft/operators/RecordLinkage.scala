@@ -51,10 +51,14 @@ object RecordLinkage {
     * blocking on word 1 and word 2.
     */
   private def candidatePairs(names: DataFrame): DataFrame = {
+    // missing word ⇒ '' like the oracle's split_part (`get` tolerates
+    // the short array — ANSI getItem would throw — and the NULL it
+    // returns must become '' or a one-word name silently falls out of
+    // the second blocking pass while the oracle still scores it)
     val blocked = names.select(col("name"),
-        split(col("name"), " ").getItem(0).as("k"))
+        coalesce(get(split(col("name"), " "), lit(0)), lit("")).as("k"))
       .unionAll(names.select(col("name"),
-        split(col("name"), " ").getItem(1).as("k")))
+        coalesce(get(split(col("name"), " "), lit(1)), lit("")).as("k")))
       .distinct()
     blocked.as("x")
       .join(blocked.as("y").hint("shuffle_hash"),

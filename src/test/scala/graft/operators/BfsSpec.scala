@@ -26,6 +26,11 @@ class BfsSpec extends SparkSpec {
     assert(h == Map(0 -> 1L, 1 -> 1L)) // rings empty after hop 1: 10,11 excluded
   }
 
+  test("empty edge relation yields an empty histogram, no crash") {
+    val h = hist(Seq.empty, 3)
+    assert(h.isEmpty)
+  }
+
   test("shortest distance wins when multiple paths reach a node") {
     // 1-2-4 and 1-3, 3-4: node 4 at distance 2 exactly once
     val h = hist(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L)), 3)
