@@ -113,6 +113,8 @@ object ScaleSmoke {
     time("dq_profile")(
       graft.operators.DataQuality.profile(
         scaled(t.orders, "o_orderkey"), "orders").count())
+    time("embedding_covariance")(
+      graft.operators.Features.covarianceMatrix(emb).count())
     spark.stop()
   }
 }

@@ -479,20 +479,19 @@ object ProductAnalytics {
       else edges.repartition(
         spark.sessionState.conf.numShufflePartitions, col("src")))
       .persist(MEMORY_AND_DISK)
-    val srcRow = ed.agg(min(col("src"))).head()
-    if (srcRow.isNullAt(0)) {
-      // no edges, no source: empty histogram (the oracle's seed row
-      // is guarded the same way)
-      ed.unpersist()
-      return spark.range(0)
-        .select(col("id").cast("int").as("hops"), col("id").as("n_parts"))
-    }
-    var dist = spark.range(1)
-      .select(lit(srcRow.getLong(0)).as("id"), lit(0).as("d"))
+    // the source stays a DATAFRAME (1-row aggregate), not a collected
+    // literal: a lit() seed constant-folds through the first ring join
+    // and degenerates it to a nested-loop plan, and an empty edge
+    // relation just yields an empty seed → empty histogram (the
+    // oracle's seed row carries the matching HAVING guard)
+    val seed = ed.agg(min(col("src")).as("id"))
+      .filter(col("id").isNotNull)
+      .select(col("id"), lit(0).as("d"))
       .persist(MEMORY_AND_DISK)
-    var ring = dist
+    var dist = seed
+    var ring = seed
     var r = 1
-    var ringSize = 1L
+    var ringSize = seed.count()
     while (r <= maxHops && ringSize > 0) {
       val next = ring.join(ed.hint("shuffle_hash"),
           ring("id") === ed("src"))
