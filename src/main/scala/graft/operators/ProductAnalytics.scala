@@ -488,28 +488,34 @@ object ProductAnalytics {
       .filter(col("id").isNotNull)
       .select(col("id"), lit(0).as("d"))
       .persist(MEMORY_AND_DISK)
-    var dist = seed
+    // Only the DISJOINT rings persist (their union IS the distance
+    // table — one cached copy of the reached set total, no
+    // superseded cumulative snapshots to leak); per round the only
+    // driver action is the ring count the loop needs anyway.
+    val rings = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
     var ring = seed
     var r = 1
     var ringSize = seed.count()
     while (r <= maxHops && ringSize > 0) {
-      val next = ring.join(ed.hint("shuffle_hash"),
-          ring("id") === ed("src"))
+      // round 1's ring is the 1-row seed — broadcast it (provably
+      // bounded) so the first expansion reads the edge cache in
+      // place; later rings can be arbitrarily large and must
+      // shuffle-hash against the co-partitioned cache
+      val ringSide = if (r == 1) ring.hint("broadcast") else ring
+      val next = ringSide.join(ed.hint("shuffle_hash"),
+          ringSide("id") === ed("src"))
         .select(col("dst").as("id")).distinct()
-        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .join(rings.reduce(_ unionAll _).select(col("id")),
+          Seq("id"), "left_anti")
         .select(col("id"), lit(r).as("d"))
         .persist(MEMORY_AND_DISK)
       ringSize = next.count()
-      val grown = dist.unionAll(next).persist(MEMORY_AND_DISK)
-      grown.count() // materialize before dropping the parents
-      if (ring ne dist) ring.unpersist()
-      dist.unpersist()
-      dist = grown
+      rings += next
       ring = next
       r += 1
     }
-    if (ring ne dist) ring.unpersist()
-    dist.groupBy(col("d").as("hops"))
+    rings.reduce(_ unionAll _)
+      .groupBy(col("d").as("hops"))
       .agg(count(lit(1)).as("n_parts"))
   }
 
