@@ -51,6 +51,26 @@ object Advanced {
             .as("p"))
     }),
 
+    // Sequential-pattern MINING (the discovery complement of the
+    // fixed-pattern funnels): frequent ordered event-type trigram
+    // motifs across user streams, with occurrence and distinct-user
+    // support. One user-keyed window (two leads) makes the trigram
+    // stream; the motif space is |event types|³-bounded, so the
+    // aggregate and the top-20 heap never scale with the corpus.
+    "event_motifs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(desc("n_occurrences"), asc("e1"), asc("e2"), asc("e3"))
+        .limit(20)
+    }),
+
     // gap-based sessionization, batch form (streaming twin lives in
     // graft.streaming): flag gaps > 30 min, running-sum the flags
     // into session ids, aggregate per session
@@ -292,6 +312,19 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    "event_motifs" ->
+      """WITH tri AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, cast(count(*) AS bigint) AS n_occurrences,
+        |  cast(count(DISTINCT user_id) AS bigint) AS n_users
+        |FROM tri WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n_occurrences DESC, e1, e2, e3
+        |LIMIT 20""".stripMargin,
     "event_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type,
