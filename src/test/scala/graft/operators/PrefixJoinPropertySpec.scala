@@ -85,6 +85,33 @@ class PrefixJoinPropertySpec extends SparkSpec {
     check(base ++ dups, "planted-near-dups")
   }
 
+  test("copy-heavy corpus routes through the rep branch and matches brute force") {
+    // every doc duplicated 1–3× → dup share far above the 5% gate, so
+    // BOTH joins take the exact-then-near representative composition;
+    // the quadratic references don't know about reps, so equality
+    // proves the composition is output-identical on random input (the
+    // hand-oracle tests pin only fixed corpora)
+    val rnd = new scala.util.Random(71)
+    val base = (1L to 15L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(15))(s"z${rnd.nextInt(150)}").mkString(" ")
+    }
+    var nid = 1000L
+    val copies = base.flatMap { case (_, text) =>
+      (0 until 1 + rnd.nextInt(3)).map { _ => nid += 1; nid -> text }
+    }
+    val docs = base ++ copies
+    check(docs, "copy-heavy")
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.9)) {
+      val fast = Dedup.containmentPrefixJoin(df, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val slow = bruteForceContainment(df, 3, t)
+      assert(fast == slow,
+        s"copy-heavy containment (t=$t) diverged — missing ${slow -- fast}, " +
+          s"extra ${fast -- slow}")
+    }
+  }
+
   /** Quadratic ordered-pair containment reference, same rounding. */
   private def bruteForceContainment(docs: org.apache.spark.sql.DataFrame,
                                     k: Int, t: Double) = {
