@@ -204,6 +204,31 @@ object Features {
     emb.select(col("vec_id") +: projCols: _*)
   }
 
+  /** ZCA whitening: x ↦ V diag(1/√(λ+eps)) Vᵀ (x − μ) — the
+    * decorrelating transform contrastive-training pipelines apply
+    * before similarity search (whitened cosine ≈ Mahalanobis
+    * similarity). Same fit as [[pcaProject]]; ZCA (rotate back) is
+    * preferred over PCA whitening because it stays closest to the
+    * original basis. Output covariance is the identity (spec-pinned).
+    */
+  def zcaWhiten(emb: DataFrame, eps: Double = 1e-6): DataFrame = {
+    val (cov, means) = fitMoments(emb)
+    val dim = means.length
+    val (evals, evecs) = Pca.jacobiEigen(cov)
+    val w = Array.tabulate(dim, dim) { (i, j) =>
+      (0 until dim).map(c =>
+        evecs(i)(c) * evecs(j)(c) / math.sqrt(evals(c) + eps)).sum
+    }
+    val centered = (0 until dim).map(i =>
+      (col("embedding").getItem(i).cast("double") - lit(means(i))).as(s"c$i"))
+    val tmp = emb.select(col("vec_id") +: centered: _*)
+    val outCols = (0 until dim).map { i =>
+      round((0 until dim).map(j => col(s"c$j") * lit(w(i)(j))).reduce(_ + _), 6)
+        .as(f"w$i%02d")
+    }
+    tmp.select(col("vec_id") +: outCols: _*)
+  }
+
   /** Mahalanobis distance per vector — the covariance-aware outlier
     * score (axis-aligned z-scores miss correlated-feature outliers;
     * this is the multivariate generalization). Fit reuses the

@@ -98,6 +98,30 @@ class PcaProjectSpec extends SparkSpec {
     assert(scores(999L) > second * 3)
   }
 
+  test("ZCA whitening yields identity covariance on correlated data") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map { r =>
+      val t = rnd.nextGaussian(); val u = rnd.nextGaussian()
+      val v = rnd.nextGaussian()
+      // strongly correlated but FULL-RANK 3-dim data (a rank-deficient
+      // covariance has a zero eigenvalue the ridge maps to ~0, not 1 —
+      // whitening can only identity-ize the non-degenerate subspace)
+      (r.toLong, Seq((t).toFloat, (0.8 * t + 0.2 * u).toFloat,
+        (u - t + 0.5 * v).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Features.zcaWhiten(emb).collect()
+      .map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val n = out.length
+    val mean = Array.tabulate(3)(i => out.map(_(i)).sum / n)
+    for (i <- 0 until 3; j <- i until 3) {
+      val c = out.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(c - want) < 0.02,
+        s"whitened cov($i,$j) = $c, want $want")
+    }
+  }
+
   test("projection is deterministic across invocations (sign canon)") {
     val t = graft.catalog.Tables(spark, sf)
     val a = Features.pcaProject(t.embeddings, k = 3).orderBy("vec_id").limit(5).collect()
