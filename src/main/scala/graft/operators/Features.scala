@@ -259,7 +259,34 @@ object Features {
       round(sqrt(greatest(q, lit(0.0))), 6).as("mahalanobis"))
   }
 
+  /** Per-label centroid drift: how far each label's embedding
+    * centroid sits from the corpus centroid — the embedding-space
+    * form of the per-source distribution-drift diagnostics
+    * (`source_kl` is its token-space sibling). All relations after
+    * the two map-side-combined mean aggregates are label- and
+    * width-bounded; the distance math runs on decimal-exact means
+    * rounded once, so both engines square identical doubles.
+    */
+  def labelCentroidDrift(emb: DataFrame): DataFrame = {
+    val dmean = (sum(col("col").cast("double").cast("decimal(38,18)"))
+      .cast("double") / count(lit(1)))
+    val perLabel = emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(dmean, 6).as("m"))
+    val global = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(round(dmean, 6).as("g"))
+    perLabel.join(broadcast(global), Seq("pos"))
+      .groupBy(col("label"))
+      // the squared deltas sum through decimal too: 64 doubles summed
+      // in shuffle order would wobble in the last ulp
+      .agg(round(sqrt(sum(((col("m") - col("g")) * (col("m") - col("g")))
+        .cast("decimal(38,18)")).cast("double")), 6).as("centroid_dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_centroid_drift" -> ((s, dir) =>
+      labelCentroidDrift(Tables(s, dir).embeddings)),
     "embedding_covariance" -> ((s, dir) =>
       covarianceMatrix(Tables(s, dir).embeddings)),
     "embed_project" -> ((s, dir) => jlProject(Tables(s, dir).embeddings)),
@@ -269,6 +296,22 @@ object Features {
   )
 
   def oracles: Map[String, String] = Map(
+    "label_centroid_drift" ->
+      """WITH per_label AS (
+        |  SELECT e.label, cast(u.k AS int) - 1 AS pos,
+        |    round(cast(sum(cast(e.embedding[u.k]::DOUBLE AS decimal(38,18)))
+        |      AS double) / count(*), 6) AS m
+        |  FROM embeddings e, range(1, 65) u(k) GROUP BY 1, 2),
+        |global AS (
+        |  SELECT cast(u.k AS int) - 1 AS pos,
+        |    round(cast(sum(cast(e.embedding[u.k]::DOUBLE AS decimal(38,18)))
+        |      AS double) / count(*), 6) AS g
+        |  FROM embeddings e, range(1, 65) u(k) GROUP BY 1)
+        |SELECT p.label,
+        |  round(sqrt(cast(sum(cast((p.m - g.g) * (p.m - g.g)
+        |    AS decimal(38,18))) AS double)), 6) AS centroid_dist
+        |FROM per_label p JOIN global g ON p.pos = g.pos
+        |GROUP BY p.label""".stripMargin,
     // dim is 64 in the testdata contract (TESTDATA.md); the Spark
     // side stays dim-agnostic, the oracle pins this corpus
     "embedding_covariance" ->
