@@ -57,6 +57,26 @@ object ProductAnalytics {
         .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
     }),
 
+    // Revenue cohorts over ORDERS (the purchase-side complement of
+    // the events-based retention_cohorts): customers grouped by
+    // first-order quarter, revenue and buyer counts per (cohort,
+    // order quarter). Two keyed aggregates + one customer-keyed
+    // join; revenue sums ride decimal(18,2) so shuffle order never
+    // reaches a double.
+    "clv_cohorts" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_totalprice"),
+          date_trunc("quarter", col("o_orderdate")).as("oq"))
+      val cohorts = o.groupBy(col("o_custkey"))
+        .agg(min(col("oq")).as("cohort_q"))
+      o.join(cohorts, Seq("o_custkey"))
+        .groupBy(col("cohort_q"), col("oq").as("order_q"))
+        .agg(count_distinct(col("o_custkey")).as("n_buyers"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double"), 2).as("revenue"))
+    }),
+
     // weekly cohort retention: users grouped by first-activity week,
     // counted as retained in each later week they appear
     "retention_cohorts" -> ((s, dir) => {
@@ -520,6 +540,20 @@ object ProductAnalytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "clv_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    date_trunc('quarter', o_orderdate) AS oq
+        |  FROM orders),
+        |cohorts AS (
+        |  SELECT o_custkey, min(oq) AS cohort_q FROM o GROUP BY 1)
+        |SELECT c.cohort_q, o.oq AS order_q,
+        |  cast(count(DISTINCT o.o_custkey) AS bigint) AS n_buyers,
+        |  cast(count(*) AS bigint) AS n_orders,
+        |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2)
+        |    AS revenue
+        |FROM o JOIN cohorts c ON o.o_custkey = c.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "part_bfs_hops" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
