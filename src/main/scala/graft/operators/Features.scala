@@ -141,19 +141,30 @@ object Features {
         count(lit(1))).as("m"))
 
   /** Upper-triangle covariance matrix of the embedding column:
-    * (i, j, cov) for 0 ≤ i ≤ j < dim — the one-pass second-moment
-    * relation PCA/whitening/Mahalanobis all start from; rounds to
-    * 6 dp so both engines agree bit-for-bit (see [[momentSums]] for
-    * the plan and exactness story).
+    * (i, j, cov_e6) for 0 ≤ i ≤ j < dim — the one-pass second-moment
+    * relation PCA/whitening/Mahalanobis all start from. The output is
+    * a SCALED INTEGER (cov · 1e6, half-up): `round(x, 6)` on a double
+    * is implementation-defined at boundary values (Spark rounds the
+    * shortest decimal repr via BigDecimal, DuckDB rounds x·1e6
+    * directly), and with 2080 emitted values one landing within an
+    * ulp of a 0.5e-6 boundary flips the hash between engines —
+    * observed in round 8. `floor(x·1e6 + 0.5)` is three IEEE ops,
+    * bit-identical in any engine given the same x, and x IS the same:
+    * the moment sums travel decimal(38,18) and the final
+    * divide/multiply/subtract is a fixed IEEE sequence. The means
+    * relation is computed ONCE and broadcast to both sides of the
+    * triangle (identical subtrees → one exchange via reuse), so the
+    * whole query is two corpus passes: moments + means.
     */
-  def covarianceMatrix(emb: DataFrame): DataFrame =
+  def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val means = meansDf(emb)
     momentSums(emb)
-      .join(broadcast(meansDf(emb).select(col("k").as("i"), col("m").as("mi"))),
-        Seq("i"))
-      .join(broadcast(meansDf(emb).select(col("k").as("j"), col("m").as("mj"))),
-        Seq("j"))
+      .join(broadcast(means).as("a"), col("i") === col("a.k"))
+      .join(broadcast(means).as("b"), col("j") === col("b.k"))
       .select(col("i"), col("j"),
-        round(col("sxy") / col("n") - col("mi") * col("mj"), 6).as("cov"))
+        floor((col("sxy") / col("n") - col("a.m") * col("b.m")) * lit(1e6)
+          + lit(0.5)).cast("long").as("cov_e6"))
+  }
 
   /** Driver-side fit shared by [[pcaProject]] and
     * [[mahalanobisScores]]: ONE moments pass + ONE means pass over
@@ -329,7 +340,9 @@ object Features {
         |    cast(sum(cast(e.embedding[u.k]::DOUBLE AS decimal(38,18))) AS double)
         |      / count(*) AS m
         |  FROM embeddings e, range(1, 65) u(k) GROUP BY 1)
-        |SELECT mo.i, mo.j, round(mo.sxy / mo.n - a.m * b.m, 6) AS cov
+        |SELECT mo.i, mo.j,
+        |  cast(floor((mo.sxy / mo.n - a.m * b.m) * 1e6 + 0.5) AS bigint)
+        |    AS cov_e6
         |FROM moments mo
         |JOIN means a ON mo.i = a.k
         |JOIN means b ON mo.j = b.k""".stripMargin,

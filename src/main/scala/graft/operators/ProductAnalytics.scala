@@ -232,19 +232,24 @@ object ProductAnalytics {
         .crossJoin(broadcast(anchor))
         .withColumn("recency", datediff(col("anchor"), col("last_order")))
       val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-      // boundaries round to 6 dp IDENTICALLY in both engines before
-      // the > compares: percentile vs quantile_cont interpolate with
-      // different arithmetic, and an ulp-different boundary landing
-      // within an ulp of a data value would flip a whole segment row
-      val r6dp = (c: org.apache.spark.sql.Column) =>
-        transform(c, x => round(x, 6))
+      // boundaries and data meet as SCALED BIGINTS (x·1e6, half-up
+      // via floor(x·1e6 + 0.5) — pure IEEE, identical in any engine):
+      // percentile vs quantile_cont interpolate with different
+      // arithmetic, and round(x, 6) itself is implementation-defined
+      // at boundary doubles (Spark rounds the shortest decimal repr,
+      // DuckDB scales first — the embedding_covariance round-8 hash
+      // miss), so the compares happen int-vs-int after one shared
+      // deterministic quantization
+      val s6 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e6) + lit(0.5)).cast("long")
+      val s6arr = (c: org.apache.spark.sql.Column) => transform(c, s6)
       val bounds = per.agg(
-        r6dp(percentile(col("recency"), qs)).as("rb"),
-        r6dp(percentile(col("freq"), qs)).as("fb"),
-        r6dp(percentile(col("monetary").cast("double"), qs)).as("mb"))
+        s6arr(percentile(col("recency"), qs)).as("rb"),
+        s6arr(percentile(col("freq"), qs)).as("fb"),
+        s6arr(percentile(col("monetary").cast("double"), qs)).as("mb"))
       def above(c: org.apache.spark.sql.Column, bs: String) =
         (1 to 4).map(i =>
-          when(c > element_at(col(bs), i), 1).otherwise(0)).reduce(_ + _)
+          when(s6(c) > element_at(col(bs), i), 1).otherwise(0)).reduce(_ + _)
       per.crossJoin(broadcast(bounds))
         .select(col("o_custkey"), col("monetary"),
           (lit(5) - above(col("recency").cast("double"), "rb")).as("r_score"),
@@ -709,21 +714,25 @@ object ProductAnalytics {
         |  FROM orders GROUP BY o_custkey),
         |b AS (
         |  SELECT list_transform(quantile_cont(recency::DOUBLE, [0.2, 0.4, 0.6, 0.8]),
-        |           x -> round(x, 6)) AS rb,
+        |           x -> cast(floor(x * 1e6 + 0.5) AS bigint)) AS rb,
         |         list_transform(quantile_cont(freq::DOUBLE, [0.2, 0.4, 0.6, 0.8]),
-        |           x -> round(x, 6)) AS fb,
+        |           x -> cast(floor(x * 1e6 + 0.5) AS bigint)) AS fb,
         |         list_transform(quantile_cont(monetary::DOUBLE, [0.2, 0.4, 0.6, 0.8]),
-        |           x -> round(x, 6)) AS mb
+        |           x -> cast(floor(x * 1e6 + 0.5) AS bigint)) AS mb
         |  FROM per),
         |scored AS (
         |  SELECT o_custkey, monetary,
-        |    5 - ((recency::DOUBLE > rb[1])::int + (recency::DOUBLE > rb[2])::int
-        |       + (recency::DOUBLE > rb[3])::int + (recency::DOUBLE > rb[4])::int) AS r_score,
-        |    1 + ((freq::DOUBLE > fb[1])::int + (freq::DOUBLE > fb[2])::int
-        |       + (freq::DOUBLE > fb[3])::int + (freq::DOUBLE > fb[4])::int) AS f_score,
-        |    1 + ((monetary::DOUBLE > mb[1])::int + (monetary::DOUBLE > mb[2])::int
-        |       + (monetary::DOUBLE > mb[3])::int + (monetary::DOUBLE > mb[4])::int) AS m_score
-        |  FROM per, b)
+        |    5 - ((s6r > rb[1])::int + (s6r > rb[2])::int
+        |       + (s6r > rb[3])::int + (s6r > rb[4])::int) AS r_score,
+        |    1 + ((s6f > fb[1])::int + (s6f > fb[2])::int
+        |       + (s6f > fb[3])::int + (s6f > fb[4])::int) AS f_score,
+        |    1 + ((s6m > mb[1])::int + (s6m > mb[2])::int
+        |       + (s6m > mb[3])::int + (s6m > mb[4])::int) AS m_score
+        |  FROM (SELECT *,
+        |          cast(floor(recency::DOUBLE * 1e6 + 0.5) AS bigint) AS s6r,
+        |          cast(floor(freq::DOUBLE * 1e6 + 0.5) AS bigint) AS s6f,
+        |          cast(floor(monetary::DOUBLE * 1e6 + 0.5) AS bigint) AS s6m
+        |        FROM per), b)
         |SELECT r_score, f_score, m_score,
         |  cast(count(*) AS bigint) AS n_customers,
         |  round(cast(sum(monetary) AS double), 2) AS segment_revenue
