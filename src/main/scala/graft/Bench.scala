@@ -129,6 +129,34 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    // ---- self-flagging (r8 verdict #4) ------------------------------
+    // The r8 driver recording carried six queries running 5-8x their
+    // own warm time and nobody noticed until judging. Flag, at
+    // RECORDING time, every query whose cold run exceeds 2x (a) its
+    // own warm time or (b) its round-1 baseline cold time — sub-2s
+    // colds are exempt from (a): JIT/codegen warmup legitimately
+    // dominates small queries and would drown the signal in noise.
+    val r1Baseline: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("tools/baseline_r1_queries.json"))
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val warmByName = warm.toMap
+    val flags = cold.flatMap { case (name, c) =>
+      val vsWarm = warmByName.get(name).collect {
+        case w if c >= 2.0 && c > 2.0 * math.max(w, 0.05) =>
+          f"""{"q":"$name","kind":"cold_vs_warm","cold":${fmt(c)},"ref":${fmt(w)},"ratio":${fmt(c / math.max(w, 0.05))}}"""
+      }
+      val vsR1 = r1Baseline.get(name).collect {
+        case b if c >= 2.0 && c > 2.0 * b =>
+          f"""{"q":"$name","kind":"cold_vs_r1","cold":${fmt(c)},"ref":${fmt(b)},"ratio":${fmt(c / b)}}"""
+      }
+      vsWarm.toSeq ++ vsR1.toSeq
+    }
+    if (flags.nonEmpty)
+      System.err.println(s"bench: ${flags.size} regression flag(s) — see bench_full.json")
     val (busy1, self1) = procBusyAndSelfJiffies()
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val (selfCpuSec, foreignCpuSec) =
@@ -144,6 +172,7 @@ object Bench {
          |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},
          |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},
          |"errors":${jsmap(errors.toSeq)},
+         |"flags":${flags.mkString("[", ",", "]")},
          |"cold":${jmap(cold)},
          |"warm":${jmap(warm)}}""".stripMargin
     java.nio.file.Files.writeString(
@@ -161,7 +190,8 @@ object Bench {
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val er = if (errors.nonEmpty) s""","errors":${jsmap(errors.toSeq)}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(qs)},"warm_total":${fmt(warmTotal)},"foreign_cpu_sec":${fmt(foreignCpuSec)}$om$er,"full":"bench_full.json","sf":"$sfDir"}"""
+      val fl = if (flags.nonEmpty) s""","n_flags":${flags.size}""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(qs)},"warm_total":${fmt(warmTotal)},"foreign_cpu_sec":${fmt(foreignCpuSec)}$om$er$fl,"full":"bench_full.json","sf":"$sfDir"}"""
     }
     var keep = cold.sortBy(-_._2)
     while (line(keep.sortBy(_._1), cold.size - keep.size).length > budget && keep.size > 1)

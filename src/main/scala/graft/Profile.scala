@@ -4,15 +4,42 @@ package graft
   * warm-up + repeats inside one session; optionally print the
   * formatted physical plan. Usage:
   *   runMain graft.Profile <sfDir> [query,query,...] [--explain]
+  *     [--clear] [--reps=N] [--plans]
+  *
+  * `--clear` reproduces the bench harness's per-query isolation
+  * (fresh plan + codegen + no reused persists each repeat);
+  * `--plans` prints the FINAL adaptive physical plan after each rep —
+  * the tool for catching AQE decisions that differ between an
+  * anomalously slow rep and a normal one.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names =
-      if (args.length > 1 && args(1) != "--explain") args(1).split(",").toSeq
+      if (args.length > 1 && !args(1).startsWith("--")) args(1).split(",").toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val explain = args.contains("--explain")
+    val plans = args.contains("--plans")
+    val stages = args.contains("--stages")
+    val reps = args.find(_.startsWith("--reps="))
+      .map(_.stripPrefix("--reps=").toInt).getOrElse(3)
     val spark = GraftSession.local()
+    // --stages: per-stage wall time + task count, the tool for
+    // pinpointing WHICH stage a slow rep spent its time in (and
+    // whether AQE collapsed its task count)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, Int, Long)]()
+    if (stages) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val dur = (for (s <- info.submissionTime; c <- info.completionTime)
+            yield c - s).getOrElse(-1L)
+          stageLog.add((info.stageId,
+            info.name.split("\n").head.take(60), info.numTasks, dur))
+        }
+      })
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       if (explain) {
@@ -20,15 +47,37 @@ object Profile {
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
-      val times = (1 to 3).map { _ =>
-        // --clear reproduces the bench harness's per-query isolation
-        // (fresh plan + codegen + no reused persists each repeat)
+      val times = (1 to reps).map { i =>
         if (args.contains("--clear")) spark.catalog.clearCache()
+        stageLog.clear()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        // --plans executes df's OWN QueryExecution (count() builds a
+        // separate one whose executedPlan we'd never see)
+        if (plans) df.queryExecution.executedPlan.executeCollect()
+        else df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (plans) {
+          println(s"--- $name rep $i (${f"$dt%.2f"}s) final plan ---")
+          // post-execution: AdaptiveSparkPlanExec has settled on its
+          // final plan, including AQEShuffleRead coalesce specs and
+          // join-strategy replans
+          println(df.queryExecution.executedPlan.toString.take(8000))
+        }
+        if (stages) {
+          // give stragglers' completion events a beat to arrive
+          Thread.sleep(200)
+          val top = stageLog.toArray(Array.empty[(Int, String, Int, Long)])
+            .sortBy(-_._4).take(10)
+          println(s"--- $name rep $i (${f"$dt%.2f"}s) slowest stages ---")
+          top.foreach { case (id, nm, nt, ms) =>
+            println(f"  stage $id%4d $ms%6d ms  $nt%4d tasks  $nm")
+          }
+        }
+        dt
       }
-      println(f"$name%-28s cold ${times.head}%6.2f  warm ${times.drop(1).min}%6.2f")
+      println(f"$name%-28s " +
+        times.map(t => f"$t%6.2f").mkString(" "))
     }
     spark.stop()
   }

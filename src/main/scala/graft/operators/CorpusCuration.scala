@@ -28,7 +28,16 @@ object CorpusCuration {
       TextAnalysis.nWords.as("n_words"),
       (TextAnalysis.hits(" the ") + TextAnalysis.hits(" a ") +
         TextAnalysis.hits(" of ") + TextAnalysis.hits(" and ")).as("stop_hits"))
-    val kept1 = scored.filter(col("n_words") >= 20 && col("stop_hits") > 0)
+    // PIN the window shuffle's partition count: an ENSURE_REQUIREMENTS
+    // exchange on a sub-MB corpus is AQE-coalesced to ONE partition,
+    // and kept2's cache freezes that — every CPU-bound shingle/minhash
+    // map downstream then runs single-task (the r8 cold recording's
+    // 17.9 s). The explicit-count repartition on the same expression
+    // satisfies the window's clustering (alias-aware partitioning
+    // propagation), so no second exchange appears.
+    val kept1 = Dedup.spread(
+      scored.filter(col("n_words") >= 20 && col("stop_hits") > 0),
+      md5(col("text")))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     // kept2 feeds THREE consumers (LSH band generation, LSH verify
     // shingles, and the final anti-join's left side) — persist it or

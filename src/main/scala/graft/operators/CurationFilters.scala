@@ -54,11 +54,19 @@ object CurationFilters {
     Md5Hash60.register(s)
     val bucket = pmod(
       Md5Hash60.md5_hash60(col("doc_id").cast("string")), lit(100L))
-    val base = Tables(s, dir).documents
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"),
-        bucket.as("bucket"))
-      .filter(size(col("ws")) >= 8 && (col("bucket") < 80 || col("bucket") >= 90))
+    // spread with an EXPLICIT partition count before the n-gram
+    // explode: the md5 per 8-gram is the CPU of this operator, and a
+    // single-file corpus scans as ONE split — without the pinned
+    // shuffle the whole hash stream computes single-task (and, on the
+    // broadcast-probe variant, stays single-task end to end because
+    // nothing downstream exchanges either)
+    val base = Dedup.spread(
+      Tables(s, dir).documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"),
+          bucket.as("bucket"))
+        .filter(size(col("ws")) >= 8 && (col("bucket") < 80 || col("bucket") >= 90)),
+      col("doc_id"))
     val ng = base
       .select(col("doc_id"), col("bucket"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - lit(7))).as("i"))

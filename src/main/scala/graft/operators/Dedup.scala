@@ -392,7 +392,7 @@ object Dedup {
     * 3.4 → 10.1 s cold). An explicit count is REPARTITION_BY_NUM,
     * which AQE must respect.
     */
-  private def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+  private[operators] def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, c)
 
   private def dfOrderedPrep(docs: DataFrame, threshold: Double,
@@ -938,7 +938,15 @@ object Dedup {
     * 12× on the 10×-copies corpus).
     */
   private def textGroups(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"))
+    // spread BEFORE the group-by: the explicit count (REPARTITION_BY_
+    // NUM) both satisfies the aggregate's clustering (no second
+    // exchange) and PINS the persisted groups relation at full
+    // parallelism — an ENSURE_REQUIREMENTS exchange here is
+    // AQE-coalescible by SIZE, and groups feed the CPU-bound
+    // shingle/minhash maps of every rep-branch consumer (byte-based
+    // coalescing is exactly wrong for them; the r8 cold-instability
+    // family all shared this shape)
+    spread(docs.select(col("doc_id"), col("text")), md5(col("text")))
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("rep"),
         collect_list(col("doc_id")).as("members"),
@@ -1008,7 +1016,13 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame =
     if (essentiallyDupFree(docs)) {
-      val sets = shingleSets(docs)
+      // the verify-side shingle relation is CPU-heavy to build
+      // (regex tokenize + bigram assembly per doc) and persists for
+      // both verify joins — without the pinned spread it computes on
+      // the raw scan's split count (often ONE task for a single
+      // parquet file) and the cache freezes that partitioning
+      val sets = shingleSets(
+          if (spreadInput) spread(docs, col("doc_id")) else docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       minhashVerify(minhashBandCandidates(docs, spreadInput), sets)
     } else {
@@ -1324,7 +1338,7 @@ object Dedup {
   /** CTE block (no WITH keyword) computing `mh_pairs(doc_a, doc_b,
     * jaccard)` from relation `src`.
     */
-  private[operators] def minhashOracleCtes(src: String): String =
+  private[graft] def minhashOracleCtes(src: String): String =
     s"""shingled AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),

@@ -333,16 +333,23 @@ object ProductAnalytics {
     // clustering, so distinct adds no exchange and the join below
     // consumes both branches exchange-free (ReuseExchange collapses
     // the identical shuffle)
+    // both repartitions carry an EXPLICIT count: REPARTITION_BY_COL is
+    // AQE-coalescible by byte size, and these tiny-byte/huge-CPU graph
+    // relations are exactly where size-based coalescing is wrong — a
+    // coalesced edge build serializes the pair fan-out and, worse, the
+    // persisted caches downstream freeze the collapsed partitioning
+    // (the r8 cold-instability family)
+    val n = lineitem.sparkSession.sessionState.conf.numShufflePartitions
     val sel = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .repartition(col("ok")).distinct()
+      .repartition(n, col("ok")).distinct()
     val cond = if (ordered) col("a") < col("b") else col("a") =!= col("b")
     sel.select(col("ok"), col("pk").as("a"))
       .join(sel.select(col("ok"), col("pk").as("b")).hint("shuffle_hash"),
         Seq("ok"))
       .filter(cond)
       .select(col("a"), col("b"))
-      .repartition(col("a"))
+      .repartition(n, col("a"))
       .distinct()
   }
 
@@ -379,14 +386,19 @@ object ProductAnalytics {
     // the same information. outdeg attaches to the NODE-sized rank
     // side (pr/outdeg precomputed per src before the edge join), so
     // the edge cache never widens and the degree join is node×node.
-    val ed = (if (prePartitioned) edges else edges.repartition(col("src")))
+    val numP = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val ed = (if (prePartitioned) edges else edges.repartition(numP, col("src")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nodes persist too: the relation feeds the init, every round's
     // left join, and the count — unpersisted, each reference replays
-    // the whole upstream (a lineitem scan + distinct per round)
-    val nd = nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the whole upstream (a lineitem scan + distinct per round).
+    // Pinned on the part key: every round's left join consumes the
+    // cache exchange-free AND at full parallelism (a size-coalesced
+    // node cache would bottleneck every round's rank recombination)
+    val nd = nodes.repartition(numP, col("part"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nn = nd.agg(count(lit(1)).as("n"))
     var pr = nd.crossJoin(broadcast(nn))
       .select(col("part"), (lit(1.0) / col("n")).as("pr"))
@@ -434,8 +446,11 @@ object ProductAnalytics {
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"))
       // hash(src) persists with the cache: the adjacency build and
-      // the N+(u) attach both consume it exchange-free
-      .repartition(col("src"))
+      // the N+(u) attach both consume it exchange-free. Explicit
+      // count — a size-coalesced cache would serialize the codegen
+      // intersect stage (CPU-bound, tiny bytes)
+      .repartition(
+        undIn.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adjacency-intersection (compact-forward) instead of wedge
     // materialization: for oriented edge (u,v) every w in
@@ -465,8 +480,16 @@ object ProductAnalytics {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val withU = e.join(adj.hint("shuffle_hash"), Seq("src"))
       .select(col("src").as("u"), col("dst").as("v"), col("nbrs").as("nu"))
-    val withBoth = withU.join(
-      adj.select(col("src").as("v"), col("nbrs").as("nv"))
+    // the nu-carrying shuffle onto v is the ONE wide op of the
+    // intersect phase and feeds the CPU-dominant merge-intersect —
+    // pin its width (the explicit-count repartition satisfies the
+    // join's clustering, so no second exchange appears; left
+    // coalescible, AQE collapsed it to a handful of tasks on
+    // byte-size grounds and the intersect serialized)
+    val withBoth = withU
+      .repartition(
+        undIn.sparkSession.sessionState.conf.numShufflePartitions, col("v"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv"))
         .hint("shuffle_hash"), Seq("v"))
     val perEdge = withBoth.select(col("u"), col("v"),
       graft.functions.SortedIntersect.sorted_intersect(col("nu"), col("nv"))

@@ -74,4 +74,58 @@ object StreamingHeavyHitters {
         TimeMode.None(), OutputMode.Update(), implicitly[
           org.apache.spark.sql.Encoder[GroupHitters]])
   }
+
+  /** Oracle-pinned run of the REAL streaming dataflow (r7's
+    * stream_hourly_counts pattern): drain the events table as an
+    * AvailableNow file stream through [[perGroupHitters]] in the
+    * EXACT regime (capacity ≥ distinct items per group ⇒ no MG
+    * decrements ⇒ the summary IS the per-item count, independent of
+    * arrival order), explode the final per-group leaderboard, keep
+    * the top 50 — which a DuckDB group-count + row_number reproduces
+    * exactly. The lossy regime (where the stream earns its O(capacity)
+    * state bound) stays spec-covered in StreamingHeavyHittersSpec;
+    * this row pins the state machinery's arithmetic under the hash
+    * gate.
+    */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val in = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type").as("group"),
+          col("user_id").cast("string").as("item"))
+      EventsStream.runAvailableNow(
+        perGroupHitters(in, capacity = 1 << 17).toDF(),
+        "stream_hh_sink", outputMode = "update")
+      s.table("stream_hh_sink")
+        .select(col("group").as("event_type"), col("n_seen"),
+          posexplode(arrays_zip(col("items"), col("ests"))))
+        .select(col("event_type"), col("n_seen"),
+          (col("pos") + 1).cast("int").as("rk"),
+          col("col.items").as("item"), col("col.ests").as("cnt"))
+        .filter(col("rk") <= 50)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // exact regime: the MG summary equals the per-(group, item) count,
+    // ordered by (cnt desc, item asc) — a total order, so the top-50
+    // cut is deterministic on both engines
+    "stream_heavy_hitters" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id::varchar AS item,
+        |    cast(count(*) AS bigint) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, item, cnt,
+        |    cast(row_number() OVER
+        |      (PARTITION BY event_type ORDER BY cnt DESC, item ASC) AS int) AS rk,
+        |    cast(sum(cnt) OVER (PARTITION BY event_type) AS bigint) AS n_seen
+        |  FROM counts)
+        |SELECT event_type, n_seen, rk, item, cnt
+        |FROM ranked WHERE rk <= 50""".stripMargin
+  )
 }

@@ -119,4 +119,49 @@ object StreamingNearDup {
       .transformWithState(new BucketProcessor(threshold, ttl),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Oracle-pinned run of the REAL streaming dataflow (r7's
+    * stream_hourly_counts pattern, extended to a stateful processor):
+    * the documents table is drained as an AvailableNow file stream
+    * through [[nearDupPairs]] — MinHash60 signatures, banding, the
+    * RocksDB-backed bucket state, the pair emission — and the emitted
+    * relation lands under the driver's DuckDB hash gate. Distinct
+    * collapses the one-emission-per-colliding-band fan-in (the est is
+    * a pure function of the pair, so duplicates are exact copies),
+    * and within a single batch arrival is doc_id-sorted per bucket,
+    * so doc_a < doc_b matches the oracle's orientation. est = m/16 is
+    * a dyadic rational — bit-identical in any engine.
+    */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_neardup_pairs" -> ((s, dir) => {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("text"))
+      EventsStream.runAvailableNow(nearDupPairs(stream).toDF(),
+        "stream_neardup_sink")
+      s.table("stream_neardup_sink")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard")).distinct()
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // the signature-estimated Jaccard the stream computes: banded
+    // candidates (the shared md5-minhash CTE chain), then matching
+    // components / 16 — threshold 0.5 ⟺ ≥ 8 matches
+    "stream_neardup_pairs" ->
+      s"""WITH ${graft.operators.Dedup.minhashOracleCtes("documents")},
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::DOUBLE / 16.0
+         |      AS est_jaccard
+         |  FROM cands c
+         |  JOIN minhashes a ON a.doc_id = c.doc_a
+         |  JOIN minhashes b ON b.doc_id = c.doc_b AND b.i = a.i
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, est_jaccard
+         |FROM est WHERE est_jaccard >= 0.5""".stripMargin
+  )
 }
