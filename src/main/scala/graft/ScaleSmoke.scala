@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * answer "does the plan survive a 10× scale-up" with a measurement
   * instead of an argument.
   *
-  * Usage: runMain graft.ScaleSmoke [sfDir] [mult]
+  * Usage: runMain graft.ScaleSmoke [sfDir] [mult] [op,op,...]
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional filter: time only the named ops (the 30-50× runs probe
+    // the four operators whose growth is intrinsic without paying for
+    // the whole battery at that scale)
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val spark = GraftSession.local()
     val t = graft.catalog.Tables(spark, sfDir)
 
@@ -41,6 +45,7 @@ object ScaleSmoke {
     val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](docs, emb)
 
     def time(name: String)(body: => Long): Unit = {
+      if (only.exists(!_.contains(name))) return
       // per-op isolation, same as Bench: drop the previous op's
       // internal persists — without this a prior op's cache blocks
       // linger and shift memory/GC cost onto whoever runs next (the

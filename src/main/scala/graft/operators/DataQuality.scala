@@ -43,34 +43,41 @@ object DataQuality {
            _: ShortType | _: DecimalType => true
       case _ => false
     }
-    val aggs: Seq[Column] = cols.flatMap { f =>
-      val c = col(f.name)
+    // source columns resolve through backtick quoting and the derived
+    // aggregate aliases use the field ORDINAL, not the raw name — a
+    // column named `a.b` (or carrying a backtick) would otherwise make
+    // col() chase a nested path and fail resolution, limiting profile
+    // to flat dot-free schemas
+    def src(f: StructField): Column =
+      col("`" + f.name.replace("`", "``") + "`")
+    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (f, i) =>
+      val c = src(f)
       Seq(
         // count(1) - count(c), not sum(when(isNull)): the sum is NULL
         // over an empty table while the oracle's count arithmetic is 0
-        (count(lit(1)) - count(c)).as(s"nn_${f.name}"),
-        count_distinct(c).as(s"nd_${f.name}")) ++
+        (count(lit(1)) - count(c)).as(s"nn_$i"),
+        count_distinct(c).as(s"nd_$i")) ++
         (if (numeric(f))
-          Seq(round(min(c).cast("double"), 6).as(s"mn_${f.name}"),
-            round(max(c).cast("double"), 6).as(s"mx_${f.name}"))
+          Seq(round(min(c).cast("double"), 6).as(s"mn_$i"),
+            round(max(c).cast("double"), 6).as(s"mx_$i"))
         else if (f.dataType == StringType)
-          Seq(min(c).as(s"ms_${f.name}"), max(c).as(s"xs_${f.name}"))
+          Seq(min(c).as(s"ms_$i"), max(c).as(s"xs_$i"))
         else Nil)
     }
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val rows = cols.map { f =>
+    val rows = cols.zipWithIndex.map { case (f, i) =>
       struct(
         lit(f.name).as("col_name"),
         col("n_rows"),
-        col(s"nn_${f.name}").as("n_null"),
-        col(s"nd_${f.name}").as("n_distinct"),
-        (if (numeric(f)) col(s"mn_${f.name}")
+        col(s"nn_$i").as("n_null"),
+        col(s"nd_$i").as("n_distinct"),
+        (if (numeric(f)) col(s"mn_$i")
          else lit(null).cast("double")).as("min_num"),
-        (if (numeric(f)) col(s"mx_${f.name}")
+        (if (numeric(f)) col(s"mx_$i")
          else lit(null).cast("double")).as("max_num"),
-        (if (f.dataType == StringType) col(s"ms_${f.name}")
+        (if (f.dataType == StringType) col(s"ms_$i")
          else lit(null).cast("string")).as("min_str"),
-        (if (f.dataType == StringType) col(s"xs_${f.name}")
+        (if (f.dataType == StringType) col(s"xs_$i")
          else lit(null).cast("string")).as("max_str"))
     }
     one.select(explode(array(rows: _*)).as("r"))

@@ -277,7 +277,15 @@ object Dedup {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean],
       key: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(
       probe: => Boolean): Boolean = {
-    if (cache.size() > VerdictCacheMax) cache.clear()
+    // evict ONE arbitrary entry past the cap instead of clearing the
+    // whole map: a service steadily probing fresh plans would
+    // otherwise periodically re-probe every live pipeline at once
+    // (and a full clear racing computeIfAbsent could transiently
+    // blow past the cap anyway — dropping one key is no worse)
+    while (cache.size() > VerdictCacheMax) {
+      val it = cache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() } else return cache.computeIfAbsent(key, _ => probe)
+    }
     cache.computeIfAbsent(key, _ => probe)
   }
 

@@ -562,9 +562,20 @@ object ProductAnalytics {
       ring = next
       r += 1
     }
-    rings.reduce(_ unionAll _)
+    // The histogram is ≤ maxHops+1 rows — materialize it NOW (a
+    // bounded-scalar collect, same class as the fixpoint sums) so the
+    // edge/seed/ring caches can be released before returning: a
+    // long-lived session calling graph ops repeatedly would otherwise
+    // accumulate cache blocks per call (each ring materialized during
+    // the loop, so this final aggregate reads only cached data).
+    val hist = rings.reduce(_ unionAll _)
       .groupBy(col("d").as("hops"))
       .agg(count(lit(1)).as("n_parts"))
+    val out = hist.collect().toSeq
+    val res = spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), hist.schema)
+    (Seq(ed) ++ rings).foreach(_.unpersist())
+    res
   }
 
   def oracles: Map[String, String] = Map(
