@@ -384,10 +384,32 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("bfs: frontier joins shuffle-hash against the cached edge list") {
-    val p = planOf("part_bfs_hops")
-    assert(p.contains("ShuffledHashJoin"),
-      "ring ⋈ edges must be a shuffle-hash equi-join")
-    assert(p.contains("InMemoryTableScan"),
-      "edge list should come from the persisted cache, not a rebuild")
+    // bfsHopHistogram materializes its bounded histogram and releases
+    // every cache before returning (so the RETURNED plan is a local
+    // relation) — the ring-join property lives in the loop's executed
+    // plans, captured here via a listener on the per-round count
+    // actions that run while the query function builds
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries("part_bfs_hops")(spark, sf)
+      // the listener fires asynchronously; give the bus a beat
+      Thread.sleep(500)
+      val ringJoins = plans.toArray(Array.empty[String])
+        .filter(p => p.contains("ShuffledHashJoin"))
+      assert(ringJoins.nonEmpty,
+        "ring ⋈ edges must be a shuffle-hash equi-join")
+      assert(ringJoins.exists(_.contains("InMemoryTableScan")),
+        "edge list should come from the persisted cache, not a rebuild")
+    } finally spark.listenerManager.unregister(l)
   }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-9 regression guards for the cold-pass plan-instability fix.
+  *
+  * The r8 anomaly: exchanges feeding persisted, CPU-heavy relations
+  * were AQE-coalesced by BYTE size (sub-MB corpora, heavy per-row
+  * compute), the cache froze the collapsed partitioning, and
+  * run-to-run threshold flips made six pipelines 5–8× slower on
+  * arbitrary runs. The fix pins those exchanges with explicit
+  * partition counts (REPARTITION_BY_NUM, which AQE must respect).
+  * These tests hold that line: if someone swaps a pinned spread back
+  * to a bare `repartition(col)`, the partition count collapses under
+  * AQE and the asserts here fail.
+  */
+class PinnedParallelismSpec extends SparkSpec {
+
+  private def n = spark.sessionState.conf.numShufflePartitions
+
+  test("copurchaseEdges emits the pinned partition count (both variants)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    for (ordered <- Seq(true, false)) {
+      val e = ProductAnalytics.copurchaseEdges(li, ordered)
+      // materialize through an action so AQE has every chance to
+      // coalesce, then check the executed partitioning
+      assert(e.rdd.getNumPartitions == n,
+        s"ordered=$ordered: ${e.rdd.getNumPartitions} != $n")
+    }
+  }
+
+  test("curation survivor cache is pinned at full parallelism") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = CorpusCuration.curate(docs)
+    kept.count()
+    // the persisted kept2 relation feeds the CPU-bound LSH stage; its
+    // cached build must hold the session's parallelism, not AQE's
+    // byte-sized coalesce of a sub-MB corpus
+    val cached = spark.sparkContext.getPersistentRDDs.values
+    assert(cached.nonEmpty, "expected the kept2 persist to be live")
+    assert(cached.exists(_.getNumPartitions == n),
+      s"no cached RDD at $n partitions: ${cached.map(_.getNumPartitions)}")
+    spark.catalog.clearCache()
+  }
+
+  test("bfsHopHistogram releases every cache it creates") {
+    spark.catalog.clearCache()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val edges = ProductAnalytics.copurchaseEdges(li, ordered = false)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val hist = ProductAnalytics.bfsHopHistogram(edges, maxHops = 2,
+      prePartitioned = true)
+    assert(hist.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size}")
+  }
+}
