@@ -146,7 +146,51 @@ object CorpusMixture {
         col("col.id").as("doc_id"))
   }
 
+  /** Marginal n-gram novelty per source — the submodular-coverage
+    * diagnostic behind greedy data-mixing (each source's value to the
+    * mixture is the share of its n-grams nothing "earlier" already
+    * contributes; here the order is the deterministic lexicographic
+    * source order, so the report is a fixed coverage decomposition
+    * rather than a driver-side greedy loop). A source whose novelty
+    * share is near zero is redundant with the rest of the corpus and
+    * a downweighting candidate regardless of its standalone quality.
+    *
+    * Dataflow: the 8-gram hash stream (same shingle/hash shape as
+    * decontamination, spread before the CPU-heavy md5 map), one
+    * distinct per (source, h), the vocab-keyed min-source aggregate,
+    * one h-keyed join back, and a source-bounded final aggregate.
+    * Everything wide is keyed on the n-gram hash — linear in the
+    * token stream at any corpus size. The novelty ratio is ONE IEEE
+    * division of two exact ints, so both engines emit the identical
+    * double with no rounding layer.
+    */
+  def sourceNovelty(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Hash60.register(docs.sparkSession)
+    val base = Dedup.spread(
+      docs.filter(length(trim(col("text"))) > 0)
+        .select(col("source"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 8),
+      col("source"))
+    val ng = base
+      .select(col("source"), explode(
+        sequence(lit(1), size(col("ws")) - lit(7))).as("i"),
+        col("ws"))
+      .select(col("source"), graft.functions.Md5Hash60.md5_hash60(
+        array_join(slice(col("ws"), col("i"), lit(8)), " ")).as("h"))
+      .distinct()
+    val first = ng.groupBy(col("h")).agg(min(col("source")).as("first_source"))
+    ng.join(first.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("source") === col("first_source"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_ngrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_ngrams").cast("double"))
+          .as("novelty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_novelty" -> ((s, dir) => sourceNovelty(Tables(s, dir).documents)),
     "dsir_weights" -> ((s, dir) => dsirWeights(Tables(s, dir).documents, "en")),
     "source_kl" -> ((s, dir) => sourceKl(Tables(s, dir).documents)),
     "pmi_collocations" -> ((s, dir) =>
@@ -156,6 +200,26 @@ object CorpusMixture {
   )
 
   def oracles: Map[String, String] = Map(
+    // the same 8-gram md5 hash stream as the decontamination oracle,
+    // then min-source coverage attribution; the novelty ratio is one
+    // int/int division, identical IEEE in both engines
+    "source_novelty" ->
+      """WITH base AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ng AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::bigint AS h
+        |  FROM (SELECT source, ws, unnest(range(1, len(ws) - 7 + 1)) AS i
+        |        FROM base WHERE len(ws) >= 8)),
+        |first AS (SELECT h, min(source) AS first_source FROM ng GROUP BY h)
+        |SELECT source, cast(count(*) AS bigint) AS n_ngrams,
+        |  cast(sum(CASE WHEN source = first_source THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_novel,
+        |  sum(CASE WHEN source = first_source THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS novelty
+        |FROM ng JOIN first USING (h)
+        |GROUP BY source""".stripMargin,
     "dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

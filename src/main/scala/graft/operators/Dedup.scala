@@ -138,6 +138,29 @@ object Dedup {
     // connected components over the near-dup graph (cluster ids)
     "dedup_clusters" -> ((s, dir) => minhashClusters(Tables(s, dir).documents)),
 
+    // Canonical-per-cluster selection: for every multi-member near-dup
+    // family, KEEP THE BEST member (most words, tie → min doc_id) —
+    // the curation step after clustering ("keep the most complete
+    // copy"), where minhashClusters/corpus_curation keep the FIRST.
+    // One doc-keyed join + one cluster-keyed argmax aggregate on top
+    // of the cluster assignment; the argmax rides min(struct(-words,
+    // id)) so it is a map-side-combinable aggregate, not a window
+    // funneling each cluster through one task.
+    "dedup_cluster_canonical" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val nw = docs.select(col("doc_id"), TextAnalysis.nWords.as("n_words"))
+      minhashClusters(docs)
+        .join(nw.hint("shuffle_hash"), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("n_words")).as("neg_words"),
+            col("doc_id").as("d"))).as("m"))
+        .filter(col("n_members") > 1)
+        .select(col("cluster_id"), col("n_members"),
+          col("m.d").as("canonical_doc"),
+          (-col("m.neg_words")).as("canonical_words"))
+    }),
+
     // cluster-size histogram — the standard dedup report (how many
     // singletons vs how many size-k near-dup families, and what doc
     // volume each stratum holds): two map-side-combined aggregates
@@ -1252,6 +1275,39 @@ object Dedup {
          |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a)
          |SELECT doc AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY doc""".stripMargin,
+    // same component CTE, then per-cluster argmax (words desc, id asc)
+    "dedup_cluster_canonical" ->
+      s"""WITH RECURSIVE ${minhashOracleCtes("documents")},
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a),
+         |clusters AS (
+         |  SELECT doc AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |nw AS (
+         |  SELECT doc_id,
+         |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS bigint) AS n_words
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, nw.n_words,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY nw.n_words DESC, c.doc_id ASC) AS rk
+         |  FROM clusters c JOIN nw USING (doc_id)),
+         |sizes AS (
+         |  SELECT cluster_id, cast(count(*) AS bigint) AS n_members
+         |  FROM clusters GROUP BY cluster_id)
+         |SELECT s.cluster_id, s.n_members,
+         |  r.doc_id AS canonical_doc, r.n_words AS canonical_words
+         |FROM sizes s
+         |JOIN ranked r ON s.cluster_id = r.cluster_id AND r.rk = 1
+         |WHERE s.n_members > 1""".stripMargin,
     // same component CTE, then the size histogram
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE ${minhashOracleCtes("documents")},
