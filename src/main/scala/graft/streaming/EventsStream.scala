@@ -140,18 +140,59 @@ object EventsStream {
   }
 
   /** Drain-everything-now run to an in-memory table; returns once all
-    * available files are processed (Trigger.AvailableNow).
+    * available files are processed (Trigger.AvailableNow). The
+    * throwaway checkpoint dir is deleted on the way out — a bench
+    * suite invoking oracle rows twice per recording would otherwise
+    * leak one /tmp tree per invocation (r9 advice).
     */
   def runAvailableNow(df: DataFrame, queryName: String,
                       outputMode: String = "append"): Unit = {
-    val q = df.writeStream
-      .format("memory").queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft-ck-$queryName").toString)
-      .start()
-    q.awaitTermination()
+    val ck = java.nio.file.Files.createTempDirectory(s"graft-ck-$queryName")
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ck)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
+  }
+
+  /** Run `body` with the RocksDB state-store provider active, then
+    * (a) restore whatever provider conf the session had before — a
+    * session-wide conf set inside a query closure must not bleed into
+    * later queries — and (b) UNLOAD the loaded state-store providers
+    * (`StateStore.stop()`), releasing RocksDB's native (off-JVM-heap)
+    * allocations. Without (b), every oracle invocation in a long
+    * bench suite parks tens of MB of native memory that the JVM's GC
+    * can never reclaim — the prime suspect for the r9 warm-pass
+    * inflation. `stop()` is safe mid-session: the next streaming
+    * query lazily reloads providers and restarts maintenance.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Arbitrary-sink streaming via foreachBatch: each micro-batch is

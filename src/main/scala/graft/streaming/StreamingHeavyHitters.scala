@@ -31,7 +31,7 @@ object StreamingHeavyHitters {
   case class GroupHitters(group: String, n_seen: Long,
                           items: Array[String], ests: Array[Long])
 
-  private class MgProcessor(capacity: Int)
+  private class MgProcessor(capacity: Int, failAtCapacity: Boolean)
       extends StatefulProcessor[String, Item, GroupHitters] {
     @transient private var state: ValueState[(Long, Map[String, Long])] = _
 
@@ -48,6 +48,15 @@ object StreamingHeavyHitters {
         m.get(r.item) match {
           case Some(c) => m = m.updated(r.item, c + 1)
           case None if m.size < capacity => m = m.updated(r.item, 1L)
+          case None if failAtCapacity =>
+            // exact-regime contract: callers pinning the summary to a
+            // count oracle rely on capacity ≥ distinct items per group
+            // (no decrements ever fire). At a scale where that stops
+            // holding, diverge LOUDLY, not silently (r9 advice).
+            throw new IllegalStateException(
+              s"MG capacity $capacity reached for group '$key': the " +
+                "exact-regime guarantee (summary ≡ per-item count) no " +
+                "longer holds at this scale")
           case None =>
             // MG decrement: one uncounted arrival cancels one unit of
             // every tracked counter (and itself)
@@ -64,13 +73,16 @@ object StreamingHeavyHitters {
 
   /** `rows` needs (group, item) string columns; emits one updated
     * leaderboard row per active group per micro-batch.
+    * `failAtCapacity` turns the silent lossy regime into a loud error
+    * — set it when downstream treats the summary as exact counts.
     */
-  def perGroupHitters(rows: DataFrame, capacity: Int = 32): Dataset[GroupHitters] = {
+  def perGroupHitters(rows: DataFrame, capacity: Int = 32,
+                      failAtCapacity: Boolean = false): Dataset[GroupHitters] = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.selectExpr("group", "item").as[Item]
       .groupByKey(_.group)
-      .transformWithState(new MgProcessor(capacity),
+      .transformWithState(new MgProcessor(capacity, failAtCapacity),
         TimeMode.None(), OutputMode.Update(), implicitly[
           org.apache.spark.sql.Encoder[GroupHitters]])
   }
@@ -88,26 +100,35 @@ object StreamingHeavyHitters {
     * gate.
     */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "stream_heavy_hitters" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val in = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .select(col("event_type").as("group"),
-          col("user_id").cast("string").as("item"))
-      EventsStream.runAvailableNow(
-        perGroupHitters(in, capacity = 1 << 17).toDF(),
-        "stream_hh_sink", outputMode = "update")
-      s.table("stream_hh_sink")
-        .select(col("group").as("event_type"), col("n_seen"),
-          posexplode(arrays_zip(col("items"), col("ests"))))
-        .select(col("event_type"), col("n_seen"),
-          (col("pos") + 1).cast("int").as("rk"),
-          col("col.items").as("item"), col("col.ests").as("cnt"))
-        .filter(col("rk") <= 50)
-    })
+    "stream_heavy_hitters" -> ((s, dir) =>
+      EventsStream.withRocksDbStateStore(s) {
+        import org.apache.spark.sql.functions._
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val in = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("event_type").as("group"),
+            col("user_id").cast("string").as("item"))
+        // failAtCapacity: the oracle below IS the exact regime — at a
+        // scale where a group's vocabulary outgrows the capacity,
+        // error instead of silently diverging from the count oracle
+        EventsStream.runAvailableNow(
+          perGroupHitters(in, capacity = 1 << 17, failAtCapacity = true).toDF(),
+          "stream_hh_sink", outputMode = "update")
+        // the update-mode memory sink keeps ONE leaderboard row per
+        // group per micro-batch; a multi-file drain would leave
+        // several. n_seen is strictly monotone per group, so the
+        // max-n_seen row is the final state regardless of batching
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("group")).orderBy(desc("n_seen"))
+        s.table("stream_hh_sink")
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(col("group").as("event_type"), col("n_seen"),
+            posexplode(arrays_zip(col("items"), col("ests"))))
+          .select(col("event_type"), col("n_seen"),
+            (col("pos") + 1).cast("int").as("rk"),
+            col("col.items").as("item"), col("col.ests").as("cnt"))
+          .filter(col("rk") <= 50)
+      })
   )
 
   def oracles: Map[String, String] = Map(

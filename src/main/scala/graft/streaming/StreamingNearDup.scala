@@ -128,23 +128,29 @@ object StreamingNearDup {
     * relation lands under the driver's DuckDB hash gate. Distinct
     * collapses the one-emission-per-colliding-band fan-in (the est is
     * a pure function of the pair, so duplicates are exact copies),
-    * and within a single batch arrival is doc_id-sorted per bucket,
-    * so doc_a < doc_b matches the oracle's orientation. est = m/16 is
-    * a dyadic rational — bit-identical in any engine.
+    * and est = m/16 is a dyadic rational — bit-identical in any
+    * engine. Pair orientation is NORMALIZED (least/greatest) before
+    * the distinct: the processor emits earlier-seen id first, which
+    * matches doc_a < doc_b only when the whole file drains in one
+    * micro-batch — a multi-file input or maxFilesPerTrigger split
+    * would flip orientation batch-dependently (r9 advice). The
+    * RocksDB provider conf is scoped + state unloaded afterwards via
+    * [[EventsStream.withRocksDbStateStore]].
     */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "stream_neardup_pairs" -> ((s, dir) => {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .select(col("doc_id"), col("text"))
-      EventsStream.runAvailableNow(nearDupPairs(stream).toDF(),
-        "stream_neardup_sink")
-      s.table("stream_neardup_sink")
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard")).distinct()
-    })
+    "stream_neardup_pairs" -> ((s, dir) =>
+      EventsStream.withRocksDbStateStore(s) {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(col("doc_id"), col("text"))
+        EventsStream.runAvailableNow(nearDupPairs(stream).toDF(),
+          "stream_neardup_sink")
+        s.table("stream_neardup_sink")
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            col("est_jaccard")).distinct()
+      })
   )
 
   def oracles: Map[String, String] = Map(
