@@ -412,8 +412,9 @@ object Dedup {
     * copy for the codegen merge-intersect and the filtering prefix of
     * `n − ⌈t·n⌉ + 1` tokens. Returns (prep persisted, useHash).
     */
-  /** Repartition on `c` with an EXPLICIT partition count (the
-    * session's shuffle parallelism). A bare `repartition(col)` is a
+  /** Repartition on `c` with an EXPLICIT, data-derived partition
+    * count ([[Parallelism.pinCount]]: session parallelism floored,
+    * leaf-input-bytes scaled). A bare `repartition(col)` is a
     * REPARTITION_BY_COL shuffle that AQE may coalesce to match data
     * SIZE — and with `canChangeCachedPlanOutputPartitioning` that
     * coalescing applies inside cached plans too, which collapsed the
@@ -424,7 +425,7 @@ object Dedup {
     * which AQE must respect.
     */
   private[operators] def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, c)
+    df.repartition(Parallelism.pinCount(df), c)
 
   private def dfOrderedPrep(docs: DataFrame, threshold: Double,
                             shingleK: Int): (DataFrame, Boolean) = {

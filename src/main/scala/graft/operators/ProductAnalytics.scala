@@ -339,7 +339,9 @@ object ProductAnalytics {
     // coalesced edge build serializes the pair fan-out and, worse, the
     // persisted caches downstream freeze the collapsed partitioning
     // (the r8 cold-instability family)
-    val n = lineitem.sparkSession.sessionState.conf.numShufflePartitions
+    // data-derived count (r9 verdict #4): floor at session
+    // parallelism, scale with the lineitem scan's bytes at 100×
+    val n = Parallelism.pinCount(lineitem)
     val sel = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .repartition(n, col("ok")).distinct()
@@ -386,7 +388,7 @@ object ProductAnalytics {
     // the same information. outdeg attaches to the NODE-sized rank
     // side (pr/outdeg precomputed per src before the edge join), so
     // the edge cache never widens and the degree join is node×node.
-    val numP = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val numP = Parallelism.pinCount(edges)
     val ed = (if (prePartitioned) edges else edges.repartition(numP, col("src")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -449,8 +451,7 @@ object ProductAnalytics {
       // the N+(u) attach both consume it exchange-free. Explicit
       // count — a size-coalesced cache would serialize the codegen
       // intersect stage (CPU-bound, tiny bytes)
-      .repartition(
-        undIn.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+      .repartition(Parallelism.pinCount(undIn), col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adjacency-intersection (compact-forward) instead of wedge
     // materialization: for oriented edge (u,v) every w in
@@ -487,8 +488,7 @@ object ProductAnalytics {
     // coalescible, AQE collapsed it to a handful of tasks on
     // byte-size grounds and the intersect serialized)
     val withBoth = withU
-      .repartition(
-        undIn.sparkSession.sessionState.conf.numShufflePartitions, col("v"))
+      .repartition(Parallelism.pinCount(undIn), col("v"))
       .join(adj.select(col("src").as("v"), col("nbrs").as("nv"))
         .hint("shuffle_hash"), Seq("v"))
     val perEdge = withBoth.select(col("u"), col("v"),
@@ -524,8 +524,7 @@ object ProductAnalytics {
     // preserving select) — prePartitioned skips the respread, same
     // contract as pageRankRatios
     val ed = (if (prePartitioned) edges
-      else edges.repartition(
-        spark.sessionState.conf.numShufflePartitions, col("src")))
+      else edges.repartition(Parallelism.pinCount(edges), col("src")))
       .persist(MEMORY_AND_DISK)
     // the source stays a DATAFRAME (1-row aggregate), not a collected
     // literal: a lit() seed constant-folds through the first ring join

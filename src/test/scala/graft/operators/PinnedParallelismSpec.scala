@@ -45,6 +45,44 @@ class PinnedParallelismSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pinCountForBytes floors at session parallelism, scales with bytes, caps") {
+    // unknown size keeps the session value — today's pinned behavior
+    assert(Parallelism.pinCountForBytes(32, -1L) == 32)
+    assert(Parallelism.pinCountForBytes(32, 0L) == 32)
+    // sub-target inputs (the sub-MB/CPU-heavy corpora that motivated
+    // pinning) still spread across the full session parallelism
+    assert(Parallelism.pinCountForBytes(32, 10L << 20) == 32)
+    // a 10 GB input at 32 MB/task derives 320 tasks — the count now
+    // scales with the data instead of inheriting a local[32] constant
+    assert(Parallelism.pinCountForBytes(32, 10L << 30) == 320)
+    // 100 TB: ceil(100e12 / 32 MB) ≈ 3.0 M would exceed the cap
+    assert(Parallelism.pinCountForBytes(32, 100L * (1L << 40)) ==
+      Parallelism.MaxPartitions)
+    // tiny bytesPerTask on a real input: still capped
+    assert(Parallelism.pinCountForBytes(32, 1L << 40, bytesPerTask = 1) ==
+      Parallelism.MaxPartitions)
+  }
+
+  test("pinCount derives from leaf input bytes and the exchange honors it") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bytes = Parallelism.leafInputBytes(docs)
+    assert(bytes > 0, s"leaf stats should report the parquet size, got $bytes")
+    // with a toy per-task target the SAME call site that yields n on
+    // this corpus yields a size-derived count — i.e. the pin scales
+    // with input size rather than being a constant (r9 verdict #4)
+    val tiny = 4096L
+    val expected = Parallelism.pinCountForBytes(n, bytes, tiny)
+    assert(expected > n, s"toy target should exceed session parallelism " +
+      s"($expected vs $n, bytes=$bytes)")
+    assert(Parallelism.pinCount(docs, tiny) == expected)
+    // and REPARTITION_BY_NUM with the derived count survives AQE
+    val spreadDf = docs.repartition(Parallelism.pinCount(docs, tiny), col("doc_id"))
+    assert(spreadDf.rdd.getNumPartitions == expected,
+      s"${spreadDf.rdd.getNumPartitions} != $expected")
+    // default target on a sub-target corpus: unchanged local behavior
+    assert(Parallelism.pinCount(docs) == n)
+  }
+
   test("bfsHopHistogram releases every cache it creates") {
     spark.catalog.clearCache()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
