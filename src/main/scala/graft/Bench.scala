@@ -28,20 +28,86 @@ object Bench {
     else math.max(0L, (b1 - b0) - (s1 - s0)) / (100.0 * secs)
   }
 
+  // ---- per-query telemetry (r9 verdict #1) --------------------------
+  // The r9 recording showed a cold-inflation window and broad warm
+  // drift that no code change explained, and without per-query
+  // GC/heap/RSS evidence every cross-round comparison was an argument
+  // instead of a measurement. Each sample below is two /proc reads +
+  // two MXBean calls — microseconds, taken OUTSIDE the timed window.
+
+  /** Total stop-the-world GC milliseconds since JVM start. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** JVM heap in MB (used, committed). */
+  private def heapMb(): (Long, Long) = {
+    val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    (m.getUsed >> 20, m.getCommitted >> 20)
+  }
+
+  /** Process resident set in MB from /proc/self/status — the ONLY
+    * counter that sees native (off-JVM-heap) allocations such as
+    * RocksDB state stores; -1 when unavailable.
+    */
+  private def rssMb(field: String = "VmRSS"): Long =
+    try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/status"))
+        .linesIterator.find(_.startsWith(field + ":"))
+        .map(_.split("\\s+")(1).toLong >> 10).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+  /** 1-minute system load average; -1 when unavailable. */
+  private def load1(): Double =
+    try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
+  /** 8-hex-char digest of the executed plan with run-varying ids
+    * (expression ids, plan ids, cache/RDD numbers, codegen ids)
+    * stripped — equal hashes across runs ⟺ same physical plan shape,
+    * so a flagged query can be checked for an AQE replan vs a pure
+    * environment effect.
+    */
+  private def planHash(df: org.apache.spark.sql.DataFrame): String =
+    try {
+      val s = df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+[L]?", "#")
+        // lambda variables (x_41, y_42 in transform/aggregate exprs)
+        // carry a GLOBAL monotone counter — differs every execution
+        .replaceAll("_\\d+#", "_#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("\\bid=#?\\d+", "id=")
+        .replaceAll("\\[\\d+\\]", "[]")
+        .replaceAll("@[0-9a-f]{6,}", "@")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "n/a" }
+
+  private case class QueryRun(sec: Double, gcMs: Long, heapUsedMb: Long,
+                              rssMbAfter: Long, load1Before: Double,
+                              plan: String)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the driver's recording environment (local[32]) —
     // the r8 builder runs accidentally recorded at local[4] because
     // this defaulted low, making the numbers incomparable to BASELINE
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // warm per-query times are MEDIANS over this many warm passes —
+    // r9 showed a single warm pass at 155 queries is not a stable
+    // trend line (three builder runs: 126.8 / 129.3 / 93.3 s)
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "3").toInt
     // ---- idle gate (r7 verdict #4) ----------------------------------
     // The r6 and r7 driver recordings were inflated 1.3–2.4× by
     // foreign CPU bursts on the shared box (BASELINE.md round-7
     // reconciliation). Rather than reconciling after the fact every
     // round, the bench WAITS (bounded) for the box to go quiet before
-    // the timed pass, and records what it saw either way — the
-    // pre-wait sample and the wait spent go into bench_full.json next
-    // to the run's own foreign_cpu_sec telemetry.
+    // the timed pass, and records what it saw either way.
     val idleGateCores =
       sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE_CORES", "2.0").toDouble
     val idleWaitMaxSec =
@@ -93,33 +159,106 @@ object Bench {
     // fast "time" inside a clean-looking total
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // contention telemetry: foreign_cpu_sec is busy CPU seconds spent
-    // by OTHER processes during the run (idle run: a few sec of
-    // kernel/daemon time; an r6-style burst: hundreds) — every
-    // recording carries its own contention evidence, and the idle
-    // gate above acts on the same signal before the run starts.
+    // by OTHER processes during the run.
     val (busy0, self0) = procBusyAndSelfJiffies()
     val wall0 = System.nanoTime()
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // pre-suite RSS, recorded for context (the leak-detector FLOOR is
+    // taken after the cold pass instead: the JVM legitimately grows
+    // its heap over the first full pass and never returns those pages,
+    // so a pre-suite floor false-flags ordinary heap sizing as a leak)
+    System.gc()
+    val rssPreSuiteMb = rssMb()
+
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QueryRun = {
+      val loadBefore = load1()
+      val gc0 = gcMillis()
+      var df: org.apache.spark.sql.DataFrame = null
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { df = fn(spark, sfDir); df.count() } catch {
         case t: Throwable =>
           errors(name) =
             t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage).take(160)
       }
       // several operators persist() intermediates; drop them so one
-      // query's cache never evicts/slows the next (r01/r02 showed
-      // every query after corpus_curation regressing from exactly this)
+      // query's cache never evicts/slows the next. The unpersist is
+      // BLOCKING: clearCache's default async eviction let one query's
+      // block teardown run inside the NEXT query's timed window —
+      // eviction cost belongs to the query that allocated the cache.
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcDelta = gcMillis() - gc0
+      val (heapUsed, _) = heapMb()
+      QueryRun(sec, gcDelta, heapUsed, rssMb(), loadBefore,
+        if (df == null) "err" else planHash(df))
     }
+
     // deterministic (sorted) order so per-query times are comparable
-    // across rounds; JVM warmup lands on the same query every run
+    // across rounds; JVM warmup lands on the same query every run.
+    // The two transformWithState queries run in their OWN phase after
+    // every batch pass (r9 verdict #2): each boots a streaming query +
+    // RocksDB state store whose NATIVE allocations used to land
+    // mid-alphabet in the cold pass and squeeze every query after them
+    // — real cost, wrong venue. Phase order changes nothing semantic
+    // (queries are independent, caches cleared between them); the
+    // reported maps stay name-sorted.
+    val rocksDbQueries = Set("stream_neardup_pairs", "stream_heavy_hitters")
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    // cold = first run (comparable to BASELINE.md); warm = second run
-    // with codegen/JIT/broadcast machinery hot — closer to steady-state
-    // cluster behavior, far less ±50% noise on sub-second queries
-    val cold = sorted.map { case (name, fn) => name -> time(name, fn) }
-    val warm = sorted.map { case (name, fn) => name -> time(name, fn) }
+    val batchQs = sorted.filterNot(q => rocksDbQueries(q._1))
+    val streamQs = sorted.filter(q => rocksDbQueries(q._1))
+
+    def runPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, QueryRun)] =
+      qs.map { case (name, fn) => name -> runOne(name, fn) }
+
+    // cold = first run (comparable to BASELINE.md); warm = MEDIAN of
+    // `warmReps` further full passes — codegen/JIT/broadcast hot,
+    // closer to steady-state cluster behavior, and the median makes
+    // one contended pass unable to move the trend line.
+    val passTelemetry = scala.collection.mutable.ArrayBuffer[String]()
+    def passStamp(label: String, t: Double): Unit =
+      passTelemetry += f"""{"pass":"$label","sec":$t%.2f,"gc_ms":${gcMillis()},"heap_mb":${heapMb()._1},"rss_mb":${rssMb()},"load1":${load1()}%.2f}"""
+
+    def timedPass(label: String,
+        qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, QueryRun)] = {
+      val t0 = System.nanoTime()
+      val r = runPass(qs)
+      passStamp(label, (System.nanoTime() - t0) / 1e9)
+      // pass-boundary GC so heap pressure accumulated by one pass is
+      // paid HERE (unbilled) instead of inside the next pass's queries
+      System.gc()
+      r
+    }
+
+    val coldBatch = timedPass("cold", batchQs)
+    // leak-detector floor: post-cold, post-GC — every pass after this
+    // point re-executes work the JVM has already sized itself for, so
+    // sustained growth from here is retention, not warmup
+    val rssBaselineMb = rssMb()
+    val warmBatchReps = (1 to warmReps).map(i => timedPass(s"warm$i", batchQs))
+    val coldStream = timedPass("cold_stream", streamQs)
+    val warmStreamReps = (1 to warmReps).map(i => timedPass(s"warm${i}_stream", streamQs))
+
+    val cold = (coldBatch ++ coldStream).sortBy(_._1)
+    val warmRepsByQuery: Map[String, Seq[QueryRun]] =
+      (batchQs.map(_._1).map { n =>
+        n -> warmBatchReps.map(_.toMap.apply(n))
+      } ++ streamQs.map(_._1).map { n =>
+        n -> warmStreamReps.map(_.toMap.apply(n))
+      }).toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val warm = cold.map { case (n, _) =>
+      n -> median(warmRepsByQuery(n).map(_.sec))
+    }
+
     def fmt(v: Double): String = "%.2f".format(v)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -127,15 +266,18 @@ object Bench {
       kvs.map { case (k, v) =>
         "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
       }.mkString("{", ",", "}")
-    val total = cold.map(_._2).sum
+    val total = cold.map(_._2.sec).sum
     val warmTotal = warm.map(_._2).sum
     // ---- self-flagging (r8 verdict #4) ------------------------------
-    // The r8 driver recording carried six queries running 5-8x their
-    // own warm time and nobody noticed until judging. Flag, at
-    // RECORDING time, every query whose cold run exceeds 2x (a) its
-    // own warm time or (b) its round-1 baseline cold time — sub-2s
-    // colds are exempt from (a): JIT/codegen warmup legitimately
-    // dominates small queries and would drown the signal in noise.
+    // Flag, at RECORDING time, every query whose cold run exceeds 2×
+    // (a) its own (median) warm time — requires cold ≥ 2 s, since
+    // JIT/codegen warmup legitimately dominates small queries — or
+    // (b) its round-1 baseline cold time — requires only cold ≥ 0.5 s
+    // (noise floor): r9 advice noted the old shared ≥ 2 s guard let a
+    // 0.3 s → 1.9 s (6×) regression pass unflagged. Every flag entry
+    // carries the cold run's GC/RSS/plan telemetry so a flag is
+    // attributable (GC spike, native-memory step, replan) instead of
+    // an argument.
     val r1Baseline: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(
@@ -144,16 +286,42 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val warmByName = warm.toMap
-    val flags = cold.flatMap { case (name, c) =>
-      val vsWarm = warmByName.get(name).collect {
-        case w if c >= 2.0 && c > 2.0 * math.max(w, 0.05) =>
-          f"""{"q":"$name","kind":"cold_vs_warm","cold":${fmt(c)},"ref":${fmt(w)},"ratio":${fmt(c / math.max(w, 0.05))}}"""
+    def telemetrySuffix(q: QueryRun): String =
+      s""","gc_ms":${q.gcMs},"rss_mb":${q.rssMbAfter},"plan":"${q.plan}""""
+    val flags = scala.collection.mutable.ArrayBuffer[String]()
+    cold.foreach { case (name, q) =>
+      val c = q.sec
+      warmByName.get(name).foreach { w =>
+        if (c >= 2.0 && c > 2.0 * math.max(w, 0.05))
+          flags += f"""{"q":"$name","kind":"cold_vs_warm","cold":${fmt(c)},"ref":${fmt(w)},"ratio":${fmt(c / math.max(w, 0.05))}${telemetrySuffix(q)}}"""
       }
-      val vsR1 = r1Baseline.get(name).collect {
-        case b if c >= 2.0 && c > 2.0 * b =>
-          f"""{"q":"$name","kind":"cold_vs_r1","cold":${fmt(c)},"ref":${fmt(b)},"ratio":${fmt(c / b)}}"""
+      r1Baseline.get(name).foreach { b =>
+        if (c >= 0.5 && c > 2.0 * b)
+          flags += f"""{"q":"$name","kind":"cold_vs_r1","cold":${fmt(c)},"ref":${fmt(b)},"ratio":${fmt(c / b)}${telemetrySuffix(q)}}"""
       }
-      vsWarm.toSeq ++ vsR1.toSeq
+      // warm instability: the reps disagree with each other by > 2×
+      // on a ≥ 1 s query — the signature of environment drift (the r9
+      // warm inflation) as opposed to a code regression, which moves
+      // every rep together
+      val reps = warmRepsByQuery(name).map(_.sec)
+      if (reps.nonEmpty && reps.max >= 1.0 &&
+          reps.max > 2.0 * math.max(reps.min, 0.05))
+        flags += f"""{"q":"$name","kind":"warm_unstable","cold":${fmt(c)},"ref":${fmt(reps.min)},"ratio":${fmt(reps.max / math.max(reps.min, 0.05))},"reps":[${reps.map(fmt).mkString(",")}]}"""
+    }
+    // ---- RSS leak detector (r9 verdict #5) --------------------------
+    // End-of-run RSS must stay within 1.5× the post-warmup floor — a
+    // standing guard against cache blocks, codegen classes, and
+    // NATIVE state (RocksDB) that future operators can't silently
+    // defeat. Surfaces as a flag (the driver must still get a
+    // recording), fatal under SPARK_GRAFT_RSS_STRICT=1 for local use.
+    System.gc()
+    val rssEndMb = rssMb()
+    val rssBoundOk = rssBaselineMb <= 0 || rssEndMb <= 0 ||
+      rssEndMb.toDouble <= 1.5 * rssBaselineMb
+    if (!rssBoundOk) {
+      flags += f"""{"q":"_suite","kind":"rss_growth","cold":${rssEndMb.toDouble},"ref":${rssBaselineMb.toDouble},"ratio":${fmt(rssEndMb.toDouble / rssBaselineMb)}}"""
+      if (sys.env.get("SPARK_GRAFT_RSS_STRICT").contains("1"))
+        sys.error(s"RSS grew ${rssBaselineMb} -> ${rssEndMb} MB (> 1.5x)")
     }
     if (flags.nonEmpty)
       System.err.println(s"bench: ${flags.size} regression flag(s) — see bench_full.json")
@@ -163,17 +331,37 @@ object Bench {
       if (busy0 < 0 || busy1 < 0) (-1.0, -1.0)
       else ((self1 - self0) / 100.0,
         math.max(0L, (busy1 - busy0) - (self1 - self0)) / 100.0)
+    // per-query cold telemetry + per-query warm reps + plan-hash
+    // changes across passes (only queries whose hash moved — an AQE
+    // replan under identical code is exactly what this catches)
+    val telemetryJson = cold.map { case (n, q) =>
+      f""""$n":{"gc_ms":${q.gcMs},"heap_mb":${q.heapUsedMb},"rss_mb":${q.rssMbAfter},"load1":${q.load1Before}%.2f,"plan":"${q.plan}"}"""
+    }.mkString("{", ",", "}")
+    val warmRepsJson = cold.map { case (n, _) =>
+      s""""$n":[${warmRepsByQuery(n).map(r => fmt(r.sec)).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val planChanges = cold.flatMap { case (n, q) =>
+      val hashes = q.plan +: warmRepsByQuery(n).map(_.plan)
+      if (hashes.distinct.size > 1)
+        Some(s""""$n":[${hashes.map("\"" + _ + "\"").mkString(",")}]""")
+      else None
+    }.mkString("{", ",", "}")
     // the stdout budget (driver captures only the final ~2000 chars)
     // can't hold all per-query times — the COMPLETE record goes to a
     // side file in the repo root for the judge / cross-round diffs
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
-         |"warm_total":${fmt(warmTotal)},
+         |"warm_total":${fmt(warmTotal)},"warm_reps":$warmReps,
          |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},
          |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},
+         |"rss_pre_suite_mb":$rssPreSuiteMb,"rss_baseline_mb":$rssBaselineMb,"rss_end_mb":$rssEndMb,"rss_hwm_mb":${rssMb("VmHWM")},"rss_bound_ok":$rssBoundOk,
          |"errors":${jsmap(errors.toSeq)},
          |"flags":${flags.mkString("[", ",", "]")},
-         |"cold":${jmap(cold)},
+         |"passes":${passTelemetry.mkString("[", ",", "]")},
+         |"telemetry":$telemetryJson,
+         |"plan_changes":$planChanges,
+         |"warm_rep_times":$warmRepsJson,
+         |"cold":${jmap(cold.map(kv => kv._1 -> kv._2.sec))},
          |"warm":${jmap(warm)}}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullJson)
@@ -187,16 +375,17 @@ object Bench {
     // chars; the SLOWEST queries are kept (totals stay exact) and the
     // dropped fast ones are all in bench_full.json.
     val budget = 1800
+    val coldTimes = cold.map(kv => kv._1 -> kv._2.sec)
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val er = if (errors.nonEmpty) s""","errors":${jsmap(errors.toSeq)}""" else ""
       val fl = if (flags.nonEmpty) s""","n_flags":${flags.size}""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(qs)},"warm_total":${fmt(warmTotal)},"foreign_cpu_sec":${fmt(foreignCpuSec)}$om$er$fl,"full":"bench_full.json","sf":"$sfDir"}"""
     }
-    var keep = cold.sortBy(-_._2)
-    while (line(keep.sortBy(_._1), cold.size - keep.size).length > budget && keep.size > 1)
+    var keep = coldTimes.sortBy(-_._2)
+    while (line(keep.sortBy(_._1), coldTimes.size - keep.size).length > budget && keep.size > 1)
       keep = keep.dropRight(1)
-    println(line(keep.sortBy(_._1), cold.size - keep.size))
+    println(line(keep.sortBy(_._1), coldTimes.size - keep.size))
     spark.stop()
   }
 }

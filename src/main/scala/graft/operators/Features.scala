@@ -295,7 +295,45 @@ object Features {
         .cast("decimal(38,18)")).cast("double")), 6).as("centroid_dist"))
   }
 
+  /** Cross-engine-pinned PCA: project every embedding onto the TOP
+    * EIGENVECTOR of the corpus covariance, with the whole eigensolve
+    * under the DuckDB hash gate — the r9 gap (PCA was spec-only
+    * because a floating-point Jacobi can't be replayed bit-exactly in
+    * SQL). The fit collects only the width-bounded moment relations
+    * (`cov_e6` upper triangle + means — dim·(dim+3)/2 rows, never the
+    * corpus), runs [[Pca.powerIterateE6]] — fixed-iteration power
+    * method in EXACT integer arithmetic — on the driver, and bakes
+    * the resulting fixed-point vector into a distributed, shuffle-free
+    * projection. The oracle replays the identical integer algorithm
+    * as unrolled SQL CTEs from the identical `cov_e6` inputs (the
+    * embedding_covariance row already proves those match), so every
+    * multiply/compare/divide has exactly one answer on both engines.
+    * Output `pc1_fx` is fixed-point at scale 1e12 (vector 1e6 ×
+    * centered input 1e6) — all-integer, hash-exact.
+    */
+  val PowerIters = 96
+
+  def pcaPowerProjection(emb: DataFrame, iters: Int = PowerIters): DataFrame = {
+    val meansE6: Array[Long] = meansDf(emb).collect().sortBy(_.getInt(0))
+      .map(r => math.floor(r.getDouble(1) * 1e6 + 0.5).toLong)
+    val dim = meansE6.length
+    val cov = Array.ofDim[Long](dim, dim)
+    covarianceMatrix(emb).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val v = Pca.powerIterateE6(cov, iters)
+    val proj = (0 until dim).map { i =>
+      lit(v(i)) *
+        (floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+          + lit(0.5)).cast("long") - lit(meansE6(i)))
+    }.reduceLeft(_ + _)
+    emb.select(col("vec_id"), proj.as("pc1_fx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pca_power_projection" -> ((s, dir) =>
+      pcaPowerProjection(Tables(s, dir).embeddings)),
     "label_centroid_drift" -> ((s, dir) =>
       labelCentroidDrift(Tables(s, dir).embeddings)),
     "embedding_covariance" -> ((s, dir) =>
@@ -305,6 +343,79 @@ object Features {
       linearScore(Tables(s, dir).documents, topK = 50)),
     "events_json_extract" -> ((s, dir) => jsonProps(Tables(s, dir).events))
   )
+
+  /** The shared moment/mean CTE chain of the covariance oracle —
+    * reused verbatim by the power-iteration oracle so the eigensolve
+    * provably starts from the SAME `cov_e6` integers the green
+    * embedding_covariance row pins.
+    */
+  private val covOracleCtes: String =
+    """prods AS (
+      |  SELECT cast(t1.i AS int) - 1 AS i, cast(t2.j AS int) - 1 AS j,
+      |    e.embedding[t1.i]::DOUBLE * e.embedding[t2.j]::DOUBLE AS p
+      |  FROM embeddings e, range(1, 65) t1(i), range(1, 65) t2(j)
+      |  WHERE t2.j >= t1.i),
+      |moments AS (
+      |  SELECT i, j, cast(sum(cast(p AS decimal(38,18))) AS double) AS sxy,
+      |    cast(count(*) AS bigint) AS n
+      |  FROM prods GROUP BY 1, 2),
+      |means AS (
+      |  SELECT cast(u.k AS int) - 1 AS k,
+      |    cast(sum(cast(e.embedding[u.k]::DOUBLE AS decimal(38,18))) AS double)
+      |      / count(*) AS m
+      |  FROM embeddings e, range(1, 65) u(k) GROUP BY 1)""".stripMargin
+
+  /** Unrolled integer power iteration as SQL — the DuckDB replay of
+    * [[Pca.powerIterateE6]]. Each of the `iters` steps is three CTEs:
+    * exact matvec (HUGEINT — int128 — products so nothing can wrap),
+    * max-|component| norm (floored at 1), truncating fixed-point
+    * rescale with all-non-negative division operands (so `//` here
+    * and BigInt `/` on the driver agree). A FIXED unroll count keeps
+    * the engines in lockstep regardless of convergence.
+    */
+  private def pcaPowerOracle(iters: Int): String = {
+    // every multiply-referenced CTE in the chain is MATERIALIZED:
+    // DuckDB INLINES plain CTEs, and with w_t referenced twice per
+    // level (by m_t and it_t) the inlined tree doubles per iteration
+    // — 2^iters copies of the covariance subquery (observed as "too
+    // many open files" on the parquet at 16 iterations)
+    val iterCtes = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT cf.i AS i, sum(cf.c::HUGEINT * p.v::HUGEINT) AS w
+         |  FROM covfull cf JOIN it${t - 1} p ON cf.j = p.i GROUP BY 1),
+         |m$t AS MATERIALIZED (
+         |  SELECT greatest(max(abs(w)), 1::HUGEINT) AS m FROM w$t),
+         |it$t AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN w < 0 THEN -1 ELSE 1 END)::BIGINT *
+         |    cast((abs(w) * 1000000::HUGEINT) // m.m AS BIGINT) AS v
+         |  FROM w$t, m$t m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $covOracleCtes,
+       |cov AS MATERIALIZED (
+       |  SELECT mo.i, mo.j,
+       |    cast(floor((mo.sxy / mo.n - a.m * b.m) * 1e6 + 0.5) AS BIGINT) AS c
+       |  FROM moments mo JOIN means a ON mo.i = a.k JOIN means b ON mo.j = b.k),
+       |covfull AS MATERIALIZED (
+       |  SELECT i, j, c FROM cov
+       |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+       |means_e6 AS MATERIALIZED (
+       |  SELECT k, cast(floor(m * 1e6 + 0.5) AS BIGINT) AS me FROM means),
+       |it0 AS MATERIALIZED (
+       |  SELECT cast(t.k AS int) AS i, 1000000::BIGINT AS v FROM range(0, 64) t(k)),
+       |$iterCtes,
+       |lead AS (SELECT i, v FROM it$iters ORDER BY abs(v) DESC, i ASC LIMIT 1),
+       |vfin AS (
+       |  SELECT it.i,
+       |    it.v * (CASE WHEN l.v < 0 THEN -1 ELSE 1 END)::BIGINT AS v
+       |  FROM it$iters it, lead l),
+       |xs AS (
+       |  SELECT e.vec_id, cast(t.k AS int) - 1 AS i,
+       |    cast(floor(e.embedding[t.k]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS xe
+       |  FROM embeddings e, range(1, 65) t(k))
+       |SELECT x.vec_id, cast(sum(vf.v * (x.xe - me.me)) AS BIGINT) AS pc1_fx
+       |FROM xs x JOIN vfin vf ON x.i = vf.i JOIN means_e6 me ON x.i = me.k
+       |GROUP BY 1""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "label_centroid_drift" ->
@@ -326,26 +437,14 @@ object Features {
     // dim is 64 in the testdata contract (TESTDATA.md); the Spark
     // side stays dim-agnostic, the oracle pins this corpus
     "embedding_covariance" ->
-      """WITH prods AS (
-        |  SELECT cast(t1.i AS int) - 1 AS i, cast(t2.j AS int) - 1 AS j,
-        |    e.embedding[t1.i]::DOUBLE * e.embedding[t2.j]::DOUBLE AS p
-        |  FROM embeddings e, range(1, 65) t1(i), range(1, 65) t2(j)
-        |  WHERE t2.j >= t1.i),
-        |moments AS (
-        |  SELECT i, j, cast(sum(cast(p AS decimal(38,18))) AS double) AS sxy,
-        |    cast(count(*) AS bigint) AS n
-        |  FROM prods GROUP BY 1, 2),
-        |means AS (
-        |  SELECT cast(u.k AS int) - 1 AS k,
-        |    cast(sum(cast(e.embedding[u.k]::DOUBLE AS decimal(38,18))) AS double)
-        |      / count(*) AS m
-        |  FROM embeddings e, range(1, 65) u(k) GROUP BY 1)
+      s"""WITH $covOracleCtes
         |SELECT mo.i, mo.j,
         |  cast(floor((mo.sxy / mo.n - a.m * b.m) * 1e6 + 0.5) AS bigint)
         |    AS cov_e6
         |FROM moments mo
         |JOIN means a ON mo.i = a.k
         |JOIN means b ON mo.j = b.k""".stripMargin,
+    "pca_power_projection" -> pcaPowerOracle(PowerIters),
     "embed_project" -> {
       val cols = (0 until ProjDim).map { j =>
         val terms = (0 until EmbDim).map { i =>

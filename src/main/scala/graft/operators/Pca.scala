@@ -9,6 +9,49 @@ package graft.operators
   */
 object Pca {
 
+  /** Fixed-point scale shared by the cross-engine eigensolve: values
+    * carry 6 fractional digits as integers (the covariance relation's
+    * `cov_e6` convention).
+    */
+  val FxScale = 1000000L
+
+  /** Fixed-iteration power method over an INTEGER-scaled covariance
+    * matrix, entirely in arbitrary-precision integer arithmetic — so
+    * the same algorithm, run from the same `cov_e6` inputs inside a
+    * SQL oracle, produces the BIT-IDENTICAL vector. That is the trick
+    * that puts a driver-side eigensolve under the cross-engine hash
+    * gate (r9 verdict #6): floating-point Jacobi can never be pinned
+    * against an engine that evaluates in a different operation order,
+    * but integer multiply / compare / truncating-divide have exactly
+    * one answer everywhere.
+    *
+    * Per step: w = C·v (exact), then renormalize to fixed-point via
+    * v' = sign(w) · (|w| · 1e6) div max|w| — all operands
+    * non-negative at the division, so SQL `//` (floor) and BigInt `/`
+    * (truncate) agree. A FIXED iteration count rather than a
+    * convergence test keeps the two engines in lockstep even when the
+    * eigengap is small: convergence then just means "both computed
+    * the same partially-converged vector". Sign is canonicalized
+    * (largest-|component|, ties to the lowest index, made positive).
+    *
+    * Returns the vector scaled by [[FxScale]] (entries in
+    * [-1e6, 1e6]; the max-|component| entry is exactly ±1e6).
+    */
+  def powerIterateE6(covE6: Array[Array[Long]], iters: Int): Array[Long] = {
+    val n = covE6.length
+    var v = Array.fill(n)(BigInt(FxScale))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(n) { i =>
+        (0 until n).map(j => BigInt(covE6(i)(j)) * v(j)).sum
+      }
+      val m = w.iterator.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => BigInt(x.signum) * ((x.abs * FxScale) / m))
+    }
+    val lead = v.indices.maxBy(i => (v(i).abs, -i))
+    val canon = if (v(lead).signum < 0) v.map(-_) else v
+    canon.map(_.toLong)
+  }
+
   /** Returns (eigenvalues, eigenvectors-as-columns): `vecs(i)(c)` is
     * component i of eigenvector c, paired with `vals(c)`.
     */

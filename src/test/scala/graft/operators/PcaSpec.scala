@@ -129,3 +129,57 @@ class PcaProjectSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 }
+
+/** The integer power iteration behind the cross-engine-pinned
+  * `pca_power_projection` row: direction agreement with the
+  * floating-point Jacobi solve, the fixed-point output contract, and
+  * agreement of the shipped projection with the double-precision PCA.
+  */
+class PcaPowerIterateSpec extends SparkSpec {
+
+  private def e6Matrix(a: Array[Array[Double]]): Array[Array[Long]] =
+    a.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
+
+  test("power iteration aligns with the Jacobi top eigenvector") {
+    // deterministic symmetric PSD matrix with a clear top eigenpair:
+    // A = B Bᵀ / n on a fixed pseudo-random B
+    val n = 12
+    val b = Array.tabulate(n, n)((i, j) => math.sin(i * 7 + j * 3 + 1))
+    val a = Array.tabulate(n, n)((i, j) =>
+      (0 until n).map(k => b(i)(k) * b(j)(k)).sum / n)
+    val v = Pca.powerIterateE6(e6Matrix(a), iters = 16).map(_.toDouble / 1e6)
+    val (evals, evecs) = Pca.jacobiEigen(a)
+    val top = evals.indices.maxBy(evals)
+    val u = evecs.map(_(top))
+    val cos = v.zip(u).map { case (x, y) => x * y }.sum /
+      (math.sqrt(v.map(x => x * x).sum) * math.sqrt(u.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.9999, s"power vs Jacobi cosine $cos")
+  }
+
+  test("fixed-point contract: lead component exactly +1e6, deterministic") {
+    val a = Array.tabulate(6, 6)((i, j) =>
+      math.cos(i + j) + (if (i == j) 3.0 else 0.0))
+    val v1 = Pca.powerIterateE6(e6Matrix(a), iters = 16)
+    val v2 = Pca.powerIterateE6(e6Matrix(a), iters = 16)
+    assert(v1.sameElements(v2))
+    assert(v1.map(math.abs).max == 1000000L)
+    val lead = v1.indices.maxBy(i => (math.abs(v1(i)), -i))
+    assert(v1(lead) > 0, "sign canonicalization: lead must be positive")
+  }
+
+  test("shipped integer projection tracks double-precision PCA on the corpus") {
+    val t = graft.catalog.Tables(spark, sf)
+    val fx = Features.pcaPowerProjection(t.embeddings).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val dbl = Features.pcaProject(t.embeddings, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ids = fx.keys.toSeq.sorted
+    val (xs, ys) = (ids.map(fx), ids.map(dbl))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val corr = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+    assert(math.abs(corr) > 0.999,
+      s"integer power projection disagrees with float PCA: corr=$corr")
+  }
+}
