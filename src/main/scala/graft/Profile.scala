@@ -65,8 +65,10 @@ object Profile {
           println(df.queryExecution.executedPlan.toString.take(8000))
         }
         if (stages) {
-          // give stragglers' completion events a beat to arrive
-          Thread.sleep(200)
+          // drain the async listener bus so every stage-completion
+          // event is in the log (a fixed sleep raced under load)
+          org.apache.spark.graftshim.ListenerBusSync.waitUntilEmpty(
+            spark.sparkContext)
           val top = stageLog.toArray(Array.empty[(Int, String, Int, Long)])
             .sortBy(-_._4).take(10)
           println(s"--- $name rep $i (${f"$dt%.2f"}s) slowest stages ---")

@@ -402,8 +402,10 @@ class PlanQualitySpec extends SparkSpec {
     spark.listenerManager.register(l)
     try {
       SparkEntry.queries("part_bfs_hops")(spark, sf)
-      // the listener fires asynchronously; give the bus a beat
-      Thread.sleep(500)
+      // the listener fires asynchronously; drain the bus
+      // deterministically instead of sleeping (race-prone under load)
+      org.apache.spark.graftshim.ListenerBusSync.waitUntilEmpty(
+        spark.sparkContext)
       val ringJoins = plans.toArray(Array.empty[String])
         .filter(p => p.contains("ShuffledHashJoin"))
       assert(ringJoins.nonEmpty,
