@@ -159,7 +159,7 @@ object EventsStream {
     } finally deleteRecursively(ck)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
