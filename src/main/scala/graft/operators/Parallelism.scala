@@ -48,7 +48,22 @@ object Parallelism {
   private[operators] def leafInputBytes(df: DataFrame): Long =
     try {
       val sizes = df.queryExecution.optimizedPlan.collectLeaves()
-        .map(_.stats.sizeInBytes)
+        .flatMap {
+          // a persisted-but-NOT-YET-MATERIALIZED cache surfaces as an
+          // InMemoryRelation leaf whose stats are the CHILD PLAN'S
+          // ESTIMATE — for a self-join subtree that is the
+          // join-output guess (TBs at sf0.1), precisely the estimate
+          // class this helper exists to avoid. r10 bug: pinning the
+          // triangle adjacency off such a leaf derived 89,594
+          // partitions and drowned the stage in shuffle-file commits.
+          // Once materialized, the stats are the REAL cached bytes —
+          // those we trust.
+          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            if (imr.cacheBuilder.isCachedColumnBuffersLoaded)
+              Some(imr.stats.sizeInBytes)
+            else None
+          case leaf => Some(leaf.stats.sizeInBytes)
+        }
         // the conservative "unknown" default is Long.MaxValue-ish;
         // treat anything absurd as unknown rather than exploding the
         // partition count off a sentinel

@@ -432,6 +432,12 @@ object ProductAnalytics {
     * `part_triangles` entry for the degree-orientation scale argument.
     */
   def triangleParticipation(undIn: DataFrame): DataFrame = {
+    // pin count computed BEFORE the persist below: after persist()
+    // the shared cache registry rewrites undIn's plan to an
+    // unmaterialized InMemoryRelation leaf whose stats are the
+    // join-output ESTIMATE (the r10 89,594-partition incident;
+    // Parallelism also guards this, belt and braces)
+    val numP = Parallelism.pinCount(undIn)
     // the edge list feeds the degree count (twice, via the union) and
     // the orientation join — persist it or the upstream basket
     // self-join replays three times
@@ -451,7 +457,7 @@ object ProductAnalytics {
       // the N+(u) attach both consume it exchange-free. Explicit
       // count — a size-coalesced cache would serialize the codegen
       // intersect stage (CPU-bound, tiny bytes)
-      .repartition(Parallelism.pinCount(undIn), col("src"))
+      .repartition(numP, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adjacency-intersection (compact-forward) instead of wedge
     // materialization: for oriented edge (u,v) every w in
@@ -488,7 +494,7 @@ object ProductAnalytics {
     // coalescible, AQE collapsed it to a handful of tasks on
     // byte-size grounds and the intersect serialized)
     val withBoth = withU
-      .repartition(Parallelism.pinCount(undIn), col("v"))
+      .repartition(numP, col("v"))
       .join(adj.select(col("src").as("v"), col("nbrs").as("nv"))
         .hint("shuffle_hash"), Seq("v"))
     val perEdge = withBoth.select(col("u"), col("v"),

@@ -83,6 +83,27 @@ class PinnedParallelismSpec extends SparkSpec {
     assert(Parallelism.pinCount(docs) == n)
   }
 
+  test("pinCount ignores unmaterialized cache leaves (join-estimate stats)") {
+    // persist() rewrites the plan to an InMemoryRelation leaf whose
+    // pre-materialization stats are the child's JOIN-OUTPUT estimate —
+    // the r10 incident pinned the triangle adjacency at 89,594
+    // partitions from exactly this. Unloaded caches must read as
+    // unknown size (→ session parallelism).
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val sel = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val joined = sel.join(sel.withColumnRenamed("pk", "pk2"), Seq("ok"))
+    val cached = joined.persist()
+    try {
+      assert(Parallelism.pinCount(cached) == n,
+        s"unmaterialized cache leaf must not contribute estimate bytes: " +
+          s"${Parallelism.leafInputBytes(cached)}")
+      // once materialized the REAL cached bytes are trusted (tiny at
+      // this sf — still the session floor)
+      cached.count()
+      assert(Parallelism.pinCount(cached) == n)
+    } finally { cached.unpersist(true); () }
+  }
+
   test("bfsHopHistogram releases every cache it creates") {
     spark.catalog.clearCache()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
