@@ -123,7 +123,12 @@ object Features {
     * discipline) over order-fixed float→double per-row products.
     */
   private def momentSums(emb: DataFrame): DataFrame =
-    emb.select(explode(expr(
+    // pinned spread first: the embeddings table is one parquet split,
+    // so without it the 10M-struct explode + decimal hash-aggregate
+    // runs in ONE task (~8 s at sf0.1; measured via collect — count()
+    // prunes the sums and hides it). Decimal sums are order-invariant,
+    // so the respread cannot move a bit of the output.
+    Dedup.spread(emb, col("vec_id")).select(explode(expr(
       """flatten(transform(embedding, (x, i) ->
         |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j0) ->
         |    struct(i AS i, i + j0 AS j,
@@ -135,7 +140,7 @@ object Features {
 
   /** (k, m) decimal-exact per-dimension means. */
   private def meansDf(emb: DataFrame): DataFrame =
-    emb.select(posexplode(col("embedding")))
+    Dedup.spread(emb, col("vec_id")).select(posexplode(col("embedding")))
       .groupBy(col("pos").as("k"))
       .agg((sum(col("col").cast("double").cast("decimal(38,18)")).cast("double") /
         count(lit(1))).as("m"))
@@ -314,15 +319,18 @@ object Features {
   val PowerIters = 96
 
   def pcaPowerProjection(emb: DataFrame, iters: Int = PowerIters): DataFrame = {
-    val meansE6: Array[Long] = meansDf(emb).collect().sortBy(_.getInt(0))
-      .map(r => math.floor(r.getDouble(1) * 1e6 + 0.5).toLong)
-    val dim = meansE6.length
-    val cov = Array.ofDim[Long](dim, dim)
-    covarianceMatrix(emb).collect().foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
-      cov(i)(j) = c; cov(j)(i) = c
-    }
-    val v = Pca.powerIterateE6(cov, iters)
+    // ONE moments pass + ONE means pass (fitMoments), then scale on
+    // the driver with the IDENTICAL IEEE sequence the declarative
+    // covarianceMatrix emits — (sxy/n − mᵢ·mⱼ)·1e6 + 0.5, floored —
+    // so cov_e6 here matches the oracle bit-for-bit without paying
+    // the corpus a second moments scan (the first recording billed
+    // 8.7 s warm to exactly that duplication)
+    val (cov, means) = fitMoments(emb)
+    val dim = means.length
+    val meansE6 = means.map(m => math.floor(m * 1e6 + 0.5).toLong)
+    val covE6 = Array.tabulate(dim, dim)((i, j) =>
+      math.floor(cov(i)(j) * 1e6 + 0.5).toLong)
+    val v = Pca.powerIterateE6(covE6, iters)
     val proj = (0 until dim).map { i =>
       lit(v(i)) *
         (floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
