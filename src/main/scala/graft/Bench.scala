@@ -83,6 +83,14 @@ object Bench {
         .replaceAll("\\bid=#?\\d+", "id=")
         .replaceAll("\\[\\d+\\]", "[]")
         .replaceAll("@[0-9a-f]{6,}", "@")
+        // FileScan metadata truncates at a CHARACTER budget, so the
+        // digit width of the (run-varying) exprIds shifts where the
+        // "..." lands — cut each line at its first ellipsis so the
+        // hash sees only the stable prefix
+        .linesIterator.map { l =>
+          val i = l.indexOf("...")
+          if (i >= 0) l.substring(0, i) else l
+        }.mkString("\n")
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
       d.take(4).map("%02x".format(_)).mkString
@@ -144,6 +152,13 @@ object Bench {
       // without this every consumer re-exchanges persisted relations
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // plan-hash stability: FileScan metadata truncates at a CHAR
+      // budget (default 100) and run-varying exprId digit widths
+      // shift the cut point, making identical plans hash differently.
+      // Render the full strings instead — both confs only affect
+      // toString, never planning.
+      .config("spark.sql.maxMetadataStringLength", "100000")
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
