@@ -301,8 +301,10 @@ object Features {
   }
 
   /** Cross-engine-pinned PCA: project every embedding onto the TOP
-    * EIGENVECTOR of the corpus covariance, with the whole eigensolve
-    * under the DuckDB hash gate — the r9 gap (PCA was spec-only
+    * TWO EIGENVECTORS of the corpus covariance (the second via exact
+    * integer Hotelling deflation, [[Pca.deflateE6]]), with the whole
+    * eigensolve under the DuckDB hash gate — the r9 gap (PCA was
+    * spec-only
     * because a floating-point Jacobi can't be replayed bit-exactly in
     * SQL). The fit collects only the width-bounded moment relations
     * (`cov_e6` upper triangle + means — dim·(dim+3)/2 rows, never the
@@ -330,13 +332,17 @@ object Features {
     val meansE6 = means.map(m => math.floor(m * 1e6 + 0.5).toLong)
     val covE6 = Array.tabulate(dim, dim)((i, j) =>
       math.floor(cov(i)(j) * 1e6 + 0.5).toLong)
-    val v = Pca.powerIterateE6(covE6, iters)
-    val proj = (0 until dim).map { i =>
-      lit(v(i)) *
-        (floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
-          + lit(0.5)).cast("long") - lit(meansE6(i)))
-    }.reduceLeft(_ + _)
-    emb.select(col("vec_id"), proj.as("pc1_fx"))
+    val v1 = Pca.powerIterateE6(covE6, iters)
+    // second component: integer Hotelling deflation, then the same
+    // fixed-iteration power method — both replayed by the oracle
+    val v2 = Pca.powerIterateE6(Pca.deflateE6(covE6, v1), iters)
+    def proj(v: Array[Long], name: String) =
+      (0 until dim).map { i =>
+        lit(v(i)) *
+          (floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+            + lit(0.5)).cast("long") - lit(meansE6(i)))
+      }.reduceLeft(_ + _).as(name)
+    emb.select(col("vec_id"), proj(v1, "pc1_fx"), proj(v2, "pc2_fx"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -387,17 +393,46 @@ object Features {
     // level (by m_t and it_t) the inlined tree doubles per iteration
     // — 2^iters copies of the covariance subquery (observed as "too
     // many open files" on the parquet at 16 iterations)
-    val iterCtes = (1 to iters).map { t =>
-      s"""w$t AS MATERIALIZED (
-         |  SELECT cf.i AS i, sum(cf.c::HUGEINT * p.v::HUGEINT) AS w
-         |  FROM covfull cf JOIN it${t - 1} p ON cf.j = p.i GROUP BY 1),
-         |m$t AS MATERIALIZED (
-         |  SELECT greatest(max(abs(w)), 1::HUGEINT) AS m FROM w$t),
-         |it$t AS MATERIALIZED (
-         |  SELECT i, (CASE WHEN w < 0 THEN -1 ELSE 1 END)::BIGINT *
-         |    cast((abs(w) * 1000000::HUGEINT) // m.m AS BIGINT) AS v
-         |  FROM w$t, m$t m)""".stripMargin
-    }.mkString(",\n")
+    def chain(pfx: String, covRel: String): String = {
+      val its = (1 to iters).map { t =>
+        s"""${pfx}w$t AS MATERIALIZED (
+           |  SELECT cf.i AS i, sum(cf.c::HUGEINT * p.v::HUGEINT) AS w
+           |  FROM $covRel cf JOIN ${pfx}it${t - 1} p ON cf.j = p.i GROUP BY 1),
+           |${pfx}m$t AS MATERIALIZED (
+           |  SELECT greatest(max(abs(w)), 1::HUGEINT) AS m FROM ${pfx}w$t),
+           |${pfx}it$t AS MATERIALIZED (
+           |  SELECT i, (CASE WHEN w < 0 THEN -1 ELSE 1 END)::BIGINT *
+           |    cast((abs(w) * 1000000::HUGEINT) // m.m AS BIGINT) AS v
+           |  FROM ${pfx}w$t, ${pfx}m$t m)""".stripMargin
+      }.mkString(",\n")
+      s"""${pfx}it0 AS MATERIALIZED (
+         |  SELECT cast(t.k AS int) AS i, 1000000::BIGINT AS v
+         |  FROM range(0, 64) t(k)),
+         |$its,
+         |${pfx}lead AS (
+         |  SELECT i, v FROM ${pfx}it$iters ORDER BY abs(v) DESC, i ASC LIMIT 1),
+         |${pfx}vfin AS MATERIALIZED (
+         |  SELECT it.i,
+         |    it.v * (CASE WHEN l.v < 0 THEN -1 ELSE 1 END)::BIGINT AS v
+         |  FROM ${pfx}it$iters it, ${pfx}lead l)""".stripMargin
+    }
+    // integer Hotelling deflation (Pca.deflateE6 replay): C₂ =
+    // C − (vᵀCv)·v_i·v_j // (vᵀv)² — scale-invariant in v, so the
+    // unnormalized fixed-point vector plugs in with no square roots
+    val deflation =
+      s"""aray AS MATERIALIZED (
+         |  SELECT sum(av.v::HUGEINT * cf.c::HUGEINT * bv.v::HUGEINT) AS num
+         |  FROM covfull cf JOIN avfin av ON cf.i = av.i
+         |                  JOIN avfin bv ON cf.j = bv.i),
+         |aden AS MATERIALIZED (
+         |  SELECT sum(v::HUGEINT * v::HUGEINT) AS den FROM avfin),
+         |cov2 AS MATERIALIZED (
+         |  SELECT cf.i, cf.j,
+         |    cf.c - (CASE WHEN r.num * av.v * bv.v < 0 THEN -1 ELSE 1 END)::BIGINT
+         |      * cast(abs(r.num * av.v::HUGEINT * bv.v::HUGEINT)
+         |             // (d.den * d.den) AS BIGINT) AS c
+         |  FROM covfull cf JOIN avfin av ON cf.i = av.i
+         |                  JOIN avfin bv ON cf.j = bv.i, aray r, aden d)""".stripMargin
     s"""WITH $covOracleCtes,
        |cov AS MATERIALIZED (
        |  SELECT mo.i, mo.j,
@@ -408,20 +443,18 @@ object Features {
        |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
        |means_e6 AS MATERIALIZED (
        |  SELECT k, cast(floor(m * 1e6 + 0.5) AS BIGINT) AS me FROM means),
-       |it0 AS MATERIALIZED (
-       |  SELECT cast(t.k AS int) AS i, 1000000::BIGINT AS v FROM range(0, 64) t(k)),
-       |$iterCtes,
-       |lead AS (SELECT i, v FROM it$iters ORDER BY abs(v) DESC, i ASC LIMIT 1),
-       |vfin AS (
-       |  SELECT it.i,
-       |    it.v * (CASE WHEN l.v < 0 THEN -1 ELSE 1 END)::BIGINT AS v
-       |  FROM it$iters it, lead l),
+       |${chain("a", "covfull")},
+       |$deflation,
+       |${chain("b", "cov2")},
        |xs AS (
        |  SELECT e.vec_id, cast(t.k AS int) - 1 AS i,
        |    cast(floor(e.embedding[t.k]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS xe
        |  FROM embeddings e, range(1, 65) t(k))
-       |SELECT x.vec_id, cast(sum(vf.v * (x.xe - me.me)) AS BIGINT) AS pc1_fx
-       |FROM xs x JOIN vfin vf ON x.i = vf.i JOIN means_e6 me ON x.i = me.k
+       |SELECT x.vec_id,
+       |  cast(sum(a.v * (x.xe - me.me)) AS BIGINT) AS pc1_fx,
+       |  cast(sum(b.v * (x.xe - me.me)) AS BIGINT) AS pc2_fx
+       |FROM xs x JOIN avfin a ON x.i = a.i JOIN bvfin b ON x.i = b.i
+       |          JOIN means_e6 me ON x.i = me.k
        |GROUP BY 1""".stripMargin
   }
 

@@ -52,6 +52,33 @@ object Pca {
     canon.map(_.toLong)
   }
 
+  /** Integer Hotelling deflation: C₂ = C − λ₁·u·uᵀ with
+    * λ₁·u_i·u_j expressed scale-invariantly as
+    * (vᵀCv)·v_i·v_j / (vᵀv)² — homogeneous of degree 0 in any
+    * scaling of v, so the UNNORMALIZED fixed-point vector from
+    * [[powerIterateE6]] plugs in directly with no square roots (which
+    * could never be replayed exactly in SQL). All products exact
+    * (int128-range; HUGEINT on the oracle side, BigInt here), the one
+    * division truncating with non-negative operands after a sign
+    * split. Power-iterating the result yields the SECOND eigenvector
+    * with the same bit-for-bit cross-engine guarantee as the first.
+    */
+  def deflateE6(covE6: Array[Array[Long]], v: Array[Long]): Array[Array[Long]] = {
+    val n = covE6.length
+    val vb = v.map(BigInt(_))
+    val num = (for (i <- 0 until n; j <- 0 until n)
+      yield vb(i) * BigInt(covE6(i)(j)) * vb(j)).sum
+    val den = vb.map(x => x * x).sum
+    val den2 = den * den
+    Array.tabulate(n, n) { (i, j) =>
+      val t = num * vb(i) * vb(j)
+      val sub =
+        if (den2.signum == 0) BigInt(0)
+        else BigInt(t.signum) * (t.abs / den2)
+      (BigInt(covE6(i)(j)) - sub).toLong
+    }
+  }
+
   /** Returns (eigenvalues, eigenvectors-as-columns): `vecs(i)(c)` is
     * component i of eigenvector c, paired with `vals(c)`.
     */

@@ -170,16 +170,46 @@ class PcaPowerIterateSpec extends SparkSpec {
   test("shipped integer projection tracks double-precision PCA on the corpus") {
     val t = graft.catalog.Tables(spark, sf)
     val fx = Features.pcaPowerProjection(t.embeddings).collect()
-      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
-    val dbl = Features.pcaProject(t.embeddings, k = 1).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1).toDouble, r.getLong(2).toDouble))
+      .toMap
+    val dbl = Features.pcaProject(t.embeddings, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val ids = fx.keys.toSeq.sorted
-    val (xs, ys) = (ids.map(fx), ids.map(dbl))
-    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-    val corr = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-      (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
-        math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
-    assert(math.abs(corr) > 0.999,
-      s"integer power projection disagrees with float PCA: corr=$corr")
+    def corr(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+          math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+    }
+    val c1 = corr(ids.map(i => fx(i)._1), ids.map(i => dbl(i)._1))
+    assert(math.abs(c1) > 0.999,
+      s"integer pc1 disagrees with float PCA: corr=$c1")
+    // pc2's convergence is bounded by the λ3/λ2 gap (slower than
+    // λ2/λ1 on this near-flat spectrum) — hence the looser bar
+    val c2 = corr(ids.map(i => fx(i)._2), ids.map(i => dbl(i)._2))
+    assert(math.abs(c2) > 0.995,
+      s"integer pc2 disagrees with float PCA: corr=$c2")
+  }
+
+  test("deflated power vector is orthogonal to the first") {
+    val n = 12
+    val b = Array.tabulate(n, n)((i, j) => math.sin(i * 7 + j * 3 + 1))
+    val a = Array.tabulate(n, n)((i, j) =>
+      (0 until n).map(k => b(i)(k) * b(j)(k)).sum / n)
+    val c = e6Matrix(a)
+    val v1 = Pca.powerIterateE6(c, iters = 24)
+    val v2 = Pca.powerIterateE6(Pca.deflateE6(c, v1), iters = 24)
+    val dot = v1.zip(v2).map { case (x, y) => x.toDouble * y }.sum
+    val cos = dot / (math.sqrt(v1.map(x => x.toDouble * x).sum) *
+      math.sqrt(v2.map(x => x.toDouble * x).sum))
+    assert(math.abs(cos) < 0.01, s"v1·v2 cosine $cos — deflation failed")
+    // and v2 matches Jacobi's second eigenvector in direction
+    val (evals, evecs) = Pca.jacobiEigen(a)
+    val order = evals.indices.sortBy(i => -evals(i))
+    val u2 = evecs.map(_(order(1)))
+    val c2 = v2.map(_.toDouble).zip(u2).map { case (x, y) => x * y }.sum /
+      (math.sqrt(v2.map(x => x.toDouble * x).sum) *
+        math.sqrt(u2.map(x => x * x).sum))
+    assert(math.abs(c2) > 0.999, s"v2 vs Jacobi u2 cosine $c2")
   }
 }
