@@ -86,6 +86,20 @@ class PlanQualitySpec extends SparkSpec {
       "pii_redact introduced a shuffle — must stay a scan-transform pass")
   }
 
+  test("pca power projection ships the fit as literals: transform is shuffle-free") {
+    // the eigensolve happens at plan-build time on width-bounded
+    // moments; the RETURNED plan must be scan → project only — any
+    // Exchange or join here means the fit leaked into the transform
+    val p = planOf("pca_power_projection")
+    assert(!p.contains("Exchange"),
+      "pca projection introduced a shuffle — fit must ship as plan literals")
+    assert(!p.contains("Join"), "pca projection must not join at transform time")
+    // formatted explain lists each scan twice (tree node + detail
+    // section) — one physical scan ⇒ exactly 2 mentions
+    assert("""Scan parquet""".r.findAllIn(p).length == 2,
+      "pca projection should read the corpus exactly once")
+  }
+
   test("containment join: every join shuffles on its key, nothing corpus-sized broadcast") {
     val p = planOf("dedup_containment")
     assert(!p.contains("BroadcastExchange"),
