@@ -89,4 +89,45 @@ class StreamingHeavyHittersSpec extends SparkSpec {
         s"hot estimate $est outside [${40L - n / 5}, 40]")
     }
   }
+
+  test("failAtCapacity errors loudly when the exact regime is violated") {
+    // 5 distinct items into capacity 3 with failAtCapacity: the
+    // oracle-row contract (summary ≡ count) no longer holds — the
+    // query must FAIL, not silently decrement (r9 advice)
+    withRocksDb {
+      val src = java.nio.file.Files.createTempDirectory("graft-shh-cap").toString
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$src/b1.csv").toPath,
+        ("group,item" +: (1 to 5).map(i => s"g,item$i")).mkString("\n"))
+      val in = spark.readStream.schema("group STRING, item STRING")
+        .option("header", "true").csv(src)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        graft.streaming.EventsStream.runAvailableNow(
+          StreamingHeavyHitters.perGroupHitters(
+            in, capacity = 3, failAtCapacity = true).toDF(),
+          "hh_capfail_sink", outputMode = "update")
+      }
+      val msg = Option(ex.getCause).map(_.toString).getOrElse("") + ex.toString
+      assert(msg.contains("capacity"),
+        s"expected the capacity contract error, got: $msg")
+    }
+  }
+
+  test("withRocksDbStateStore restores the provider conf afterwards") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    graft.streaming.EventsStream.withRocksDbStateStore(spark) {
+      assert(spark.conf.get(key).contains("RocksDB"))
+    }
+    assert(spark.conf.getOption(key) == before,
+      "provider conf leaked out of the scoped block")
+    // and after an exception too
+    intercept[RuntimeException] {
+      graft.streaming.EventsStream.withRocksDbStateStore(spark) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.getOption(key) == before,
+      "provider conf leaked after an exception")
+  }
 }
