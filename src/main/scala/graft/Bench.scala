@@ -169,7 +169,25 @@ object Bench {
     // query happens to trigger the rewrite: r6 billed the ~9 s
     // partitioned-copy write to dpp_quarter_revenue. The fingerprint
     // staleness check inside still guards against serving a stale copy.
-    graft.operators.PartitionedFacts.partitionedLineitem(spark, sfDir)
+    // ---- suite subset (r10 verdict #7) ------------------------------
+    // The full suite is ~10 min/recording and growing; targeted
+    // re-records (one family under iteration) shouldn't pay for all
+    // of it. Comma-separated globs over query names; unset = full
+    // suite — the driver recording never sets it, so the committed
+    // protocol is unchanged.
+    val subset = sys.env.get("SPARK_GRAFT_SUBSET")
+    def selected(name: String): Boolean = subset.forall(_.split(",")
+      .exists(g => name.matches(
+        java.util.regex.Pattern.quote(g.trim).replace("*", "\\E.*\\Q"))))
+    if (selected("dpp_quarter_revenue"))
+      graft.operators.PartitionedFacts.partitionedLineitem(spark, sfDir)
+    // same argument for the near-dup cluster assignment: ONE
+    // clustering job per corpus, four consumer queries — the derived
+    // layout belongs to setup, not to whichever cluster-family query
+    // the sort order runs first (r10 verdict #1)
+    if (Seq("dedup_clusters", "dedup_cluster_canonical",
+        "dedup_cluster_sizes", "cluster_safe_split").exists(selected))
+      graft.operators.Dedup.materializedClusters(spark, sfDir)
     // a crashing query must surface as an err entry, not be billed a
     // fast "time" inside a clean-looking total
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -225,6 +243,7 @@ object Bench {
     val rocksDbQueries = Set("stream_neardup_pairs", "stream_heavy_hitters",
       "stream_incremental_ingest")
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1))
     val batchQs = sorted.filterNot(q => rocksDbQueries(q._1))
     val streamQs = sorted.filter(q => rocksDbQueries(q._1))
 

@@ -33,7 +33,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // same subset filter as Bench: targeted dev-loop checks on one
+    // family; the driver never sets it, so the gate stays full
+    val subset = sys.env.get("SPARK_GRAFT_SUBSET")
+    def selected(name: String): Boolean = subset.forall(_.split(",")
+      .exists(g => name.matches(
+        java.util.regex.Pattern.quote(g.trim).replace("*", "\\E.*\\Q"))))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -56,6 +63,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Derived-layout mechanism: an expensive-to-compute relation (a
+  * partitioned fact copy, a near-dup cluster assignment) written ONCE
+  * per scale-factor dir under `target/derived/` and read by every
+  * consumer — standing in for the derived table a real warehouse
+  * maintains next to its source data.
+  *
+  * Freshness is keyed on a FINGERPRINT of the source parquet (file
+  * names, sizes, mtimes), not on mere `_SUCCESS` existence: if the
+  * testdata at the same sf dir is regenerated, a marker-only check
+  * would silently serve a stale derivation and diverge from the
+  * freshly-computed oracle.
+  *
+  * At 100 TB the same shape holds — the derivation is one big job
+  * writing a table, consumers are cheap scans of it, and the
+  * fingerprint becomes the source table's snapshot/transaction id.
+  */
+object DerivedLayout {
+
+  /** Returns the path of the derived layout `name` for scale dir
+    * `dir`, running `build` and writing its result there first if the
+    * layout is missing or stale w.r.t. the source file `srcRel`
+    * (relative to `dir`). Thread-safe within a JVM (per-path lock) so
+    * concurrent first users do not race the overwrite.
+    */
+  def derive(s: SparkSession, dir: String, name: String, srcRel: String)(
+      build: => DataFrame): String =
+    deriveWith(s, dir, name, srcRel)(out =>
+      build.write.mode("overwrite").parquet(out))
+
+  /** Like [[derive]] but the build chooses its own write (e.g.
+    * `partitionBy`); `write` must end in a committed `_SUCCESS` at
+    * the given path.
+    */
+  def deriveWith(s: SparkSession, dir: String, name: String, srcRel: String)(
+      write: String => Unit): String = {
+    val sfName = new java.io.File(dir).getName
+    val out = new java.io.File(s"target/derived/$sfName/$name").getAbsolutePath
+    locks.computeIfAbsent(out, _ => new Object).synchronized {
+      val src = new java.io.File(s"$dir/$srcRel")
+      val srcFiles =
+        if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+      val fingerprint = srcFiles
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      val marker = new java.io.File(s"$out/_SOURCE_FINGERPRINT")
+      val fresh = new java.io.File(s"$out/_SUCCESS").exists() &&
+        marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == fingerprint
+      if (!fresh) {
+        write(out)
+        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+      }
+    }
+    out
+  }
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}

@@ -30,29 +30,14 @@ object PartitionedFacts {
     * regenerated, a marker-only check would silently serve the stale
     * fact copy and diverge from the freshly-computed oracle.
     */
-  def partitionedLineitem(s: SparkSession, dir: String): String = {
-    val sfName = new java.io.File(dir).getName
-    val out = new java.io.File(s"target/derived/$sfName/lineitem_by_ship_ym")
-      .getAbsolutePath
-    val src = new java.io.File(s"$dir/lineitem.parquet")
-    val srcFiles =
-      if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
-    val fingerprint = srcFiles
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val marker = new java.io.File(s"$out/_SOURCE_FINGERPRINT")
-    val fresh = new java.io.File(s"$out/_SUCCESS").exists() &&
-      marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        "UTF-8") == fingerprint
-    if (!fresh) {
+  def partitionedLineitem(s: SparkSession, dir: String): String =
+    DerivedLayout.deriveWith(s, dir, "lineitem_by_ship_ym",
+      "lineitem.parquet") { out =>
       Tables(s, dir).lineitem
         .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
         .repartition(col("ship_ym")) // one writer task per partition dir
         .write.mode("overwrite").partitionBy("ship_ym").parquet(out)
-      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
     }
-    out
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // revenue shipped in 1995-Q4, with the quarter coming from a dim
