@@ -110,6 +110,10 @@ object Bench {
     // r9 showed a single warm pass at 155 queries is not a stable
     // trend line (three builder runs: 126.8 / 129.3 / 93.3 s)
     val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "3").toInt
+    // 0 reps degenerates: median of an empty list is 0.0, so every
+    // cold ≥ 2 s query gets a spurious cold_vs_warm flag against the
+    // 0.05 s floor — fail loudly instead of recording garbage
+    require(warmReps >= 1, s"SPARK_GRAFT_WARM_REPS must be >= 1, got $warmReps")
     // ---- idle gate (r7 verdict #4) ----------------------------------
     // The r6 and r7 driver recordings were inflated 1.3–2.4× by
     // foreign CPU bursts on the shared box (BASELINE.md round-7
@@ -279,12 +283,19 @@ object Bench {
     // part 2: post-first-warm — how far the boundary GC shrinks the
     // heap varies run-to-run (observed 2.8 vs 8.6 GB on identical
     // code), so a single post-cold sample false-flags. The floor is
-    // the MAX of the two steady-state samples; growth beyond 1.5× of
+    // the MAX of the steady-state samples; growth beyond 1.5× of
     // that is retention, not warmup.
-    val rssBaselineMb = math.max(rssPostColdMb, rssMb())
+    val rssPostWarm1Mb = math.max(rssPostColdMb, rssMb())
     val warmBatchReps =
       warmFirst ++ (2 to warmReps).map(i => timedPass(s"warm$i", batchQs))
     val coldStream = timedPass("cold_stream", streamQs)
+    // part 3: post-first-streaming — RocksDB native libraries, state
+    // stores, and the driver-side memory-sink tables all load HERE
+    // for the first time, but rss_end is sampled after the streaming
+    // phases too; a batch-only floor would bill that one-time native
+    // step as "growth" and false-flag (fatal under RSS_STRICT). The
+    // bound must measure retention across like-for-like phases.
+    val rssBaselineMb = math.max(rssPostWarm1Mb, rssMb())
     val warmStreamReps = (1 to warmReps).map(i => timedPass(s"warm${i}_stream", streamQs))
 
     val cold = (coldBatch ++ coldStream).sortBy(_._1)

@@ -42,11 +42,22 @@ object Parallelism {
     */
   val MaxPartitions: Int = 1 << 17
 
-  /** Total bytes across the plan's leaf relations, or -1 when no leaf
-    * reports a usable size.
+  /** Total bytes across the plan's DISTINCT leaf relations, or -1
+    * when no leaf reports a usable size. Distinct because a self-join
+    * subtree holds the same relation once per PLAN occurrence while
+    * the bytes on disk are the same file — summing per-occurrence
+    * would inflate the pin ~N× for an N-way self-join (e.g. the
+    * basket self-join feeding triangle participation). File scans
+    * dedupe on their root paths, caches on their shared cache
+    * builder; leaves with no stable identity (e.g. LocalRelation
+    * copies) count per-occurrence — they are driver-local and tiny by
+    * construction. (The plan analysis this forces on the intermediate
+    * DataFrame is driver-side milliseconds per call site — accepted;
+    * the call sites are once-per-pipeline, not per-row.)
     */
   private[operators] def leafInputBytes(df: DataFrame): Long =
     try {
+      val seen = scala.collection.mutable.Set[AnyRef]()
       val sizes = df.queryExecution.optimizedPlan.collectLeaves()
         .flatMap {
           // a persisted-but-NOT-YET-MATERIALIZED cache surfaces as an
@@ -57,11 +68,20 @@ object Parallelism {
           // triangle adjacency off such a leaf derived 89,594
           // partitions and drowned the stage in shuffle-file commits.
           // Once materialized, the stats are the REAL cached bytes —
-          // those we trust.
+          // those we trust. The builder instance is SHARED across all
+          // occurrences of one cached relation, so it is the dedup key.
           case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-            if (imr.cacheBuilder.isCachedColumnBuffersLoaded)
+            if (imr.cacheBuilder.isCachedColumnBuffersLoaded &&
+                seen.add(imr.cacheBuilder))
               Some(imr.stats.sizeInBytes)
             else None
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            val key: AnyRef = lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.mkString(",")
+              case other => other
+            }
+            if (seen.add(key)) Some(lr.stats.sizeInBytes) else None
           case leaf => Some(leaf.stats.sizeInBytes)
         }
         // the conservative "unknown" default is Long.MaxValue-ish;

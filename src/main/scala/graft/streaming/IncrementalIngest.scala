@@ -130,14 +130,20 @@ object IncrementalIngest {
   def oracles: Map[String, String] = Map(
     // winner per distinct text: run 1 canonicalizes min EVEN doc_id;
     // a text with no even doc survives to run 2, where the canonical
-    // is the overall min doc_id
+    // is the overall min doc_id. The dedup key is coalesce(text,'')
+    // on BOTH sides — the engine fingerprints md5(coalesce(text,'')),
+    // so NULL and '' are one class and NULL-text rows are kept; a
+    // plain GROUP BY text + equi-join would keep them distinct and
+    // silently drop NULL-text rows (latent with the current fixture,
+    // wrong the day it gains one)
     "stream_incremental_ingest" ->
       """WITH win AS (
-        |  SELECT text,
+        |  SELECT coalesce(text, '') AS tkey,
         |    coalesce(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
         |             min(doc_id)) AS wid
-        |  FROM documents GROUP BY text)
+        |  FROM documents GROUP BY coalesce(text, ''))
         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-        |FROM documents d JOIN win w ON d.text = w.text AND d.doc_id = w.wid""".stripMargin
+        |FROM documents d
+        |JOIN win w ON coalesce(d.text, '') = w.tkey AND d.doc_id = w.wid""".stripMargin
   )
 }

@@ -104,6 +104,27 @@ class PinnedParallelismSpec extends SparkSpec {
     } finally { cached.unpersist(true); () }
   }
 
+  test("leafInputBytes counts a self-joined scan once, distinct scans each") {
+    // an N-way self-join holds the same parquet leaf N times in the
+    // plan but reads the same bytes — per-occurrence summing would
+    // inflate the derived pin ~N× (r10 advice)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val single = Parallelism.leafInputBytes(docs)
+    assert(single > 0)
+    val self3 = docs.select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    assert(Parallelism.leafInputBytes(self3) == single,
+      s"self-join triple-counted: ${Parallelism.leafInputBytes(self3)} vs $single")
+    // genuinely distinct relations still sum
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val two = docs.select(col("doc_id"))
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val embBytes = Parallelism.leafInputBytes(emb)
+    assert(embBytes > 0)
+    assert(Parallelism.leafInputBytes(two) == single + embBytes)
+  }
+
   test("bfsHopHistogram releases every cache it creates") {
     spark.catalog.clearCache()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

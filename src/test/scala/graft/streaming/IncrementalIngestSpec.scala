@@ -62,5 +62,20 @@ class IncrementalIngestSpec extends SparkSpec {
       """{"doc_id": 10, "text": "alpha beta"}""",
       """{"doc_id": 11, "text": "delta"}""")
     assert(ingest() == Set(1L, 3L, 11L))
+
+    // run 3: NULL text and empty text are ONE fingerprint class
+    // (md5(coalesce(text,''))) — the min-id empty/null doc is kept,
+    // later null/empty arrivals dedup against it. Pins the semantics
+    // the board oracle mirrors with coalesce(text,'') on both sides.
+    drop("b3.jsonl",
+      """{"doc_id": 20}""",
+      """{"doc_id": 21, "text": ""}""",
+      """{"doc_id": 22, "text": "epsilon"}""")
+    assert(ingest() == Set(1L, 3L, 11L, 20L, 22L))
+    // run 4: both forms arrive again — neither re-ingests
+    drop("b4.jsonl",
+      """{"doc_id": 30, "text": ""}""",
+      """{"doc_id": 31}""")
+    assert(ingest() == Set(1L, 3L, 11L, 20L, 22L))
   }
 }
