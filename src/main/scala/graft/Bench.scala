@@ -124,16 +124,28 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE_CORES", "2.0").toDouble
     val idleWaitMaxSec =
       sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_MAX_SEC", "600").toDouble
-    val gateT0 = System.nanoTime()
-    val preGateCores = foreignCoresSample(5.0)
-    var lastSample = preGateCores
-    while (lastSample >= 0 && lastSample > idleGateCores &&
-        (System.nanoTime() - gateT0) / 1e9 < idleWaitMaxSec) {
-      System.err.println(
-        f"idle-gate: foreign load $lastSample%.1f cores > $idleGateCores%.1f, waiting...")
-      lastSample = foreignCoresSample(5.0)
+    /** Sample foreign load and pause (bounded) until it drops under
+      * the gate; returns (first sample, wait beyond the first sample,
+      * last sample). Run at START and at EVERY pass boundary (r10
+      * verdict #2): the r10 recording's warm-2 pass ran under load1
+      * 12.4 because the box was only checked once, 10 minutes
+      * earlier — median-of-3 absorbed it, but a gated pass beats a
+      * flagged one.
+      */
+    def waitForIdle(sampleSec: Double, maxWaitSec: Double): (Double, Double, Double) = {
+      val t0 = System.nanoTime()
+      val pre = foreignCoresSample(sampleSec)
+      var last = pre
+      while (last >= 0 && last > idleGateCores &&
+          (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+        System.err.println(
+          f"idle-gate: foreign load $last%.1f cores > $idleGateCores%.1f, waiting...")
+        last = foreignCoresSample(sampleSec)
+      }
+      (pre, (System.nanoTime() - t0) / 1e9 - sampleSec, last)
     }
-    val idleWaitSec = (System.nanoTime() - gateT0) / 1e9 - 5.0
+    val (preGateCores, idleWaitSec, lastSample) =
+      waitForIdle(5.0, idleWaitMaxSec)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // same custom Catalyst surface the library sessions get
@@ -260,15 +272,25 @@ object Bench {
     // closer to steady-state cluster behavior, and the median makes
     // one contended pass unable to move the trend line.
     val passTelemetry = scala.collection.mutable.ArrayBuffer[String]()
-    def passStamp(label: String, t: Double): Unit =
-      passTelemetry += f"""{"pass":"$label","sec":$t%.2f,"gc_ms":${gcMillis()},"heap_mb":${heapMb()._1},"rss_mb":${rssMb()},"load1":${load1()}%.2f}"""
+    var passGateWaitTotal = 0.0
+    def passStamp(label: String, t: Double, gatePre: Double,
+                  gateWait: Double): Unit =
+      passTelemetry += f"""{"pass":"$label","sec":$t%.2f,"gc_ms":${gcMillis()},"heap_mb":${heapMb()._1},"rss_mb":${rssMb()},"load1":${load1()}%.2f,"gate_pre_cores":$gatePre%.2f,"gate_wait_sec":${math.max(0.0, gateWait)}%.1f}"""
 
     def timedPass(label: String,
         qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
         : Seq[(String, QueryRun)] = {
+      if (qs.isEmpty) return Seq.empty // subset runs skip empty phases
+      // re-gate at the pass boundary: the box can turn busy any time
+      // during a ~10-minute recording, not only before it. Short
+      // sample (2 s) keeps the idle-path overhead at ~16 s/recording;
+      // bounded wait (120 s) so a permanently-busy box still records
+      // (the pass's load1/foreign telemetry then tells the story).
+      val (gatePre, gateWait, _) = waitForIdle(2.0, 120.0)
+      passGateWaitTotal += math.max(0.0, gateWait)
       val t0 = System.nanoTime()
       val r = runPass(qs)
-      passStamp(label, (System.nanoTime() - t0) / 1e9)
+      passStamp(label, (System.nanoTime() - t0) / 1e9, gatePre, gateWait)
       // pass-boundary GC so heap pressure accumulated by one pass is
       // paid HERE (unbilled) instead of inside the next pass's queries
       System.gc()
@@ -409,7 +431,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
          |"warm_total":${fmt(warmTotal)},"warm_reps":$warmReps,
          |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},
-         |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},
+         |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},"pass_gate_wait_sec":${fmt(passGateWaitTotal)},
          |"rss_pre_suite_mb":$rssPreSuiteMb,"rss_post_cold_mb":$rssPostColdMb,"rss_baseline_mb":$rssBaselineMb,"rss_end_mb":$rssEndMb,"rss_hwm_mb":${rssMb("VmHWM")},"rss_bound_ok":$rssBoundOk,
          |"errors":${jsmap(errors.toSeq)},
          |"flags":${flags.mkString("[", ",", "]")},

@@ -113,6 +113,65 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("forced 3-batch drain reaches the board row's exact leaderboard") {
+    // The board row's post-processing (max-n_seen row per group) is
+    // argued to be multi-batch-safe because n_seen is strictly
+    // monotone per group; force the multi-batch regime — 3-file copy
+    // of events, maxFilesPerTrigger=1 — and hold the final
+    // leaderboard to equality with the single-batch board result
+    // (itself DuckDB-hash-gated).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-hh-mb").toString + "/events3"
+    events.repartition(3).write.parquet(srcDir)
+    assert(new java.io.File(srcDir).listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 3)
+    val got = graft.streaming.EventsStream.withRocksDbStateStore(spark) {
+      val in = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .select(col("event_type").as("group"),
+          col("user_id").cast("string").as("item"))
+      val ck = java.nio.file.Files.createTempDirectory("graft-hh-mb-ck")
+      val q = StreamingHeavyHitters.perGroupHitters(
+          in, capacity = 1 << 17, failAtCapacity = true).toDF()
+        .writeStream.format("memory").queryName("hh_mb_sink")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck.toString).start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(nBatches >= 3, s"expected a >=3-batch drain, got $nBatches")
+      // same post-processing as the board row: the update-mode sink
+      // holds one leaderboard row per group per batch; keep the final
+      // (max-n_seen) state and explode the top 50
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group")).orderBy(desc("n_seen"))
+      val r = spark.table("hh_mb_sink")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("group").as("event_type"), col("n_seen"),
+          posexplode(arrays_zip(col("items"), col("ests"))))
+        .select(col("event_type"), col("n_seen"),
+          (col("pos") + 1).cast("int").as("rk"),
+          col("col.items").as("item"), col("col.ests").as("cnt"))
+        .filter(col("rk") <= 50)
+        .collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getInt(2),
+          x.getString(3), x.getLong(4))).toSet
+      graft.streaming.EventsStream.deleteRecursively(ck)
+      r
+    }
+    val single = graft.SparkEntry.queries("stream_heavy_hitters")(spark, sf)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2),
+        x.getString(3), x.getLong(4))).toSet
+    assert(got == single,
+      s"batch-split changed the leaderboard: only-multi=${(got -- single).take(3)}, " +
+        s"only-single=${(single -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("withRocksDbStateStore restores the provider conf afterwards") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)

@@ -81,4 +81,49 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(byDoc(1L).map(_.getString(0)).sorted.sameElements(
       byDoc(2L).map(_.getString(0)).sorted))
   }
+
+  test("forced 3-batch drain emits the board row's exact normalized pair set") {
+    // The board row drains documents.parquet in ONE AvailableNow
+    // micro-batch; the least/greatest orientation normalization
+    // exists precisely so a SPLIT drain (several files, several
+    // batches, orientation depending on arrival order) emits the same
+    // relation. Force that regime — 3-file copy, maxFilesPerTrigger=1
+    // — and hold the output to set-equality with the single-batch
+    // board result (itself DuckDB-hash-gated).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{least, greatest}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-snd-mb").toString + "/docs3"
+    docs.repartition(3).write.parquet(srcDir)
+    assert(new java.io.File(srcDir).listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 3)
+    val got = EventsStream.withRocksDbStateStore(spark) {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val ck = java.nio.file.Files.createTempDirectory("graft-snd-mb-ck")
+      val q = StreamingNearDup.nearDupPairs(stream).toDF()
+        .writeStream.format("memory").queryName("snd_mb_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck.toString).start()
+      q.awaitTermination()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(nBatches >= 3, s"expected a >=3-batch drain, got $nBatches")
+      val r = spark.table("snd_mb_sink")
+        .select(least($"doc_a", $"doc_b").as("doc_a"),
+          greatest($"doc_a", $"doc_b").as("doc_b"), $"est_jaccard")
+        .distinct().collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      EventsStream.deleteRecursively(ck)
+      r
+    }
+    val single = graft.SparkEntry.queries("stream_neardup_pairs")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == single,
+      s"batch-split changed the emitted relation: only-multi=${got -- single}, " +
+        s"only-single=${single -- got}")
+    assert(got.nonEmpty, "vacuous: corpus produced no near-dup pairs")
+  }
 }
