@@ -320,34 +320,80 @@ object Features {
     */
   val PowerIters = 96
 
-  def pcaPowerProjection(emb: DataFrame, iters: Int = PowerIters): DataFrame = {
-    // ONE moments pass + ONE means pass (fitMoments), then scale on
-    // the driver with the IDENTICAL IEEE sequence the declarative
-    // covarianceMatrix emits — (sxy/n − mᵢ·mⱼ)·1e6 + 0.5, floored —
-    // so cov_e6 here matches the oracle bit-for-bit without paying
-    // the corpus a second moments scan (the first recording billed
-    // 8.7 s warm to exactly that duplication)
+  /** The shared integer eigen-fit: e6-scaled means/covariance (the
+    * IDENTICAL IEEE scaling sequence the declarative covarianceMatrix
+    * emits, so `cov_e6` matches the oracle bit-for-bit), top
+    * eigenvector by fixed-iteration integer power method, second via
+    * exact Hotelling deflation. Returns (meansE6, v1, v2, covE6,
+    * deflated cov2) — everything width-bounded, nothing corpus-sized
+    * crosses the driver.
+    */
+  private def powerFitE6(emb: DataFrame, iters: Int)
+      : (Array[Long], Array[Long], Array[Long],
+         Array[Array[Long]], Array[Array[Long]]) = {
+    // ONE moments pass + ONE means pass (fitMoments) — the first
+    // recording billed 8.7 s warm to duplicating that scan
     val (cov, means) = fitMoments(emb)
     val dim = means.length
     val meansE6 = means.map(m => math.floor(m * 1e6 + 0.5).toLong)
     val covE6 = Array.tabulate(dim, dim)((i, j) =>
       math.floor(cov(i)(j) * 1e6 + 0.5).toLong)
     val v1 = Pca.powerIterateE6(covE6, iters)
-    // second component: integer Hotelling deflation, then the same
-    // fixed-iteration power method — both replayed by the oracle
-    val v2 = Pca.powerIterateE6(Pca.deflateE6(covE6, v1), iters)
-    def proj(v: Array[Long], name: String) =
-      (0 until dim).map { i =>
-        lit(v(i)) *
-          (floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
-            + lit(0.5)).cast("long") - lit(meansE6(i)))
-      }.reduceLeft(_ + _).as(name)
-    emb.select(col("vec_id"), proj(v1, "pc1_fx"), proj(v2, "pc2_fx"))
+    val cov2 = Pca.deflateE6(covE6, v1)
+    val v2 = Pca.powerIterateE6(cov2, iters)
+    (meansE6, v1, v2, covE6, cov2)
+  }
+
+  /** Fixed-point projection column Σᵢ v_i·(x_i_e6 − mean_i_e6) —
+    * scale 1e12, all-integer, shuffle-free.
+    */
+  private def projE6(meansE6: Array[Long], v: Array[Long], name: String) =
+    meansE6.indices.map { i =>
+      lit(v(i)) *
+        (floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+          + lit(0.5)).cast("long") - lit(meansE6(i)))
+    }.reduceLeft(_ + _).as(name)
+
+  def pcaPowerProjection(emb: DataFrame, iters: Int = PowerIters): DataFrame = {
+    val (meansE6, v1, v2, _, _) = powerFitE6(emb, iters)
+    emb.select(col("vec_id"), projE6(meansE6, v1, "pc1_fx"),
+      projE6(meansE6, v2, "pc2_fx"))
+  }
+
+  /** Truncated Mahalanobis outlier score over the top-2
+    * eigencomponents, ENTIRELY in the exact-integer regime — the
+    * hash-gateable subset of [[mahalanobisScores]] (whose full
+    * precision matrix needs a matrix inverse that provably can't be
+    * fixed-point-replayed: the Newton–Schulz attempt diverged,
+    * BASELINE.md round-10). Σ_c proj_c²/(λ_c+ridge) IS Mahalanobis
+    * restricted to the dominant subspace: proj_c is the (unnormalized)
+    * eigencomponent and λ_c its Rayleigh-quotient eigenvalue, both
+    * already bit-pinned cross-engine. Integer shape per term:
+    * p6 = |proj_fx| div 1e6 (back to e6 scale so the square fits
+    * int64), then p6² div (max(λ_e6,0)+1) — truncating divisions
+    * with non-negative operands everywhere, so Spark `div`, DuckDB
+    * `//`, and BigInt `/` all agree. Output scale ≈ 1e6·proj²/λ.
+    */
+  def mahalanobisTruncatedE6(emb: DataFrame, iters: Int = PowerIters): DataFrame = {
+    val (meansE6, v1, v2, covE6, cov2) = powerFitE6(emb, iters)
+    // λ from the matrix each vector was ITERATED ON (v2 from the
+    // deflated cov2): exact-arithmetic-equal to using C for both, but
+    // the truncated-integer replay must pin one definition
+    val lam1 = math.max(Pca.rayleighE6(covE6, v1), 0L) + 1L
+    val lam2 = math.max(Pca.rayleighE6(cov2, v2), 0L) + 1L
+    def term(n: String, l: Long) =
+      expr(s"((abs($n) div 1000000) * (abs($n) div 1000000)) div $l")
+    emb.select(col("vec_id"), projE6(meansE6, v1, "pc1_fx"),
+        projE6(meansE6, v2, "pc2_fx"))
+      .select(col("vec_id"),
+        (term("pc1_fx", lam1) + term("pc2_fx", lam2)).as("maha2_fx"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pca_power_projection" -> ((s, dir) =>
       pcaPowerProjection(Tables(s, dir).embeddings)),
+    "mahalanobis_pc2" -> ((s, dir) =>
+      mahalanobisTruncatedE6(Tables(s, dir).embeddings)),
     "label_centroid_drift" -> ((s, dir) =>
       labelCentroidDrift(Tables(s, dir).embeddings)),
     "embedding_covariance" -> ((s, dir) =>
@@ -387,7 +433,40 @@ object Features {
     * and BigInt `/` on the driver agree). A FIXED unroll count keeps
     * the engines in lockstep regardless of convergence.
     */
-  private def pcaPowerOracle(iters: Int): String = {
+  private def pcaPowerOracle(iters: Int): String =
+    s"""WITH ${powerOraclePrelude(iters)}
+       |SELECT vec_id, pc1_fx, pc2_fx FROM projs""".stripMargin
+
+  /** DuckDB replay of [[mahalanobisTruncatedE6]] on top of the shared
+    * power-iteration prelude: λ₁ from aray/aden (vᵀCv over covfull),
+    * λ₂ from the same Rayleigh shape over the DEFLATED cov2 with
+    * bvfin, each floored at 0 and ridged by +1; per-vector score =
+    * Σ (|pc_fx|//1e6)² // λ — the same truncating, non-negative
+    * divisions the engine runs.
+    */
+  private def mahalanobisOracle(iters: Int): String =
+    s"""WITH ${powerOraclePrelude(iters)},
+       |lam1 AS MATERIALIZED (
+       |  SELECT greatest((CASE WHEN r.num < 0 THEN -1 ELSE 1 END)::BIGINT *
+       |    cast(abs(r.num) // d.den AS BIGINT), 0) + 1 AS l
+       |  FROM aray r, aden d),
+       |bray AS MATERIALIZED (
+       |  SELECT sum(x.v::HUGEINT * cf.c::HUGEINT * y.v::HUGEINT) AS num
+       |  FROM cov2 cf JOIN bvfin x ON cf.i = x.i
+       |               JOIN bvfin y ON cf.j = y.i),
+       |bden AS MATERIALIZED (
+       |  SELECT sum(v::HUGEINT * v::HUGEINT) AS den FROM bvfin),
+       |lam2 AS MATERIALIZED (
+       |  SELECT greatest((CASE WHEN r.num < 0 THEN -1 ELSE 1 END)::BIGINT *
+       |    cast(abs(r.num) // d.den AS BIGINT), 0) + 1 AS l
+       |  FROM bray r, bden d)
+       |SELECT p.vec_id,
+       |  ((abs(p.pc1_fx) // 1000000) * (abs(p.pc1_fx) // 1000000)) // l1.l +
+       |  ((abs(p.pc2_fx) // 1000000) * (abs(p.pc2_fx) // 1000000)) // l2.l
+       |    AS maha2_fx
+       |FROM projs p, lam1 l1, lam2 l2""".stripMargin
+
+  private def powerOraclePrelude(iters: Int): String = {
     // every multiply-referenced CTE in the chain is MATERIALIZED:
     // DuckDB INLINES plain CTEs, and with w_t referenced twice per
     // level (by m_t and it_t) the inlined tree doubles per iteration
@@ -433,7 +512,7 @@ object Features {
          |             // (d.den * d.den) AS BIGINT) AS c
          |  FROM covfull cf JOIN avfin av ON cf.i = av.i
          |                  JOIN avfin bv ON cf.j = bv.i, aray r, aden d)""".stripMargin
-    s"""WITH $covOracleCtes,
+    s"""$covOracleCtes,
        |cov AS MATERIALIZED (
        |  SELECT mo.i, mo.j,
        |    cast(floor((mo.sxy / mo.n - a.m * b.m) * 1e6 + 0.5) AS BIGINT) AS c
@@ -449,13 +528,14 @@ object Features {
        |xs AS (
        |  SELECT e.vec_id, cast(t.k AS int) - 1 AS i,
        |    cast(floor(e.embedding[t.k]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS xe
-       |  FROM embeddings e, range(1, 65) t(k))
-       |SELECT x.vec_id,
-       |  cast(sum(a.v * (x.xe - me.me)) AS BIGINT) AS pc1_fx,
-       |  cast(sum(b.v * (x.xe - me.me)) AS BIGINT) AS pc2_fx
-       |FROM xs x JOIN avfin a ON x.i = a.i JOIN bvfin b ON x.i = b.i
-       |          JOIN means_e6 me ON x.i = me.k
-       |GROUP BY 1""".stripMargin
+       |  FROM embeddings e, range(1, 65) t(k)),
+       |projs AS MATERIALIZED (
+       |  SELECT x.vec_id,
+       |    cast(sum(a.v * (x.xe - me.me)) AS BIGINT) AS pc1_fx,
+       |    cast(sum(b.v * (x.xe - me.me)) AS BIGINT) AS pc2_fx
+       |  FROM xs x JOIN avfin a ON x.i = a.i JOIN bvfin b ON x.i = b.i
+       |            JOIN means_e6 me ON x.i = me.k
+       |  GROUP BY 1)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -486,6 +566,7 @@ object Features {
         |JOIN means a ON mo.i = a.k
         |JOIN means b ON mo.j = b.k""".stripMargin,
     "pca_power_projection" -> pcaPowerOracle(PowerIters),
+    "mahalanobis_pc2" -> mahalanobisOracle(PowerIters),
     "embed_project" -> {
       val cols = (0 until ProjDim).map { j =>
         val terms = (0 until EmbDim).map { i =>

@@ -79,6 +79,23 @@ object Pca {
     }
   }
 
+  /** Integer Rayleigh quotient: λ_e6 = (vᵀCv) div (vᵀv) with C at
+    * the e6 fixed-point scale — the eigenvalue estimate for the
+    * power-iterated vector, in the same exact-integer regime as
+    * [[powerIterateE6]]/[[deflateE6]] (scale-invariant in v, one
+    * sign-split truncating division) so a SQL oracle replays it
+    * bit-for-bit. Feeding the truncated-Mahalanobis ridge term.
+    */
+  def rayleighE6(covE6: Array[Array[Long]], v: Array[Long]): Long = {
+    val n = covE6.length
+    val vb = v.map(BigInt(_))
+    val num = (for (i <- 0 until n; j <- 0 until n)
+      yield vb(i) * BigInt(covE6(i)(j)) * vb(j)).sum
+    val den = vb.map(x => x * x).sum
+    if (den.signum == 0) 0L
+    else (BigInt(num.signum) * (num.abs / den)).toLong
+  }
+
   /** Returns (eigenvalues, eigenvectors-as-columns): `vecs(i)(c)` is
     * component i of eigenvector c, paired with `vals(c)`.
     */

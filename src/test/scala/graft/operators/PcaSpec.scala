@@ -212,4 +212,35 @@ class PcaPowerIterateSpec extends SparkSpec {
         math.sqrt(u2.map(x => x * x).sum))
     assert(math.abs(c2) > 0.999, s"v2 vs Jacobi u2 cosine $c2")
   }
+
+  test("rayleighE6 recovers the eigenvalue, scale-invariant in v") {
+    // diag(5, 2) at e6 scale: top eigenvector is e1, λ₁_e6 = 5e6
+    val cov = Array(Array(5000000L, 0L), Array(0L, 2000000L))
+    val v1 = Pca.powerIterateE6(cov, 32)
+    assert(Pca.rayleighE6(cov, v1) == 5000000L)
+    // homogeneous of degree 0: any rescale of v gives the same λ
+    assert(Pca.rayleighE6(cov, v1.map(_ / 4)) == 5000000L)
+    // second eigenpair through the deflated matrix
+    val cov2 = Pca.deflateE6(cov, v1)
+    val v2 = Pca.powerIterateE6(cov2, 32)
+    assert(Pca.rayleighE6(cov2, v2) == 2000000L)
+    // degenerate vector: defined as 0, not a crash
+    assert(Pca.rayleighE6(cov, Array(0L, 0L)) == 0L)
+  }
+
+  test("truncated Mahalanobis ranks the planted off-axis outlier on top") {
+    import org.apache.spark.sql.functions._
+    // tight correlated cloud along (1,1)… plus one point breaking the
+    // correlation — the outlier axis-aligned z-scores miss
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val t = rng.nextGaussian()
+      (i.toLong, Array(t + rng.nextGaussian() * 0.05,
+        t + rng.nextGaussian() * 0.05).map(_.toFloat))
+    } :+ (200L, Array(1.5f, -1.5f))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val top = Features.mahalanobisTruncatedE6(df, iters = 32)
+      .orderBy(desc("maha2_fx")).select("vec_id").head.getLong(0)
+    assert(top == 200L, s"expected planted outlier 200, got $top")
+  }
 }

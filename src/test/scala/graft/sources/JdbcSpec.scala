@@ -38,6 +38,11 @@ class JdbcSpec extends SparkSpec {
       partitionColumn = Some("id"), lowerBound = 1L, upperBound = 257L,
       numPartitions = 8)
     assert(part.rdd.getNumPartitions == 8)
+    // the partitioning is IN THE SCAN (range predicates per task),
+    // not a post-read repartition
+    assert(part.queryExecution.executedPlan.toString
+      .contains("numPartitions=8"),
+      part.queryExecution.executedPlan.toString.take(400))
     val got = part.select($"id", $"name", $"score")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(got == rows.toSet)
@@ -45,6 +50,18 @@ class JdbcSpec extends SparkSpec {
     // appended batch lands next to the first (INSERT INTO ... SELECT)
     Jdbc.append(df.withColumn("id", $"id" + 1000), conn, "people")
     assert(Jdbc.readTable(spark, conn, "people").count() == 514)
+  }
+
+  test("column filters push down into the JDBC scan") {
+    val f = Jdbc.readTable(spark, conn, "people").filter($"id" <= 10)
+    val ex = f.queryExecution.executedPlan.toString
+    // the predicate must reach the database as SQL (PushedFilters on
+    // the JDBC relation), not run as a post-scan Spark filter over a
+    // full-table fetch — at warehouse scale that is the difference
+    // between an indexed range scan and marshalling the whole table
+    assert(ex.contains("PushedFilters") && ex.contains("LessThanOrEqual"),
+      ex.take(400))
+    assert(f.count() == 10)
   }
 
   test("query read pushes the subquery down to the database") {
