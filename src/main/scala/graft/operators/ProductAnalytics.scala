@@ -402,6 +402,16 @@ object ProductAnalytics {
     val nd = nodes.repartition(numP, col("part"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nn = nd.agg(count(lit(1)).as("n"))
+    // The rounds stay UNROLLED into one Catalyst plan (no per-round
+    // persist/count). Round-11 measured the alternative — constant-
+    // shape rounds materialized per iteration so whole-stage codegen
+    // compiles once: warm went 2.8 → 4.7 s at sf0.1 (the per-round
+    // cache write + count jobs cost more than the saved compiles) and
+    // cold did NOT improve, because the cold-warm gap here is C2/JIT
+    // warming of the generated classes, not Janino source-compile
+    // count (BASELINE.md round-11 negative result). At a rounds count
+    // where the unrolled plan outgrows the planner (≫10), flip to the
+    // materialize-per-round loop labelPropagation uses.
     var pr = nd.crossJoin(broadcast(nn))
       .select(col("part"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to rounds) {
@@ -542,11 +552,26 @@ object ProductAnalytics {
       .select(col("id"), lit(0).as("d"))
       .persist(MEMORY_AND_DISK)
     // Only the DISJOINT rings persist (their union IS the distance
-    // table — one cached copy of the reached set total, no
-    // superseded cumulative snapshots to leak); per round the only
-    // driver action is the ring count the loop needs anyway.
+    // table — one cached copy of the reached set total, no cumulative
+    // snapshots to rematerialize); per round the only driver action
+    // is the ring count the loop needs anyway. Constant-shape rounds
+    // (r10 verdict #6): (a) the frontier carries its own hop column
+    // (next hop = d + 1 read from the CACHED ring — a lit(r) would
+    // bake a different constant into every round's generated code and
+    // defeat the Janino cache), and (b) the anti-join side is only
+    // the last TWO rings, not the union of all of them (whose arity
+    // grew per round → a fresh k-way-union plan compiled per round).
+    // Two rings are EXACT here: in an unweighted undirected graph a
+    // neighbor of a distance-(r−1) node has distance ≥ r−2, so rings
+    // 0..r−3 cannot contain any candidate. That also shrinks the
+    // anti side from the whole distance table to two frontiers — the
+    // version that matters at a billion nodes. With both fixed, every
+    // round ≥ 2 plans identically — one frontier⋈edges shuffle-hash
+    // join, one distinct, one anti against a 2-way union of cached
+    // rings — compiled once, reused.
     val rings = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
     var ring = seed
+    var prevRing = seed // ring r−2; for round 1 both sides are the seed
     var r = 1
     var ringSize = seed.count()
     while (r <= maxHops && ringSize > 0) {
@@ -557,13 +582,14 @@ object ProductAnalytics {
       val ringSide = if (r == 1) ring.hint("broadcast") else ring
       val next = ringSide.join(ed.hint("shuffle_hash"),
           ringSide("id") === ed("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(rings.reduce(_ unionAll _).select(col("id")),
+        .select(col("dst").as("id"), (ringSide("d") + lit(1)).as("d"))
+        .distinct()
+        .join(ring.select(col("id")).unionAll(prevRing.select(col("id"))),
           Seq("id"), "left_anti")
-        .select(col("id"), lit(r).as("d"))
         .persist(MEMORY_AND_DISK)
       ringSize = next.count()
       rings += next
+      prevRing = ring
       ring = next
       r += 1
     }
