@@ -83,6 +83,55 @@ object CurationFilters {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Split-leakage audit: distinct 8-grams shared across split
+    // boundaries under the NAIVE doc-hash split vs the CLUSTER-SAFE
+    // split — the report that justifies cluster-keyed splitting (a
+    // near-duplicate pair straddling train/test leaks every shared
+    // n-gram into eval). One gram-keyed aggregation folds each
+    // gram's split memberships into three flags (map-side combined;
+    // no gram self-join), then a 2-row rollup per method. The gram
+    // relation carries 8-byte hashes, never gram strings, and the
+    // explode runs behind the pinned spread like decontaminate's.
+    "split_leakage_report" -> ((s, dir) => {
+      Md5Hash60.register(s)
+      def splitOf(key: org.apache.spark.sql.Column) = {
+        val b = pmod(Md5Hash60.md5_hash60(key.cast("string")), lit(100L))
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      }
+      val base = Dedup.spread(
+        Tables(s, dir).documents
+          .join(Dedup.materializedClusters(s, dir), Seq("doc_id"))
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"),
+            splitOf(col("doc_id")).as("split_doc"),
+            splitOf(col("cluster_id")).as("split_cluster"))
+          .filter(size(col("ws")) >= 8),
+        col("doc_id"))
+      val grams = base
+        .select(col("split_doc"), col("split_cluster"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - lit(7))).as("i"))
+        .select(col("split_doc"), col("split_cluster"),
+          Md5Hash60.md5_hash60(
+            array_join(slice(col("ws"), col("i"), lit(8)), " ")).as("h"))
+      grams
+        .select(lit("doc_hash").as("method"), col("split_doc").as("split"),
+          col("h"))
+        .unionAll(grams.select(lit("cluster_hash").as("method"),
+          col("split_cluster").as("split"), col("h")))
+        .groupBy(col("method"), col("h"))
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+          max(when(col("split") === "val", 1).otherwise(0)).as("va"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("te"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_distinct_ngrams"),
+          sum(when(col("tr") === 1 && col("va") === 1, 1L).otherwise(0L))
+            .as("train_val_shared"),
+          sum(when(col("tr") === 1 && col("te") === 1, 1L).otherwise(0L))
+            .as("train_test_shared"),
+          sum(when(col("va") === 1 && col("te") === 1, 1L).otherwise(0L))
+            .as("val_test_shared"))
+    }),
+
     // Gopher-style repetition quality gate: fraction of duplicated
     // words + share of the most frequent bigram. Two doc_id-keyed
     // aggregations (map-side combined) + one doc_id join; thresholds
@@ -362,6 +411,50 @@ object CurationFilters {
       |GROUP BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "split_leakage_report" ->
+      s"""WITH RECURSIVE ${graft.operators.Dedup.minhashOracleCtes("documents")},
+         |undirected AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT u.b, r.lbl FROM undirected u JOIN reach r ON r.doc = u.a),
+         |clusters AS (
+         |  SELECT doc AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |labeled AS (
+         |  SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\\s+') AS ws,
+         |    CASE WHEN ('0x' || substr(md5(d.doc_id::varchar), 1, 15))::bigint % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(d.doc_id::varchar), 1, 15))::bigint % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split_doc,
+         |    CASE WHEN ('0x' || substr(md5(c.cluster_id::varchar), 1, 15))::bigint % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(c.cluster_id::varchar), 1, 15))::bigint % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split_cluster
+         |  FROM documents d JOIN clusters c USING (doc_id)
+         |  WHERE length(trim(d.text)) > 0),
+         |grams AS (
+         |  SELECT split_doc, split_cluster,
+         |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::bigint AS h
+         |  FROM (SELECT split_doc, split_cluster, ws,
+         |          unnest(range(1, len(ws) - 7 + 1)) AS i
+         |        FROM labeled WHERE len(ws) >= 8)),
+         |by_method AS (
+         |  SELECT 'doc_hash' AS method, split_doc AS split, h FROM grams
+         |  UNION ALL
+         |  SELECT 'cluster_hash' AS method, split_cluster AS split, h FROM grams),
+         |flags AS (
+         |  SELECT method, h,
+         |    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         |    max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+         |    max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+         |  FROM by_method GROUP BY 1, 2)
+         |SELECT method, cast(count(*) AS bigint) AS n_distinct_ngrams,
+         |  cast(sum(CASE WHEN tr = 1 AND va = 1 THEN 1 ELSE 0 END) AS bigint) AS train_val_shared,
+         |  cast(sum(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END) AS bigint) AS train_test_shared,
+         |  cast(sum(CASE WHEN va = 1 AND te = 1 THEN 1 ELSE 0 END) AS bigint) AS val_test_shared
+         |FROM flags GROUP BY method""".stripMargin,
     "sequence_packing" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,

@@ -394,6 +394,27 @@ object Features {
       pcaPowerProjection(Tables(s, dir).embeddings)),
     "mahalanobis_pc2" -> ((s, dir) =>
       mahalanobisTruncatedE6(Tables(s, dir).embeddings)),
+    // Embedding QA profile: per-label vector-norm statistics in EXACT
+    // scaled integers (norm² at e12 = Σ floor(x·1e6+0.5)² — the same
+    // fixed-point convention as the PCA family, so no float sum can
+    // wobble across engines). Catches the degenerate-embedding
+    // pathologies a pipeline must gate on before indexing: zero
+    // vectors, per-label norm drift, truncated inserts. One codegen'd
+    // array fold per row + one map-side-combined aggregate.
+    "embedding_norm_profile" -> ((s, dir) => {
+      val norm2 = aggregate(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")),
+        lit(0L), (acc, v) => acc + v * v).as("norm2_e12")
+      Tables(s, dir).embeddings
+        .select(col("label"), norm2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("norm2_e12") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("norm2_e12")).as("min_norm2_e12"),
+          max(col("norm2_e12")).as("max_norm2_e12"),
+          sum(col("norm2_e12")).as("sum_norm2_e12"))
+    }),
     "label_centroid_drift" -> ((s, dir) =>
       labelCentroidDrift(Tables(s, dir).embeddings)),
     "embedding_covariance" -> ((s, dir) =>
@@ -567,6 +588,19 @@ object Features {
         |JOIN means b ON mo.j = b.k""".stripMargin,
     "pca_power_projection" -> pcaPowerOracle(PowerIters),
     "mahalanobis_pc2" -> mahalanobisOracle(PowerIters),
+    "embedding_norm_profile" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    list_sum(list_transform(embedding,
+        |      x -> cast(floor(x::DOUBLE * 1e6 + 0.5) AS bigint) *
+        |           cast(floor(x::DOUBLE * 1e6 + 0.5) AS bigint))) AS norm2
+        |  FROM embeddings)
+        |SELECT label, cast(count(*) AS bigint) AS n_vecs,
+        |  cast(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_zero,
+        |  cast(min(norm2) AS bigint) AS min_norm2_e12,
+        |  cast(max(norm2) AS bigint) AS max_norm2_e12,
+        |  cast(sum(norm2) AS bigint) AS sum_norm2_e12
+        |FROM n GROUP BY label""".stripMargin,
     "embed_project" -> {
       val cols = (0 until ProjDim).map { j =>
         val terms = (0 until EmbDim).map { i =>

@@ -146,6 +146,59 @@ object Similarity {
           round(col("cosine"), 4).as("cosine"))
     }),
 
+    // Recall@k audit of the approximate indexes against exact brute
+    // force — the report that DECIDES an ANN deployment (how much
+    // recall does single-bucket LSH give up, how much does
+    // multi-probe buy back) computed entirely in-engine. Exact and
+    // approximate top-k relations are each bounded (queries × k); the
+    // exact side persists because both hit-counts semi-join it. At
+    // 100 TB this runs on a sampled query set exactly as here (the
+    // query relation is the broadcast side by construction); all
+    // outputs are integer hit counts, so the row is hash-exact
+    // across engines with no float rounding in the report itself.
+    "ann_recall_report" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.HyperplaneSig.register(s)
+      val emb = Tables(s, dir).embeddings
+      def cos = graft.functions.CosineSimilarity
+        .cosine_sim(col("qe"), col("embedding"))
+      def topk(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(desc("cosine"), asc("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K).select(col("qid"), col("vec_id"))
+      }
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val exact = topk(emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", cos))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val signed = emb.withColumn("bucket", hyperplaneBucket(col("embedding")))
+      val qb = signed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket").as("qbucket"))
+      val lsh = topk(signed.join(broadcast(qb),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine", cos))
+      val masks = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))): _*)
+      val probes = signed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("pbucket"))
+      val mp = topk(signed.join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine", cos))
+      def hits(approx: DataFrame, name: String) =
+        exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).cast("int").as(name))
+      q.select(col("qid"))
+        .join(hits(lsh, "h1"), Seq("qid"), "left")
+        .join(hits(mp, "h2"), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("h1"), lit(0)).as("hits_lsh"),
+          coalesce(col("h2"), lit(0)).as("hits_multiprobe"))
+    }),
+
     // Hard-negative mining for contrastive training: per query, the
     // top-k most-similar vectors with a DIFFERENT label — the
     // "similar but wrong" examples a retrieval trainer wants. Same
@@ -591,7 +644,47 @@ object Similarity {
          |  round(cosine, 4) AS cosine
          |FROM scored
          |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= $K""".stripMargin,
-    "kmeans_clusters" -> kmeansOracle
+    "kmeans_clusters" -> kmeansOracle,
+    // same exact / single-bucket / multi-probe top-k CTEs as the
+    // three green ANN rows, reduced to integer hit counts per query
+    "ann_recall_report" ->
+      s"""WITH signed AS (
+         |  SELECT v.vec_id, v.embedding, $sqlBucket AS bucket FROM embeddings v),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |      FROM signed WHERE vec_id < $NumQueries),
+         |exact AS (
+         |  SELECT q.qid, e.vec_id,
+         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+         |  FROM signed e, q WHERE e.vec_id != q.qid
+         |  QUALIFY row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY cosine DESC, e.vec_id ASC) <= $K),
+         |lsh AS (
+         |  SELECT q.qid, e.vec_id,
+         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+         |  FROM signed e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.qid
+         |  QUALIFY row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY cosine DESC, e.vec_id ASC) <= $K),
+         |probes AS (
+         |  SELECT qid, qe,
+         |    xor(qbucket, CASE WHEN i = 0 THEN 0::bigint
+         |                      ELSE (1::bigint << (i - 1)) END) AS pbucket
+         |  FROM q, range(0, ${Planes + 1}) r(i)),
+         |mp AS (
+         |  SELECT q.qid, e.vec_id,
+         |    $sqlDot / (${sqlNorm("q.qe")} * ${sqlNorm("e.embedding")}) AS cosine
+         |  FROM signed e JOIN probes q ON e.bucket = q.pbucket AND e.vec_id != q.qid
+         |  QUALIFY row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY cosine DESC, e.vec_id ASC) <= $K)
+         |SELECT q.qid,
+         |  cast(coalesce(l.h, 0) AS int) AS hits_lsh,
+         |  cast(coalesce(m.h, 0) AS int) AS hits_multiprobe
+         |FROM q
+         |LEFT JOIN (SELECT e.qid, count(*) AS h
+         |           FROM exact e JOIN lsh USING (qid, vec_id) GROUP BY 1) l
+         |  USING (qid)
+         |LEFT JOIN (SELECT e.qid, count(*) AS h
+         |           FROM exact e JOIN mp USING (qid, vec_id) GROUP BY 1) m
+         |  USING (qid)""".stripMargin
   )
 
   /** DuckDB mirror of [[kmeansAssignments]]: the same init, the same

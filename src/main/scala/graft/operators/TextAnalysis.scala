@@ -30,6 +30,25 @@ object TextAnalysis {
   private[operators] def sqlHits(needle: String): String =
     s"(length(' '||text||' ') - length(replace(' '||text||' ', '$needle', ''))) // ${needle.length}"
 
+  /** Per-doc marker-n-gram language scores + deterministic argmax —
+    * the shared body of `lang_id` (per-doc view) and `lang_confusion`
+    * (corpus matrix).
+    */
+  private def langPredictions(docs: DataFrame): DataFrame = {
+    val sEn = hits(" the ") + hits(" a ")
+    val sDe = hits(" der ") + hits(" und ")
+    val sEs = hits(" el ") + hits(" y ")
+    val sFr = hits(" le ") + hits(" et ")
+    docs
+      .select(col("doc_id"), col("lang"), sEn.as("s_en"), sDe.as("s_de"),
+              sEs.as("s_es"), sFr.as("s_fr"))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+  }
+
   /** Whitespace token count, 0 for blank text. */
   private[operators] val nWords: Column =
     when(length(trim(col("text"))) === 0, 0)
@@ -132,20 +151,18 @@ object TextAnalysis {
     }),
 
     // language-ID: marker-n-gram scores with deterministic argmax
-    "lang_id" -> ((s, dir) => {
-      val sEn = hits(" the ") + hits(" a ")
-      val sDe = hits(" der ") + hits(" und ")
-      val sEs = hits(" el ") + hits(" y ")
-      val sFr = hits(" le ") + hits(" et ")
-      Tables(s, dir).documents
-        .select(col("doc_id"), col("lang"), sEn.as("s_en"), sDe.as("s_de"),
-                sEs.as("s_es"), sFr.as("s_fr"))
-        .withColumn("predicted_lang",
-          when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
-            .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
-    }),
+    "lang_id" -> ((s, dir) => langPredictions(Tables(s, dir).documents)),
+
+    // Language confusion matrix: declared `lang` vs the n-gram
+    // heuristic's prediction — the corpus-level QA view of lang_id
+    // (which sources/langs the cheap detector confuses, and how much
+    // weight rides on each cell before detector output feeds the
+    // lang-temperature mixture weights). One map-side-combined
+    // aggregate over the per-doc predictions.
+    "lang_confusion" -> ((s, dir) =>
+      langPredictions(Tables(s, dir).documents)
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))),
 
     // Unigram-LM negative log-likelihood per doc — the cheap
     // perplexity proxy for LM-based quality filtering: documents with
@@ -737,6 +754,22 @@ object TextAnalysis {
          |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM scores""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |    cast(${sqlHits(" the ")} + ${sqlHits(" a ")} AS bigint) AS s_en,
+         |    cast(${sqlHits(" der ")} + ${sqlHits(" und ")} AS bigint) AS s_de,
+         |    cast(${sqlHits(" el ")} + ${sqlHits(" y ")} AS bigint) AS s_es,
+         |    cast(${sqlHits(" le ")} + ${sqlHits(" et ")} AS bigint) AS s_fr
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+         |         WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+         |  FROM scores)
+         |SELECT lang, predicted_lang, cast(count(*) AS bigint) AS n_docs
+         |FROM pred GROUP BY 1, 2""".stripMargin,
     "source_quality_report" ->
       s"""WITH d AS (
          |  SELECT source, $sqlNWords AS n_words,
