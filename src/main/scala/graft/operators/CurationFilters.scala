@@ -113,23 +113,34 @@ object CurationFilters {
         .select(col("split_doc"), col("split_cluster"),
           Md5Hash60.md5_hash60(
             array_join(slice(col("ws"), col("i"), lit(8)), " ")).as("h"))
+      // ONE gram-keyed pass carrying six membership flags (3 splits ×
+      // 2 methods) — a per-method unionAll would re-run the whole
+      // shingle/md5 stream per branch. The global rollup is a single
+      // row; stack() unpivots it into the per-method report.
+      def flag(c: String, v: String) =
+        max(when(col(c) === v, 1).otherwise(0))
       grams
-        .select(lit("doc_hash").as("method"), col("split_doc").as("split"),
-          col("h"))
-        .unionAll(grams.select(lit("cluster_hash").as("method"),
-          col("split_cluster").as("split"), col("h")))
-        .groupBy(col("method"), col("h"))
-        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("tr"),
-          max(when(col("split") === "val", 1).otherwise(0)).as("va"),
-          max(when(col("split") === "test", 1).otherwise(0)).as("te"))
-        .groupBy(col("method"))
-        .agg(count(lit(1)).as("n_distinct_ngrams"),
-          sum(when(col("tr") === 1 && col("va") === 1, 1L).otherwise(0L))
-            .as("train_val_shared"),
-          sum(when(col("tr") === 1 && col("te") === 1, 1L).otherwise(0L))
-            .as("train_test_shared"),
-          sum(when(col("va") === 1 && col("te") === 1, 1L).otherwise(0L))
-            .as("val_test_shared"))
+        .groupBy(col("h"))
+        .agg(flag("split_doc", "train").as("d_tr"),
+          flag("split_doc", "val").as("d_va"),
+          flag("split_doc", "test").as("d_te"),
+          flag("split_cluster", "train").as("c_tr"),
+          flag("split_cluster", "val").as("c_va"),
+          flag("split_cluster", "test").as("c_te"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d_tr") === 1 && col("d_va") === 1, 1L).otherwise(0L)).as("d_tv"),
+          sum(when(col("d_tr") === 1 && col("d_te") === 1, 1L).otherwise(0L)).as("d_tt"),
+          sum(when(col("d_va") === 1 && col("d_te") === 1, 1L).otherwise(0L)).as("d_vt"),
+          sum(when(col("c_tr") === 1 && col("c_va") === 1, 1L).otherwise(0L)).as("c_tv"),
+          sum(when(col("c_tr") === 1 && col("c_te") === 1, 1L).otherwise(0L)).as("c_tt"),
+          sum(when(col("c_va") === 1 && col("c_te") === 1, 1L).otherwise(0L)).as("c_vt"))
+        .selectExpr(
+          """stack(2,
+            |  'doc_hash', n, d_tv, d_tt, d_vt,
+            |  'cluster_hash', n, c_tv, c_tt, c_vt)
+            |AS (method, n_distinct_ngrams,
+            |    train_val_shared, train_test_shared, val_test_shared)"""
+            .stripMargin)
     }),
 
     // Gopher-style repetition quality gate: fraction of duplicated
