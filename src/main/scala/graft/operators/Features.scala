@@ -374,13 +374,20 @@ object Features {
     * with non-negative operands everywhere, so Spark `div`, DuckDB
     * `//`, and BigInt `/` all agree. Output scale ≈ 1e6·proj²/λ.
     */
+  /** Ridged top-2 eigenvalues, λ from the matrix each vector was
+    * ITERATED ON (v2 from the deflated cov2): exact-arithmetic-equal
+    * to using C for both, but the truncated-integer replay must pin
+    * one definition. max(·,0)+1 is the ridge both consumers and the
+    * oracle's lam CTEs share.
+    */
+  private def topTwoLambdasE6(covE6: Array[Array[Long]],
+      cov2: Array[Array[Long]], v1: Array[Long], v2: Array[Long]): (Long, Long) =
+    (math.max(Pca.rayleighE6(covE6, v1), 0L) + 1L,
+     math.max(Pca.rayleighE6(cov2, v2), 0L) + 1L)
+
   def mahalanobisTruncatedE6(emb: DataFrame, iters: Int = PowerIters): DataFrame = {
     val (meansE6, v1, v2, covE6, cov2) = powerFitE6(emb, iters)
-    // λ from the matrix each vector was ITERATED ON (v2 from the
-    // deflated cov2): exact-arithmetic-equal to using C for both, but
-    // the truncated-integer replay must pin one definition
-    val lam1 = math.max(Pca.rayleighE6(covE6, v1), 0L) + 1L
-    val lam2 = math.max(Pca.rayleighE6(cov2, v2), 0L) + 1L
+    val (lam1, lam2) = topTwoLambdasE6(covE6, cov2, v1, v2)
     def term(n: String, l: Long) =
       expr(s"((abs($n) div 1000000) * (abs($n) div 1000000)) div $l")
     emb.select(col("vec_id"), projE6(meansE6, v1, "pc1_fx"),
@@ -389,11 +396,37 @@ object Features {
         (term("pc1_fx", lam1) + term("pc2_fx", lam2)).as("maha2_fx"))
   }
 
+  /** Truncated ZCA whitening over the top-2 eigencomponents, ENTIRELY
+    * hash-gated — the whitened coordinates w_c = proj_c/√λ_c with the
+    * square root taken by FIXED-ITERATION integer Newton
+    * ([[Pca.isqrtFixed]]), so the full chain (moments → integer
+    * eigensolve → Rayleigh λ → isqrt → per-row truncating divide)
+    * replays verbatim in SQL. This is the whitening transform the
+    * full ZCA (spec-only; its inverse-sqrt covariance cannot be
+    * fixed-point-replayed — the Newton–Schulz negative result)
+    * restricted to the dominant subspace, same truncation regime as
+    * [[mahalanobisTruncatedE6]]. Output scale: proj at e12 divided by
+    * √λ at e3 → w at ≈1e9.
+    */
+  def zcaWhitenPc2E9(emb: DataFrame, iters: Int = PowerIters): DataFrame = {
+    val (meansE6, v1, v2, covE6, cov2) = powerFitE6(emb, iters)
+    val (lam1, lam2) = topTwoLambdasE6(covE6, cov2, v1, v2)
+    val (s1, s2) = (Pca.isqrtFixed(lam1), Pca.isqrtFixed(lam2))
+    def w(n: String, l: Long) =
+      expr(s"(CASE WHEN $n < 0 THEN -1 ELSE 1 END) * (abs($n) div $l)")
+    emb.select(col("vec_id"), projE6(meansE6, v1, "pc1_fx"),
+        projE6(meansE6, v2, "pc2_fx"))
+      .select(col("vec_id"),
+        w("pc1_fx", s1).as("w1_e9"), w("pc2_fx", s2).as("w2_e9"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pca_power_projection" -> ((s, dir) =>
       pcaPowerProjection(Tables(s, dir).embeddings)),
     "mahalanobis_pc2" -> ((s, dir) =>
       mahalanobisTruncatedE6(Tables(s, dir).embeddings)),
+    "zca_whiten_pc2" -> ((s, dir) =>
+      zcaWhitenPc2E9(Tables(s, dir).embeddings)),
     // Embedding QA profile: per-label vector-norm statistics in EXACT
     // scaled integers (norm² at e12 = Σ floor(x·1e6+0.5)² — the same
     // fixed-point convention as the PCA family, so no float sum can
@@ -465,22 +498,60 @@ object Features {
     * Σ (|pc_fx|//1e6)² // λ — the same truncating, non-negative
     * divisions the engine runs.
     */
+  /** The ridged top-2 Rayleigh eigenvalue CTEs (`lam1`/`lam2`) shared
+    * by the truncated-Mahalanobis and truncated-ZCA oracles — the SQL
+    * replay of [[topTwoLambdasE6]].
+    */
+  private val lambdaCtes: String =
+    """lam1 AS MATERIALIZED (
+      |  SELECT greatest((CASE WHEN r.num < 0 THEN -1 ELSE 1 END)::BIGINT *
+      |    cast(abs(r.num) // d.den AS BIGINT), 0) + 1 AS l
+      |  FROM aray r, aden d),
+      |bray AS MATERIALIZED (
+      |  SELECT sum(x.v::HUGEINT * cf.c::HUGEINT * y.v::HUGEINT) AS num
+      |  FROM cov2 cf JOIN bvfin x ON cf.i = x.i
+      |               JOIN bvfin y ON cf.j = y.i),
+      |bden AS MATERIALIZED (
+      |  SELECT sum(v::HUGEINT * v::HUGEINT) AS den FROM bvfin),
+      |lam2 AS MATERIALIZED (
+      |  SELECT greatest((CASE WHEN r.num < 0 THEN -1 ELSE 1 END)::BIGINT *
+      |    cast(abs(r.num) // d.den AS BIGINT), 0) + 1 AS l
+      |  FROM bray r, bden d)""".stripMargin
+
+  /** Unrolled fixed-iteration integer Newton isqrt as SQL — the
+    * replay of [[Pca.isqrtFixed]] over the 1-row `src` relation
+    * (column `l`); result relation `${pfx}fin` (column `x`). Plain
+    * CTEs: each level is referenced exactly once, so inlining stays
+    * linear (unlike the twice-referenced power-chain levels that
+    * must MATERIALIZE).
+    */
+  private def isqrtCtes(pfx: String, src: String, iters: Int = 50): String = {
+    val steps = (1 to iters).map { t =>
+      s"${pfx}i$t AS (SELECT n, (x + n // x) // 2 AS x FROM ${pfx}i${t - 1})"
+    }.mkString(",\n")
+    s"""${pfx}i0 AS (SELECT l AS n, l AS x FROM $src),
+       |$steps,
+       |${pfx}fin AS (SELECT x FROM ${pfx}i$iters)""".stripMargin
+  }
+
+  /** DuckDB replay of [[zcaWhitenPc2E9]]: shared prelude + lam CTEs,
+    * the unrolled isqrt chains, then the per-row truncating divides.
+    */
+  private def zcaWhitenOracle(iters: Int): String =
+    s"""WITH ${powerOraclePrelude(iters)},
+       |$lambdaCtes,
+       |${isqrtCtes("a", "lam1")},
+       |${isqrtCtes("b", "lam2")}
+       |SELECT p.vec_id,
+       |  (CASE WHEN p.pc1_fx < 0 THEN -1 ELSE 1 END) *
+       |    (abs(p.pc1_fx) // s1.x) AS w1_e9,
+       |  (CASE WHEN p.pc2_fx < 0 THEN -1 ELSE 1 END) *
+       |    (abs(p.pc2_fx) // s2.x) AS w2_e9
+       |FROM projs p, afin s1, bfin s2""".stripMargin
+
   private def mahalanobisOracle(iters: Int): String =
     s"""WITH ${powerOraclePrelude(iters)},
-       |lam1 AS MATERIALIZED (
-       |  SELECT greatest((CASE WHEN r.num < 0 THEN -1 ELSE 1 END)::BIGINT *
-       |    cast(abs(r.num) // d.den AS BIGINT), 0) + 1 AS l
-       |  FROM aray r, aden d),
-       |bray AS MATERIALIZED (
-       |  SELECT sum(x.v::HUGEINT * cf.c::HUGEINT * y.v::HUGEINT) AS num
-       |  FROM cov2 cf JOIN bvfin x ON cf.i = x.i
-       |               JOIN bvfin y ON cf.j = y.i),
-       |bden AS MATERIALIZED (
-       |  SELECT sum(v::HUGEINT * v::HUGEINT) AS den FROM bvfin),
-       |lam2 AS MATERIALIZED (
-       |  SELECT greatest((CASE WHEN r.num < 0 THEN -1 ELSE 1 END)::BIGINT *
-       |    cast(abs(r.num) // d.den AS BIGINT), 0) + 1 AS l
-       |  FROM bray r, bden d)
+       |$lambdaCtes
        |SELECT p.vec_id,
        |  ((abs(p.pc1_fx) // 1000000) * (abs(p.pc1_fx) // 1000000)) // l1.l +
        |  ((abs(p.pc2_fx) // 1000000) * (abs(p.pc2_fx) // 1000000)) // l2.l
@@ -588,6 +659,7 @@ object Features {
         |JOIN means b ON mo.j = b.k""".stripMargin,
     "pca_power_projection" -> pcaPowerOracle(PowerIters),
     "mahalanobis_pc2" -> mahalanobisOracle(PowerIters),
+    "zca_whiten_pc2" -> zcaWhitenOracle(PowerIters),
     "embedding_norm_profile" ->
       """WITH n AS (
         |  SELECT label,

@@ -96,6 +96,26 @@ object Pca {
     else (BigInt(num.signum) * (num.abs / den)).toLong
   }
 
+  /** Fixed-iteration integer Newton square root: x₀ = max(n, 1),
+    * x' = (x + n div x) div 2, `iters` times — every operand
+    * non-negative, every division truncating, so the identical
+    * unrolled chain replays in SQL. A FIXED count (like
+    * [[powerIterateE6]]) keeps both engines in lockstep even on the
+    * n = (s+1)²−1 inputs where the iteration 2-cycles between s and
+    * s+1: determinism-by-construction is the contract, floor(√n)
+    * exactness is not (the one-ulp ambiguity is identical on both
+    * sides). 50 iterations converges from x₀ = n for any n < 2⁶³
+    * (≈31 halvings to the √n neighborhood, then quadratic).
+    */
+  def isqrtFixed(n: Long, iters: Int = 50): Long = {
+    require(n >= 0, s"isqrtFixed of negative $n")
+    if (n == 0) return 0L // the iteration reaches x=0 and would div/0
+    val nb = BigInt(n)
+    var x = nb
+    for (_ <- 1 to iters) x = (x + nb / x) / 2
+    x.toLong
+  }
+
   /** Returns (eigenvalues, eigenvectors-as-columns): `vecs(i)(c)` is
     * component i of eigenvector c, paired with `vals(c)`.
     */

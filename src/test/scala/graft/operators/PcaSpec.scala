@@ -228,6 +228,35 @@ class PcaPowerIterateSpec extends SparkSpec {
     assert(Pca.rayleighE6(cov, Array(0L, 0L)) == 0L)
   }
 
+  test("isqrtFixed: floor sqrt, except the known (s+1)^2-1 one-ulp cycle") {
+    for (n <- 0L to 10000L) {
+      val s = math.sqrt(n.toDouble).toLong
+      val r = Pca.isqrtFixed(n)
+      // the fixed-count Newton iteration 2-cycles between s and s+1
+      // exactly on n = (s+1)^2 - 1; everywhere else it is floor(sqrt)
+      assert(r == s || (r == s + 1 && n == (s + 1) * (s + 1) - 1),
+        s"n=$n r=$r floor=$s")
+    }
+    assert(Pca.isqrtFixed(0L) == 0L)
+    assert(Pca.isqrtFixed(64000000L) == 8000L) // lam-scale magnitude
+    assert(Pca.isqrtFixed(Long.MaxValue) == 3037000499L) // floor(sqrt(2^63-1))
+  }
+
+  test("truncated whitening amplifies the planted off-axis outlier") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val t = rng.nextGaussian()
+      (i.toLong, Array(t + rng.nextGaussian() * 0.05,
+        t + rng.nextGaussian() * 0.05).map(_.toFloat))
+    } :+ (200L, Array(1.5f, -1.5f))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val top = Features.zcaWhitenPc2E9(df, iters = 32)
+      .orderBy(abs(col("w2_e9")).desc, col("vec_id").asc)
+      .select("vec_id").head.getLong(0)
+    assert(top == 200L, s"expected planted outlier 200, got $top")
+  }
+
   test("truncated Mahalanobis ranks the planted off-axis outlier on top") {
     import org.apache.spark.sql.functions._
     // tight correlated cloud along (1,1)… plus one point breaking the
