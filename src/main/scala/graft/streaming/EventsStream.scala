@@ -239,7 +239,28 @@ object EventsStream {
     "stream_hourly_counts" -> ((s, dir) =>
       hourlyCounts(graft.catalog.Tables(s, dir).events)),
     "stream_attribution_join" -> ((s, dir) =>
-      attributionJoin(graft.catalog.Tables(s, dir).events))
+      attributionJoin(graft.catalog.Tables(s, dir).events)),
+    // Oracle-pinned run of the REAL sessionization dataflow: the
+    // events table drained as an AvailableNow file stream through
+    // [[sessionize]] (flatMapGroupsWithState, per-user event-list
+    // state, closed-session Append emission), landed in a memory
+    // sink. Append mode emits every session EXCEPT each user's last
+    // (still open in state) — the oracle states exactly that with a
+    // max-session-id exclusion. Boundaries are emitted at MILLISECOND
+    // granularity: the processor sorts by Timestamp.getTime (ms), so
+    // among same-ms ties the head/tail micros are arrival-order-
+    // dependent while the ms values are not — ms output is the
+    // deterministic face of the same sessions (gap flags compare ms
+    // on both engines, so the session SPLITS are tie-invariant too).
+    "stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, unix_millis}
+      runAvailableNow(sessionize(readEvents(s, dir)).toDF(),
+        "stream_sessions_sink")
+      s.table("stream_sessions_sink")
+        .select(col("user_id"), col("n_events"),
+          unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -265,6 +286,31 @@ object EventsStream {
         |FROM purchases JOIN clicks
         |  ON p_user = c_user
         | AND click_ts <= purchase_ts
-        | AND click_ts >= purchase_ts - INTERVAL 30 MINUTE""".stripMargin
+        | AND click_ts >= purchase_ts - INTERVAL 30 MINUTE""".stripMargin,
+    // gap sessionization in ms, excluding each user's LAST session
+    // (open in stream state, never emitted in Append mode). Gap flags
+    // and boundaries all compare epoch-ms — the granularity the
+    // stream's Timestamp.getTime sort actually uses.
+    "stream_sessions" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > ${30L * 60L * 1000L}
+         |         THEN 1 ELSE 0 END AS gap_flag
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts,
+         |    sum(gap_flag) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged),
+         |agg AS (
+         |  SELECT user_id, sid, cast(count(*) AS bigint) AS n_events,
+         |    cast(min(epoch_ms(ts)) AS bigint) AS start_ms,
+         |    cast(max(epoch_ms(ts)) AS bigint) AS end_ms
+         |  FROM sessions GROUP BY 1, 2)
+         |SELECT user_id, n_events, start_ms, end_ms
+         |FROM agg
+         |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin
   )
 }
