@@ -54,4 +54,37 @@ object UserProfileState {
         TimeMode.None(), OutputMode.Update(), implicitly[
           org.apache.spark.sql.Encoder[UserProfile]])
   }
+
+  /** Oracle-pinned run of the REAL profile dataflow (the
+    * stream_heavy_hitters pattern): drain events AvailableNow through
+    * [[runningProfiles]] — transformWithState, RocksDB ValueState,
+    * update-mode emission — keep each user's FINAL state row (n_events
+    * is strictly monotone per user across batches), and compare to the
+    * batch aggregate. Exactness: spend folds as integer half-up cents
+    * (math.round ≡ floor(x·100 + 0.5) for Long) in ANY fold order,
+    * and the oracle states the identical floor — the one double op,
+    * cents/100.0, is a single division on both engines.
+    */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_user_profiles" -> ((s, dir) =>
+      EventsStream.withRocksDbStateStore(s) {
+        import org.apache.spark.sql.functions._
+        EventsStream.runAvailableNow(
+          runningProfiles(EventsStream.readEvents(s, dir)).toDF(),
+          "stream_profiles_sink", outputMode = "update")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(desc("n_events"))
+        s.table("stream_profiles_sink")
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(col("user_id"), col("n_events"), col("total_value"))
+      })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "stream_user_profiles" ->
+      """SELECT user_id, cast(count(*) AS bigint) AS n_events,
+        |  cast(sum(cast(floor(value * 100 + 0.5) AS bigint)) AS bigint)
+        |    / 100.0::DOUBLE AS total_value
+        |FROM events GROUP BY user_id""".stripMargin
+  )
 }
