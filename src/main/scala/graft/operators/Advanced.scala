@@ -29,6 +29,39 @@ object Advanced {
   private val SessionGapMin = 30
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Interval sweep-line: daily backlog of OPEN orders (placed, last
+    // line not yet shipped) — the concurrent-intervals operator
+    // (inventory over time, active sessions, in-flight requests).
+    // Each order contributes +1 at its open date and −1 the day after
+    // its close; the daily running sum of deltas IS the backlog. The
+    // ONLY ordered-global window runs over the per-day delta
+    // relation, which is bounded by the calendar (thousands of rows
+    // at any corpus size — date-bounded, not corpus-bounded), after a
+    // map-side-combined per-day aggregate; the corpus-sized work is
+    // all keyed shuffles. Orders with no shipped line yet never
+    // emit a close event — the running count simply stays up, exactly
+    // the real semantics.
+    "open_orders_timeseries" -> ((s, dir) => {
+      val close = Tables(s, dir).lineitem
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(max(col("l_shipdate")).as("close_date"))
+      val orders = Tables(s, dir).orders
+        .join(close, Seq("o_orderkey"), "left")
+      val deltas = orders
+        .select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+        .unionAll(orders.filter(col("close_date").isNotNull)
+          .select(date_add(to_date(col("close_date")), 1).as("day"),
+            lit(-1L).as("delta")))
+        .groupBy(col("day"))
+        .agg(sum(col("delta")).as("net"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_opened"),
+          sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_closed"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas
+        .withColumn("n_open", sum(col("net")).over(w))
+        .select(col("day"), col("n_opened"), col("n_closed"), col("n_open"))
+    }),
     // user-behavior Markov transition matrix: P(next event type |
     // current) from per-user event sequences — one user-keyed window
     // (lead) for the consecutive pairs, one map-side-combined count,
@@ -312,6 +345,26 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    "open_orders_timeseries" ->
+      """WITH close AS (
+        |  SELECT l_orderkey AS o_orderkey, max(l_shipdate) AS close_date
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT ord.o_orderkey, ord.o_orderdate, c.close_date
+        |      FROM orders ord LEFT JOIN close c USING (o_orderkey)),
+        |deltas AS (
+        |  SELECT day, cast(sum(delta) AS bigint) AS net,
+        |    cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS bigint) AS n_opened,
+        |    cast(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS bigint) AS n_closed
+        |  FROM (
+        |    SELECT cast(o_orderdate AS date) AS day, 1 AS delta FROM o
+        |    UNION ALL
+        |    SELECT cast(close_date AS date) + 1 AS day, -1 AS delta FROM o
+        |    WHERE close_date IS NOT NULL)
+        |  GROUP BY day)
+        |SELECT day, n_opened, n_closed,
+        |  cast(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS bigint)
+        |    AS n_open
+        |FROM deltas""".stripMargin,
     "event_motifs" ->
       """WITH tri AS (
         |  SELECT user_id, event_type AS e1,

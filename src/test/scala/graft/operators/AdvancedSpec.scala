@@ -82,4 +82,19 @@ class AdvancedSpec extends SparkSpec {
     val total = graft.catalog.Tables(spark, sf).part.count()
     assert(r.getAs[Long]("n_parts_heavy") + r.getAs[Long]("n_parts_not_heavy") == total)
   }
+
+  test("open-orders sweep: non-negative backlog, conserved opens/closes") {
+    val ts = run("open_orders_timeseries").orderBy($"day").collect()
+    assert(ts.nonEmpty && ts.forall(_.getAs[Long]("n_open") >= 0L))
+    val t = graft.catalog.Tables(spark, sf)
+    val total = t.orders.count()
+    val withLines = t.lineitem.select($"l_orderkey").distinct()
+      .join(t.orders.select($"o_orderkey".as("l_orderkey")), Seq("l_orderkey"))
+      .count()
+    // every order opens once; every order with at least one shipped
+    // line closes once; the series ends at the never-shipped backlog
+    assert(ts.map(_.getAs[Long]("n_opened")).sum == total)
+    assert(ts.map(_.getAs[Long]("n_closed")).sum == withLines)
+    assert(ts.last.getAs[Long]("n_open") == total - withLines)
+  }
 }
