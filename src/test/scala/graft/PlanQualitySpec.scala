@@ -428,4 +428,20 @@ class PlanQualitySpec extends SparkSpec {
         "edge list should come from the persisted cache, not a rebuild")
     } finally spark.listenerManager.unregister(l)
   }
+
+  test("cluster-family rows consume the derived layout, never re-cluster") {
+    // the four rows share one materialized (doc_id, cluster_id)
+    // assignment; a regression to inline clustering would put the
+    // minhash/LSH machinery back into each plan (at 100 TB: four
+    // multi-hour jobs instead of one job + three cheap consumers)
+    for (q <- Seq("dedup_clusters", "dedup_cluster_canonical",
+        "dedup_cluster_sizes", "cluster_safe_split")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("cluster_assignment"),
+        s"$q does not scan the derived cluster_assignment layout")
+      assert(!p.contains("minhash60"),
+        s"$q recomputes the minhash pipeline inline")
+    }
+  }
 }
