@@ -143,6 +143,32 @@ object CurationFilters {
             .stripMargin)
     }),
 
+    // Temporal split report: train on the past, evaluate on the
+    // future (the split that matters for time-series / behavioral
+    // models, where hash splits leak the future into training), plus
+    // the USER-overlap count — users active on both sides of the
+    // cutoff are the entity-level leakage a strict temporal split
+    // still carries (their habits are partially memorized). Two
+    // map-side-combined aggregates; the overlap folds per-user
+    // side-flags exactly like the n-gram split-leakage audit.
+    "temporal_split_report" -> ((s, dir) => {
+      val cutoff = lit("2024-01-22 00:00:00").cast("timestamp")
+      val tagged = Tables(s, dir).events
+        .withColumn("split", when(col("ts") < cutoff, "train").otherwise("test"))
+      val sides = tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+      val overlap = tagged
+        .groupBy(col("user_id"))
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("te"))
+        .agg(sum(when(col("tr") === 1 && col("te") === 1, 1L).otherwise(0L))
+          .as("n_users_both"))
+      sides.crossJoin(broadcast(overlap))
+        .select(col("split"), col("n_events"), col("n_users"),
+          col("n_users_both"))
+    }),
+
     // Gopher-style repetition quality gate: fraction of duplicated
     // words + share of the most frequent bigram. Two doc_id-keyed
     // aggregations (map-side combined) + one doc_id join; thresholds
@@ -422,6 +448,26 @@ object CurationFilters {
       |GROUP BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "temporal_split_report" ->
+      """WITH tagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM events),
+        |sides AS (
+        |  SELECT split, cast(count(*) AS bigint) AS n_events,
+        |    cast(count(DISTINCT user_id) AS bigint) AS n_users
+        |  FROM tagged GROUP BY 1),
+        |flags AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+        |    max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+        |  FROM tagged GROUP BY 1),
+        |overlap AS (
+        |  SELECT cast(sum(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_users_both FROM flags)
+        |SELECT s.split, s.n_events, s.n_users, o.n_users_both
+        |FROM sides s, overlap o""".stripMargin,
     "split_leakage_report" ->
       s"""WITH RECURSIVE ${graft.operators.Dedup.minhashOracleCtes("documents")},
          |undirected AS (
