@@ -341,10 +341,71 @@ object Advanced {
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
           .as("corr_price_qty"))
+    }),
+
+    // Pareto frontier (2D skyline): the price/size points no other
+    // part dominates (strictly cheaper with at-least-equal size, or
+    // equal price with strictly larger size). The naive formulation
+    // is an O(n²) NOT-EXISTS self-join (that's the ORACLE, where
+    // DuckDB can afford it); the engine runs the scale-safe
+    // two-phase plan: (1) collapse to per-price max size (keyed
+    // agg), bucket prices into 256 fixed-width ranges and compute
+    // each bucket's max size — a point dominated by ANY earlier
+    // bucket's max dies map-side against the broadcast 256-row
+    // bucket relation (prices in earlier buckets are strictly
+    // cheaper, so the prune is lossless); (2) the exact running-max
+    // sweep runs only over the survivors, whose expected size is
+    // O(log n) for any non-adversarial distribution — the global
+    // window never sees corpus-scale input. Survival is transitive:
+    // every pruned dominator is itself dominated by some surviving
+    // candidate, so phase 2 over candidates alone is exact.
+    "pareto_frontier" -> ((s, dir) => {
+      val pts = Tables(s, dir).part
+        .groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("size"))
+      val nBuckets = 256
+      val stats = pts.agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+      val bucketed = pts.crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          least(lit(nBuckets - 1), floor((col("price") - col("lo")) *
+            lit(nBuckets) / (col("hi") - col("lo") + lit(1e-9)))))
+        .select(col("price"), col("size"), col("bucket"))
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prev = bucketed.groupBy(col("bucket"))
+        .agg(max(col("size")).as("bsize"))
+        .withColumn("prev_max", max(col("bsize")).over(wB))
+        .select(col("bucket"), col("prev_max"))
+      val candidates = bucketed.join(broadcast(prev), Seq("bucket"))
+        .filter(col("prev_max").isNull || col("size") > col("prev_max"))
+      val wP = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = candidates
+        .withColumn("run_max", max(col("size")).over(wP))
+        .filter(col("run_max").isNull || col("size") > col("run_max"))
+        .select(col("price"), col("size"))
+      Tables(s, dir).part
+        .join(broadcast(frontier),
+          col("p_retailprice") === col("price") && col("p_size") === col("size"))
+        .groupBy(col("price"), col("size"))
+        .agg(count(lit(1)).as("n_parts"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "pareto_frontier" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS price, max(p_size) AS size
+        |  FROM part GROUP BY 1),
+        |f AS (
+        |  SELECT price, size FROM pts p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM pts q
+        |    WHERE q.price < p.price AND q.size >= p.size))
+        |SELECT f.price, cast(f.size AS int) AS size,
+        |  cast(count(*) AS bigint) AS n_parts
+        |FROM f JOIN part ON p_retailprice = f.price AND p_size = f.size
+        |GROUP BY 1, 2""".stripMargin,
     "open_orders_timeseries" ->
       """WITH close AS (
         |  SELECT l_orderkey AS o_orderkey, max(l_shipdate) AS close_date

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Time-series resampling and anomaly operators over the event
+  * stream: calendar gap-fill with last-observation-carried-forward,
+  * and day-of-week seasonal anomaly flagging in exact integer
+  * arithmetic.
+  *
+  * Scale shape (both queries): the ONLY corpus-sized operation is
+  * the first per-(series, day) aggregate, which map-side combines
+  * before its shuffle. Everything downstream — the calendar spine,
+  * the LOCF windows, the seasonal baselines — runs over relations
+  * bounded by |series| × |calendar days| (thousands of rows at ANY
+  * corpus size; doubling the data widens the date range, not the
+  * per-day relation). Windows partition by the series key, so no
+  * global sort ever sees corpus-scale input.
+  *
+  * Cross-engine exactness: event values are quantized PER ROW with
+  * the proven `floor(x·1e6 + 0.5)` primitive before summing, so all
+  * aggregates are integer and hash-stable; the anomaly test
+  * compares (m·x − S)² against 9·(m·Q − S²) — the z > 3 rule with
+  * both sides multiplied out to integers, no division or sqrt.
+  */
+object Timeseries {
+
+  /** Per-row 1e6 fixed-point quantization — the cross-engine-stable
+    * way to hash doubles (BASELINE.md round-8 note).
+    */
+  private def e6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("long")
+
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        e6(col("value")).as("v_e6"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_e6")).as("value_e6"))
+
+  /** The reusable resampler: given an already-aggregated relation
+    * (seriesCol, day, n_events, value_e6), build each series' dense
+    * daily spine, flag the days with no observation, and carry the
+    * last observed value forward. Input and output are bounded by
+    * |series| × |calendar days| regardless of corpus size (the
+    * corpus-scale work happens in the caller's aggregate).
+    */
+  def gapfillLocf(dailyAgg: DataFrame, seriesCol: String): DataFrame = {
+    val spine = dailyAgg.groupBy(col(seriesCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col(seriesCol), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val joined = spine.join(dailyAgg, Seq(seriesCol, "day"), "left")
+    val wOrd = Window.partitionBy(col(seriesCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grouped = joined
+      .withColumn("obs_grp", count(col("value_e6")).over(wOrd))
+    val wGrp = Window.partitionBy(col(seriesCol), col("obs_grp"))
+    grouped.select(col(seriesCol), col("day"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      col("n_events").isNull.as("is_gap"),
+      col("value_e6").as("observed_e6"),
+      max(col("value_e6")).over(wGrp).as("locf_e6"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Calendar gap-fill + LOCF: resample each event-type series onto
+    // its full daily calendar (sequence/explode builds the spine from
+    // the per-series min/max — never a driver collect), mark the
+    // missing days, and carry the last observed daily value forward.
+    // The LOCF window is the portable count-non-null grouping trick
+    // (a running count of observations names the segment each gap
+    // belongs to; the segment max is the carried value), which the
+    // DuckDB oracle replays verbatim — no reliance on IGNORE NULLS
+    // support. Spine and windows are calendar-bounded (see object
+    // doc); the join back to observations is keyed and tiny.
+    "timeseries_gapfill" -> ((s, dir) =>
+      gapfillLocf(daily(s, dir), "event_type")),
+
+    // Day-of-week seasonal anomaly days: for each (event_type,
+    // weekday) cell the baseline is the mean daily event count over
+    // the corpus; a day is anomalous when its count sits more than
+    // 3σ from that mean. Both sides are multiplied out so the test
+    // is pure bigint — flag ⇔ (m·x − S)² > 9·(m·Q − S²) with
+    // m = #days, S = Σx, Q = Σx² in the cell — and the emitted mean
+    // is truncating-integer-scaled, so the row hashes identically in
+    // DuckDB. Baselines live on a |types|×7 relation; every day is
+    // emitted with its flag (a filtered variant can be vacuously
+    // green on a well-behaved corpus — the flag column keeps the
+    // oracle's teeth).
+    "anomaly_days_dow" -> ((s, dir) => {
+      val counts = daily(s, dir)
+        .select(col("event_type"), col("day"), col("n_events").as("x"),
+          dayofweek(col("day")).as("dow"))
+      val base = counts.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+      val dev = col("m") * col("x") - col("s")
+      val bound = (col("m") * col("q") - col("s") * col("s")) * lit(9L)
+      counts.join(base, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("dow"), col("x"),
+          expr("(s * 1000000) DIV m").as("mean_e6"),
+          (dev * dev > bound).as("is_anomaly"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "timeseries_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, cast(ts AS date) AS day,
+        |    cast(count(*) AS bigint) AS n_events,
+        |    cast(sum(cast(floor(value * 1e6 + 0.5) AS bigint)) AS bigint)
+        |      AS value_e6
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, cast(unnest(generate_series(
+        |      min(day), max(day), INTERVAL 1 DAY)) AS date) AS day
+        |  FROM daily GROUP BY event_type),
+        |joined AS (
+        |  SELECT s.event_type, s.day, d.n_events, d.value_e6,
+        |    count(d.value_e6) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS obs_grp
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.event_type = d.event_type AND s.day = d.day)
+        |SELECT event_type, day,
+        |  cast(coalesce(n_events, 0) AS bigint) AS n_events,
+        |  n_events IS NULL AS is_gap,
+        |  value_e6 AS observed_e6,
+        |  max(value_e6) OVER (PARTITION BY event_type, obs_grp) AS locf_e6
+        |FROM joined""".stripMargin,
+    "anomaly_days_dow" ->
+      """WITH counts AS (
+        |  SELECT event_type, cast(ts AS date) AS day,
+        |    cast(count(*) AS bigint) AS x
+        |  FROM events GROUP BY 1, 2),
+        |withdow AS (
+        |  SELECT event_type, day, x, dayofweek(day) + 1 AS dow FROM counts),
+        |base AS (
+        |  SELECT event_type, dow, cast(count(*) AS bigint) AS m,
+        |    cast(sum(x) AS bigint) AS s, cast(sum(x * x) AS bigint) AS q
+        |  FROM withdow GROUP BY 1, 2)
+        |SELECT c.event_type, c.day, cast(c.dow AS int) AS dow, c.x,
+        |  cast((b.s * 1000000) // b.m AS bigint) AS mean_e6,
+        |  (b.m * c.x - b.s) * (b.m * c.x - b.s)
+        |    > 9 * (b.m * b.q - b.s * b.s) AS is_anomaly
+        |FROM withdow c JOIN base b
+        |  ON c.event_type = b.event_type AND c.dow = b.dow""".stripMargin
+  )
+}

@@ -40,7 +40,9 @@ class PlanLintSpec extends SparkSpec {
     "bm25_search" -> "bounded query-term broadcast over the posting scan",
     "vocab_coverage_curve" -> "1-row token-total broadcast",
     "rfm_segments" -> "1-row anchor-date and quintile-boundary broadcasts",
-    "dq_fk_orphans" -> "per-FK 1-row orphan/child-count aggregates crossed"
+    "dq_fk_orphans" -> "per-FK 1-row orphan/child-count aggregates crossed",
+    "temporal_split_report" -> "1-row user-overlap aggregate broadcast",
+    "pareto_frontier" -> "1-row price-range broadcast for bucket pruning"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {
@@ -68,7 +70,11 @@ class PlanLintSpec extends SparkSpec {
     "window_ratio_report" -> "ratio-to-report over a 3-row aggregate",
     "best_performing_product" -> "pct-of-total over a per-day aggregate",
     "lang_temperature_weights" -> "normalizer over a per-language aggregate",
-    "vocab_coverage_curve" -> "rank over the top-50 limit of the vocab aggregate"
+    "vocab_coverage_curve" -> "rank over the top-50 limit of the vocab aggregate",
+    "open_orders_timeseries" ->
+      "running backlog over the per-day delta aggregate (calendar-bounded)",
+    "pareto_frontier" ->
+      "running max over the 256-bucket aggregate and the bucket-pruned candidates"
   )
 
   test("no query runs a partition-less window over a non-aggregated relation") {

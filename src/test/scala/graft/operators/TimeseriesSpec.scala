@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property pins for the time-series family and the Pareto frontier
+  * (the DuckDB hash gate proves cross-engine equality; these pin the
+  * SEMANTICS against independently computed truths).
+  */
+class TimeseriesSpec extends SparkSpec {
+
+  test("gapfill spine is dense per series and consistent on the corpus") {
+    val out = run("timeseries_gapfill").cache()
+    try {
+      // dense: per series, #rows == datediff(max, min) + 1, no dup days
+      val span = out.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (datediff(max(col("day")), min(col("day"))) + 1).as("expect"),
+          countDistinct(col("day")).as("nd"))
+        .collect()
+      assert(span.nonEmpty)
+      span.foreach { r =>
+        assert(r.getAs[Long]("n") == r.getAs[Int]("expect").toLong)
+        assert(r.getAs[Long]("nd") == r.getAs[Long]("n"))
+      }
+      // is_gap <=> no observation; LOCF == observation on observed days
+      assert(out.filter(col("is_gap") =!= col("observed_e6").isNull).count() == 0)
+      assert(out.filter(!col("is_gap") &&
+        col("locf_e6") =!= col("observed_e6")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("LOCF fills synthetic gaps with the latest preceding observation") {
+    // the test corpora are gap-free at every sf (each type fires
+    // daily), so the fill path is pinned on a sparse synthetic series
+    import spark.implicits._
+    val sparse = Seq(
+      ("a", "2024-01-01", 2L, 100L),
+      ("a", "2024-01-04", 1L, 400L), // 2 gap days before
+      ("a", "2024-01-05", 3L, 500L),
+      ("b", "2024-01-02", 1L, 20L),
+      ("b", "2024-01-06", 2L, 60L)   // 3 gap days before
+    ).toDF("series", "day_s", "n_events", "value_e6")
+      .select(col("series"), to_date(col("day_s")).as("day"),
+        col("n_events"), col("value_e6"))
+    val out = Timeseries.gapfillLocf(sparse, "series")
+      .orderBy(col("series"), col("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getBoolean(3), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(out.length == 5 + 5) // a: 5 days, b: 5 days
+    val a = out.filter(_._1 == "a")
+    assert(a.map(_._2) sameElements
+      Array("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+    assert(a.map(_._5) sameElements Array(Some(100L), Some(100L), Some(100L),
+      Some(400L), Some(500L)))
+    assert(a.map(_._4) sameElements Array(false, true, true, false, false))
+    assert(a.map(_._3) sameElements Array(2L, 0L, 0L, 1L, 3L))
+    val b = out.filter(_._1 == "b")
+    assert(b.map(_._5) sameElements Array(Some(20L), Some(20L), Some(20L),
+      Some(20L), Some(60L)))
+  }
+
+  test("anomaly flag equals the double-arithmetic z>3 rule away from ties") {
+    val out = run("anomaly_days_dow").cache()
+    try {
+      assert(out.count() > 0)
+      // recompute z in plain double from the emitted day counts and
+      // compare flags; the integer form only differs where z is
+      // EXACTLY 3, which the corpus doesn't hit
+      val stats = out.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).cast("double").as("m"),
+          sum(col("x")).cast("double").as("s"),
+          sum(col("x") * col("x")).cast("double").as("q"))
+      val z2 = out.join(stats, Seq("event_type", "dow"))
+        .withColumn("num", (col("m") * col("x") - col("s")) *
+          (col("m") * col("x") - col("s")))
+        .withColumn("den", col("m") * col("q") - col("s") * col("s"))
+        .withColumn("flag2", col("num") > col("den") * 9.0)
+      assert(z2.filter(col("is_anomaly") =!= col("flag2")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("pareto frontier matches the brute-force skyline") {
+    val out = run("pareto_frontier").cache()
+    try {
+      val pts = graft.catalog.Tables(spark, sf).part
+        .groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("size")).collect()
+        .map(r => (r.getDouble(0), r.getInt(1)))
+      val brute = pts.filter { case (p, sz) =>
+        !pts.exists { case (q, qs) => q < p && qs >= sz }
+      }.toSet
+      val got = out.collect()
+        .map(r => (r.getAs[Double]("price"), r.getAs[Int]("size"))).toSet
+      assert(got == brute)
+      assert(got.nonEmpty)
+      // n_parts counts the parts at each frontier point
+      val n = out.agg(sum(col("n_parts"))).collect()(0).getLong(0)
+      val expect = graft.catalog.Tables(spark, sf).part
+        .filter(brute.map { case (p, sz) =>
+          col("p_retailprice") === p && col("p_size") === sz
+        }.reduce(_ || _)).count()
+      assert(n == expect)
+    } finally out.unpersist()
+  }
+}
