@@ -87,6 +87,46 @@ object Maintenance {
           col("m.click_id").as("click_id"), col("m.click_ts").as("click_ts"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("m.click_ts")))
             .as("lag_us"))
+    }),
+
+    // Z-ORDER layout: Morton-interleave two join/filter dimensions
+    // into one clustering key, bucket the key range, and emit each
+    // bucket's per-dimension min/max — exactly the footer statistics
+    // parquet keeps per file, i.e. the view a multi-dimensional
+    // data-skipping read would prune on. At 100 TB the deploy step
+    // is `repartitionByRange(N, morton)` + write: because the Morton
+    // curve alternates bits of both dimensions, every file then
+    // covers ≈ 1/√N of EACH dimension's range (vs 1/N of one and ALL
+    // of the other when sorting by a single column), so selective
+    // predicates on either dimension — or both — skip most files.
+    // This query IS the layout math (quantize → interleave → bucket
+    // → per-bucket stats): all integer ops over one scan plus a
+    // 1-row range broadcast. The interleave expression is the SAME
+    // `sources/Layout.interleave` the write path
+    // (`Layout.writeZOrdered`, locality proven by `LayoutSpec`)
+    // clusters on — this row puts that shared math under the
+    // cross-engine hash gate, with the oracle replaying the
+    // bit-spread as the standard mask cascade (x |= x<<8, <<4, <<2,
+    // <<1 under 0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555).
+    // Quantization here is pure-integer DIV against a broadcast
+    // min/max row (no driver collect, no double rounding to diverge
+    // between engines).
+    "zorder_layout" -> ((s, dir) => {
+      val l = Tables(s, dir).lineitem
+      val stats = l.agg(
+        min(col("l_partkey")).as("lox"), max(col("l_partkey")).as("hix"),
+        min(col("l_suppkey")).as("loy"), max(col("l_suppkey")).as("hiy"))
+      val q = l.select(col("l_partkey"), col("l_suppkey"))
+        .crossJoin(broadcast(stats))
+        .withColumn("qx", expr("((l_partkey - lox) * 65535) DIV greatest(1, hix - lox)"))
+        .withColumn("qy", expr("((l_suppkey - loy) * 65535) DIV greatest(1, hiy - loy)"))
+      q.withColumn("morton",
+          graft.sources.Layout.interleave(col("qx"), col("qy"), 16))
+        .withColumn("bucket", shiftright(col("morton"), 26))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
     })
   )
 
@@ -127,6 +167,29 @@ object Maintenance {
         |    AND epoch_us(c.click_ts) >= epoch_us(p.purchase_ts) - 1800000000)
         |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
         |  epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
-        |FROM j WHERE rn = 1""".stripMargin
+        |FROM j WHERE rn = 1""".stripMargin,
+    "zorder_layout" ->
+      """WITH stats AS (
+        |  SELECT min(l_partkey) AS lox, max(l_partkey) AS hix,
+        |         min(l_suppkey) AS loy, max(l_suppkey) AS hiy
+        |  FROM lineitem),
+        |q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    ((l_partkey - lox) * 65535) // greatest(1, hix - lox) AS qx,
+        |    ((l_suppkey - loy) * 65535) // greatest(1, hiy - loy) AS qy
+        |  FROM lineitem, stats),
+        |s1 AS (SELECT *, (qx | (qx << 8)) & 16711935 AS x1,
+        |               (qy | (qy << 8)) & 16711935 AS y1 FROM q),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |               (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        |SELECT (y4 | (x4 << 1)) >> 26 AS bucket,
+        |  cast(count(*) AS bigint) AS n_rows,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        |FROM s4 GROUP BY 1""".stripMargin
   )
 }

@@ -103,6 +103,70 @@ object Sketches {
             <= abs(element_at(col("exact_q"), col("i"))) * 0.02).as("approx_within_tol"),
           col("n"))
         .orderBy(col("p"))
+    }),
+
+    // KMV (k-minimum-values) distinct sketches driving a JOIN-SIZE
+    // ESTIMATE — the "plan before you execute" primitive: at 100 TB
+    // the optimizer wants |orders ⋈ customer| before paying the
+    // shuffle, and KMV delivers it from two TakeOrdered(k) passes
+    // (per-partition k-heaps, k rows to the driver — never the key
+    // relation). Unlike HLL, KMV is DETERMINISTIC given the hash, so
+    // the whole estimator sits under the cross-engine hash gate:
+    // h = 40-bit md5 prefix (integer arithmetic stays exact in
+    // bigint; a production deploy widens to 60 bits and decimal),
+    // D̂ = (k−1)·2⁴⁰ DIV h_k when the sketch fills (exact count
+    // below k), Jaccard from the k-min union sketch's members seen
+    // on both sides, overlap = Ĵ·D̂_union, join rows =
+    // overlap · |orders| / D̂_A (customer side is unique-keyed).
+    // Exact companions ride along for the audit, like
+    // ann_recall_report.
+    "sketch_join_cardinality" -> ((s, dir) => {
+      val k = 256
+      val kmvScale = 255L * (1L << 40) // (k-1)·2^40
+      val t = Tables(s, dir)
+      def hashes(df: DataFrame, c: String): DataFrame =
+        df.select(col(c).cast("long").as("key")).distinct()
+          .select(conv(substring(md5(col("key").cast("string")), 1, 10), 16, 10)
+            .cast("long").as("h"))
+      def est(h: DataFrame, name: String): DataFrame =
+        h.orderBy(col("h")).limit(k)
+          .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+          .select(when(col("n") < k, col("n"))
+            .otherwise(expr(s"$kmvScale DIV hk")).as(name))
+      val hA = hashes(t.orders, "o_custkey")
+      val hB = hashes(t.customer, "c_custkey")
+      val sU = hA.unionAll(hB).distinct().orderBy(col("h")).limit(k)
+      val uStats = sU
+        .join(hA.withColumnRenamed("h", "ha"), col("h") === col("ha"), "left")
+        .join(hB.withColumnRenamed("h", "hb"), col("h") === col("hb"), "left")
+        .agg(count(lit(1)).as("su_n"), max(col("h")).as("hk"),
+          sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+            .otherwise(0L)).as("j"))
+        .select(col("su_n"), col("j"),
+          when(col("su_n") < k, col("su_n"))
+            .otherwise(expr(s"$kmvScale DIV hk")).as("est_union"))
+      val actuals = t.orders.agg(
+          countDistinct(col("o_custkey")).as("actual_distinct_a"),
+          count(lit(1)).as("n_orders"))
+        .crossJoin(t.customer.agg(
+          countDistinct(col("c_custkey")).as("actual_distinct_b")))
+        .crossJoin(t.orders.select(col("o_custkey")).distinct()
+          .join(t.customer, col("o_custkey") === col("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("actual_overlap")))
+        .crossJoin(t.orders.join(t.customer,
+            col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("actual_join_rows")))
+      est(hA, "est_distinct_a")
+        .crossJoin(est(hB, "est_distinct_b"))
+        .crossJoin(uStats)
+        .crossJoin(actuals)
+        .withColumn("est_overlap", expr("(j * est_union) DIV su_n"))
+        .withColumn("est_join_rows",
+          expr("(est_overlap * n_orders) DIV est_distinct_a"))
+        .select(col("est_distinct_a"), col("est_distinct_b"),
+          col("est_union"), col("est_overlap"), col("est_join_rows"),
+          col("actual_distinct_a"), col("actual_distinct_b"),
+          col("actual_overlap"), col("actual_join_rows"))
     })
   )
 
@@ -139,6 +203,51 @@ object Sketches {
         |  FROM documents),
         |c AS (SELECT w, cast(count(*) AS bigint) AS tf FROM toks GROUP BY w)
         |SELECT w, tf, tf AS est FROM c
-        |ORDER BY tf DESC, w LIMIT 20""".stripMargin
+        |ORDER BY tf DESC, w LIMIT 20""".stripMargin,
+    "sketch_join_cardinality" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(o_custkey::varchar), 1, 10))::bigint AS h
+        |  FROM orders),
+        |hb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(c_custkey::varchar), 1, 10))::bigint AS h
+        |  FROM customer),
+        |ka AS (SELECT count(*) AS n, max(h) AS hk
+        |       FROM (SELECT h FROM ha ORDER BY h LIMIT 256)),
+        |kb AS (SELECT count(*) AS n, max(h) AS hk
+        |       FROM (SELECT h FROM hb ORDER BY h LIMIT 256)),
+        |su AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        |       ORDER BY h LIMIT 256),
+        |ku AS (SELECT count(*) AS su_n, max(h) AS hk,
+        |         sum(CASE WHEN h IN (SELECT h FROM ha)
+        |                   AND h IN (SELECT h FROM hb) THEN 1 ELSE 0 END) AS j
+        |       FROM su),
+        |acts AS (SELECT
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS actual_distinct_a,
+        |  (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(DISTINCT c_custkey) FROM customer) AS actual_distinct_b,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS actual_overlap,
+        |  (SELECT count(*) FROM orders o JOIN customer c
+        |   ON o.o_custkey = c.c_custkey) AS actual_join_rows),
+        |e AS (SELECT
+        |  CASE WHEN ka.n < 256 THEN ka.n
+        |       ELSE 280375465082880 // ka.hk END AS est_distinct_a,
+        |  CASE WHEN kb.n < 256 THEN kb.n
+        |       ELSE 280375465082880 // kb.hk END AS est_distinct_b,
+        |  CASE WHEN ku.su_n < 256 THEN ku.su_n
+        |       ELSE 280375465082880 // ku.hk END AS est_union,
+        |  ku.su_n AS su_n, ku.j AS j, acts.*
+        |  FROM ka, kb, ku, acts)
+        |SELECT cast(est_distinct_a AS bigint) AS est_distinct_a,
+        |  cast(est_distinct_b AS bigint) AS est_distinct_b,
+        |  cast(est_union AS bigint) AS est_union,
+        |  cast((j * est_union) // su_n AS bigint) AS est_overlap,
+        |  cast((((j * est_union) // su_n) * n_orders) // est_distinct_a
+        |    AS bigint) AS est_join_rows,
+        |  cast(actual_distinct_a AS bigint) AS actual_distinct_a,
+        |  cast(actual_distinct_b AS bigint) AS actual_distinct_b,
+        |  cast(actual_overlap AS bigint) AS actual_overlap,
+        |  cast(actual_join_rows AS bigint) AS actual_join_rows
+        |FROM e""".stripMargin
   )
 }

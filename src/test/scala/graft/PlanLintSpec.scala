@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpec {
     "rfm_segments" -> "1-row anchor-date and quintile-boundary broadcasts",
     "dq_fk_orphans" -> "per-FK 1-row orphan/child-count aggregates crossed",
     "temporal_split_report" -> "1-row user-overlap aggregate broadcast",
-    "pareto_frontier" -> "1-row price-range broadcast for bucket pruning"
+    "pareto_frontier" -> "1-row price-range broadcast for bucket pruning",
+    "zorder_layout" -> "1-row dim-range broadcast for quantization",
+    "sketch_join_cardinality" -> "1-row KMV/exact summary aggregates crossed"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {

@@ -88,4 +88,29 @@ class SketchesSpec extends SparkSpec {
         "MG estimate must never exceed the true count")
     }
   }
+
+  test("KMV join-cardinality: exact below k, within 3/√k above it") {
+    // sf0.001: 150 customers < k=256 → the sketch IS the distinct set
+    val small = graft.SparkEntry.queries("sketch_join_cardinality")(spark, sf)
+      .collect()(0)
+    assert(small.getAs[Long]("est_distinct_a") ==
+      small.getAs[Long]("actual_distinct_a"))
+    assert(small.getAs[Long]("est_overlap") ==
+      small.getAs[Long]("actual_overlap"))
+    assert(small.getAs[Long]("est_join_rows") ==
+      small.getAs[Long]("actual_join_rows"))
+    // sf0.01: 1500 keys > k → the estimator regime; KMV relative
+    // error concentrates at ~1/√k ≈ 6.3%, so 3σ-ish ≈ 19%
+    val big = graft.SparkEntry.queries("sketch_join_cardinality")(
+      spark, "/root/testdata/sf0.01").collect()(0)
+    def close(est: Long, actual: Long): Unit =
+      assert(math.abs(est - actual) <= actual * 0.19,
+        s"KMV estimate $est too far from $actual")
+    close(big.getAs[Long]("est_distinct_a"), big.getAs[Long]("actual_distinct_a"))
+    close(big.getAs[Long]("est_distinct_b"), big.getAs[Long]("actual_distinct_b"))
+    close(big.getAs[Long]("est_overlap"), big.getAs[Long]("actual_overlap"))
+    close(big.getAs[Long]("est_join_rows"), big.getAs[Long]("actual_join_rows"))
+    assert(big.getAs[Long]("actual_distinct_a") > 256,
+      "sf0.01 must exercise the filled-sketch regime")
+  }
 }

@@ -63,4 +63,24 @@ class LayoutSpec extends SparkSpec {
     assert(touchedA(fileRanges(zdir, "l_orderkey")) <= files / 2,
       "z-order lost all leading-column locality")
   }
+
+  test("zorder_layout board row: bucket stats stay narrow in BOTH dims") {
+    // 64 morton buckets over two 16-bit quantized dims = 3 high bits
+    // per dim per bucket → each bucket should span ≈1/8 of each
+    // domain; assert the loose 1/4 bound and row conservation
+    val out = graft.SparkEntry.queries("zorder_layout")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables(spark, sf).lineitem.count())
+    def avgSpan(lo: String, hi: String): Double =
+      out.map(r => (r.getAs[Long](hi) - r.getAs[Long](lo)).toDouble).sum / out.length
+    val globalPk = out.map(_.getAs[Long]("max_pk")).max -
+      out.map(_.getAs[Long]("min_pk")).min
+    val globalSk = out.map(_.getAs[Long]("max_sk")).max -
+      out.map(_.getAs[Long]("min_sk")).min
+    assert(avgSpan("min_pk", "max_pk") <= globalPk / 4.0,
+      "partkey ranges not clustered")
+    assert(avgSpan("min_sk", "max_sk") <= globalSk / 4.0,
+      "suppkey ranges not clustered")
+  }
 }
