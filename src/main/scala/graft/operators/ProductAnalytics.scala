@@ -104,6 +104,42 @@ object ProductAnalytics {
         .limit(20)
     }),
 
+    // Item-item collaborative-filtering neighbors: top-5 most-similar
+    // parts per part by co-purchase cosine². Ranking by cosine² keeps
+    // the whole estimator in bigint — sim²·1e6 = n_both²·1e6 DIV
+    // (n_a·n_b) is monotone in cosine (all counts positive), so no
+    // sqrt ever runs and the rank is hash-exact cross-engine. Scale
+    // shape: the codegen orderkey self-join builds the pair relation
+    // (the intrinsic cost, same as part_cooccurrence), item counts
+    // broadcast back onto it, and the top-5 runs as a row_number
+    // window PARTITIONED BY ITEM — keyed, never global. A 100 TB
+    // deploy widens sim²'s numerator to decimal(38,0) (n_both can
+    // reach 1e6 there; here it's bounded by per-pair order counts).
+    "item_similarity" -> ((s, dir) => {
+      val io = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val cnt = io.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val co = io.select(col("ok"), col("pk").as("ia"))
+        .join(io.select(col("ok"), col("pk").as("ib")), Seq("ok"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("n_both"))
+      val sym = co.unionAll(
+        co.select(col("ib").as("ia"), col("ia").as("ib"), col("n_both")))
+      val scored = sym
+        .join(cnt.select(col("pk").as("ia"), col("n_item")), Seq("ia"))
+        .join(cnt.select(col("pk").as("ib"), col("n_item").as("n_b")), Seq("ib"))
+        .withColumn("sim2_e6",
+          expr("(n_both * n_both * 1000000) DIV (n_item * n_b)"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ia"))
+        .orderBy(desc("sim2_e6"), desc("n_both"), asc("ib"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("ia").as("item"), col("ib").as("neighbor"),
+          col("n_both"), col("n_item"), col("sim2_e6"), col("rank"))
+    }),
+
     // Fixed-iteration PageRank over the part co-purchase graph — the
     // iterative-graph-dataflow pattern (per-round keyed join +
     // map-side-combined aggregate) complementing labelPropagation's
@@ -684,6 +720,29 @@ object ProductAnalytics {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+    "item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |cnt AS (SELECT pk, cast(count(*) AS bigint) AS n_item
+        |        FROM li GROUP BY pk),
+        |co AS (SELECT a.pk AS ia, b.pk AS ib, cast(count(*) AS bigint) AS n_both
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, n_both FROM co
+        |        UNION ALL SELECT ib, ia, n_both FROM co),
+        |scored AS (
+        |  SELECT s.ia AS item, s.ib AS neighbor, s.n_both,
+        |    ca.n_item,
+        |    (s.n_both * s.n_both * 1000000) // (ca.n_item * cb.n_item)
+        |      AS sim2_e6
+        |  FROM sym s JOIN cnt ca ON s.ia = ca.pk
+        |             JOIN cnt cb ON s.ib = cb.pk),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |        ORDER BY sim2_e6 DESC, n_both DESC, neighbor ASC) AS rank
+        |      FROM scored)
+        |SELECT item, neighbor, n_both, n_item,
+        |  cast(sim2_e6 AS bigint) AS sim2_e6, cast(rank AS int) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     // the identical simplified-PageRank formula unrolled: decimal
     // contribution sums, double recombination, literal 0.15/0.85
     "part_pagerank" ->

@@ -103,6 +103,45 @@ object Timeseries {
         .select(col("event_type"), col("day"), col("dow"), col("x"),
           expr("(s * 1000000) DIV m").as("mean_e6"),
           (dev * dev > bound).as("is_anomaly"))
+    }),
+
+    // Per-nation OLS revenue trend: the least-squares slope of daily
+    // order revenue (cents) against the day index, closed-form from
+    // five integer moments — slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    // — accumulated per nation in ONE map-side-combined aggregate
+    // (x = days since a fixed origin; slope is shift-invariant, so
+    // any origin works and no per-nation min pass is needed). The
+    // numerator×1e6 runs in decimal(38,0) (it clears bigint at
+    // larger SFs) and the final division truncates toward zero
+    // EXPLICITLY via sign-split — Spark's DIV truncates while
+    // DuckDB's // floors, and a negative slope would round apart by
+    // one ulp without it. Moments relation is |nations|-bounded.
+    "sales_trend_slope" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy(col("nation"), col("x"))
+        .agg(sum(col("cents")).as("y"))
+      daily.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("num", expr(
+          "CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) - " +
+            "CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"))
+        .withColumn("den", expr("n * sxx - sx * sx"))
+        .select(col("nation"), col("n").as("n_days"),
+          expr("""CAST(CASE WHEN num < 0
+                 |  THEN -(((-num) * 1000000) DIV den)
+                 |  ELSE ((num * 1000000) DIV den) END AS BIGINT)"""
+            .stripMargin).as("slope_e6"))
     })
   )
 
@@ -146,6 +185,32 @@ object Timeseries {
         |  (b.m * c.x - b.s) * (b.m * c.x - b.s)
         |    > 9 * (b.m * b.q - b.s * b.s) AS is_anomaly
         |FROM withdow c JOIN base b
-        |  ON c.event_type = b.event_type AND c.dow = b.dow""".stripMargin
+        |  ON c.event_type = b.event_type AND c.dow = b.dow""".stripMargin,
+    "sales_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT n_name AS nation,
+        |    cast(cast(o_orderdate AS date) - DATE '1992-01-01' AS bigint) AS x,
+        |    cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint))
+        |      AS bigint) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT nation, cast(count(*) AS bigint) AS n,
+        |    cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+        |    cast(sum(x * x) AS bigint) AS sxx,
+        |    cast(sum(x * y) AS bigint) AS sxy
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT nation, n,
+        |    n::HUGEINT * sxy - sx::HUGEINT * sy AS num,
+        |    n * sxx - sx * sx AS den
+        |  FROM m)
+        |SELECT nation, n AS n_days,
+        |  cast(CASE WHEN num < 0
+        |    THEN -(((-num) * 1000000) // den::HUGEINT)
+        |    ELSE ((num * 1000000) // den::HUGEINT) END AS bigint) AS slope_e6
+        |FROM f""".stripMargin
   )
 }

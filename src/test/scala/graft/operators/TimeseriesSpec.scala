@@ -81,6 +81,35 @@ class TimeseriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("trend slope matches double-precision OLS per nation") {
+    val out = run("sales_trend_slope").collect()
+    assert(out.length > 0)
+    val daily = graft.catalog.Tables(spark, sf).orders
+      .join(graft.catalog.Tables(spark, sf).customer,
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.catalog.Tables(spark, sf).nation,
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("nation"), col("x"))
+      .agg(sum(col("cents")).as("y"))
+      .collect().groupBy(_.getString(0))
+    out.foreach { r =>
+      val pts = daily(r.getString(0)).map(p => (p.getLong(1).toDouble,
+        p.getLong(2).toDouble))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n_days") == pts.length.toLong)
+      assert(math.abs(r.getAs[Long]("slope_e6") - slope * 1e6) <= 2.0,
+        s"slope off for ${r.getString(0)}: ${r.getAs[Long]("slope_e6")} vs ${slope * 1e6}")
+    }
+  }
+
   test("pareto frontier matches the brute-force skyline") {
     val out = run("pareto_frontier").cache()
     try {
