@@ -105,6 +105,37 @@ object Timeseries {
           (dev * dev > bound).as("is_anomaly"))
     }),
 
+    // CUSUM changepoint detection over each event-type's daily
+    // counts. The textbook recurrence s_t = max(0, s_{t-1} + d_t) is
+    // sequential — useless as-is on a cluster — but the closed form
+    // s_t = S_t − min(0, min_{j≤t} S_j) (prefix sum minus running
+    // prefix minimum) turns it into TWO stacked keyed windows, both
+    // over the calendar-bounded daily relation. Everything is
+    // integer: d_t = m·x_t − S (the deviation scaled by m so no
+    // division), and the alarm compares cusum² against 25·(m·Q − S²)
+    // — i.e. cusum > 5σ in the same m-scaled units, multiplied out
+    // so no sqrt runs. An upward level shift accumulates in s_t
+    // until the alarm fires; the statistic resets itself through the
+    // running minimum.
+    "changepoint_cusum" -> ((s, dir) => {
+      val counts = daily(s, dir)
+        .select(col("event_type"), col("day"), col("n_events").as("x"))
+      val base = counts.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("ssum"),
+          sum(col("x") * col("x")).as("q"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      counts.join(base, Seq("event_type"))
+        .withColumn("d", col("m") * col("x") - col("ssum"))
+        .withColumn("st", sum(col("d")).over(wCum))
+        .withColumn("mt", least(min(col("st")).over(wCum), lit(0L)))
+        .select(col("event_type"), col("day"), col("x"),
+          (col("st") - col("mt")).as("cusum"),
+          ((col("st") - col("mt")) * (col("st") - col("mt")) >
+            lit(25L) * (col("m") * col("q") - col("ssum") * col("ssum")))
+            .as("alarm"))
+    }),
+
     // Per-nation OLS revenue trend: the least-squares slope of daily
     // order revenue (cents) against the day index, closed-form from
     // five integer moments — slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
@@ -186,6 +217,29 @@ object Timeseries {
         |    > 9 * (b.m * b.q - b.s * b.s) AS is_anomaly
         |FROM withdow c JOIN base b
         |  ON c.event_type = b.event_type AND c.dow = b.dow""".stripMargin,
+    "changepoint_cusum" ->
+      """WITH counts AS (
+        |  SELECT event_type, cast(ts AS date) AS day,
+        |    cast(count(*) AS bigint) AS x
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, cast(count(*) AS bigint) AS m,
+        |    cast(sum(x) AS bigint) AS ssum,
+        |    cast(sum(x * x) AS bigint) AS q
+        |  FROM counts GROUP BY 1),
+        |pre AS (
+        |  SELECT c.event_type, c.day, c.x, b.m, b.ssum, b.q,
+        |    sum(b.m * c.x - b.ssum) OVER (PARTITION BY c.event_type
+        |      ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS st
+        |  FROM counts c JOIN base b ON c.event_type = b.event_type),
+        |mn AS (
+        |  SELECT *, least(min(st) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS mt
+        |  FROM pre)
+        |SELECT event_type, day, x,
+        |  cast(st - mt AS bigint) AS cusum,
+        |  (st - mt) * (st - mt) > 25 * (m * q - ssum * ssum) AS alarm
+        |FROM mn""".stripMargin,
     "sales_trend_slope" ->
       """WITH daily AS (
         |  SELECT n_name AS nation,

@@ -81,6 +81,22 @@ class TimeseriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("windowed CUSUM closed form equals the sequential recurrence") {
+    val out = run("changepoint_cusum")
+      .orderBy(col("event_type"), col("day")).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val m = rows.length.toLong
+      val s = rows.map(_.getAs[Long]("x")).sum
+      var st = 0L
+      rows.foreach { r =>
+        st = math.max(0L, st + (m * r.getAs[Long]("x") - s))
+        assert(r.getAs[Long]("cusum") == st,
+          s"closed form diverges from recurrence at ${r.get(1)}")
+      }
+    }
+  }
+
   test("trend slope matches double-precision OLS per nation") {
     val out = run("sales_trend_slope").collect()
     assert(out.length > 0)
