@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     parity ++ Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Advanced.queries ++ CorpusCuration.queries ++ WindowsAndStrings.queries ++ ProductAnalytics.queries ++ PartitionedFacts.queries ++ RangeJoin.queries ++ CurationFilters.queries ++ Skew.queries ++ Retrieval.queries ++ Maintenance.queries ++ ProductQuantization.queries ++ Sketches.queries ++ CorpusMixture.queries ++ Features.queries ++ RecordLinkage.queries ++ DataQuality.queries ++ Timeseries.queries ++ graft.streaming.EventsStream.queries ++ graft.streaming.StreamingNearDup.queries ++ graft.streaming.StreamingHeavyHitters.queries ++ graft.streaming.IncrementalIngest.queries ++ graft.streaming.UserProfileState.queries
+      Similarity.queries ++ Multimodal.queries ++ Advanced.queries ++ CorpusCuration.queries ++ WindowsAndStrings.queries ++ ProductAnalytics.queries ++ PartitionedFacts.queries ++ RangeJoin.queries ++ CurationFilters.queries ++ Skew.queries ++ Retrieval.queries ++ Maintenance.queries ++ ProductQuantization.queries ++ Sketches.queries ++ CorpusMixture.queries ++ Features.queries ++ RecordLinkage.queries ++ DataQuality.queries ++ Timeseries.queries ++ graft.streaming.EventsStream.queries ++ graft.streaming.StreamingNearDup.queries ++ graft.streaming.StreamingHeavyHitters.queries ++ graft.streaming.IncrementalIngest.queries ++ graft.streaming.UserProfileState.queries ++ graft.streaming.StreamingCusum.queries
 
   private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- parity: the reference's three analytics transforms ---------
@@ -46,5 +46,5 @@ object SparkEntry {
     "agg_shipments"           -> AggShipments.oracle,
     "best_performing_product" -> BestPerformingProduct.oracle
   ) ++ Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-    Similarity.oracles ++ Multimodal.oracles ++ Advanced.oracles ++ CorpusCuration.oracles ++ WindowsAndStrings.oracles ++ ProductAnalytics.oracles ++ PartitionedFacts.oracles ++ RangeJoin.oracles ++ CurationFilters.oracles ++ Skew.oracles ++ Retrieval.oracles ++ Maintenance.oracles ++ ProductQuantization.oracles ++ Sketches.oracles ++ CorpusMixture.oracles ++ Features.oracles ++ RecordLinkage.oracles ++ DataQuality.oracles ++ Timeseries.oracles ++ graft.streaming.EventsStream.oracles ++ graft.streaming.StreamingNearDup.oracles ++ graft.streaming.StreamingHeavyHitters.oracles ++ graft.streaming.IncrementalIngest.oracles ++ graft.streaming.UserProfileState.oracles
+    Similarity.oracles ++ Multimodal.oracles ++ Advanced.oracles ++ CorpusCuration.oracles ++ WindowsAndStrings.oracles ++ ProductAnalytics.oracles ++ PartitionedFacts.oracles ++ RangeJoin.oracles ++ CurationFilters.oracles ++ Skew.oracles ++ Retrieval.oracles ++ Maintenance.oracles ++ ProductQuantization.oracles ++ Sketches.oracles ++ CorpusMixture.oracles ++ Features.oracles ++ RecordLinkage.oracles ++ DataQuality.oracles ++ Timeseries.oracles ++ graft.streaming.EventsStream.oracles ++ graft.streaming.StreamingNearDup.oracles ++ graft.streaming.StreamingHeavyHitters.oracles ++ graft.streaming.IncrementalIngest.oracles ++ graft.streaming.UserProfileState.oracles ++ graft.streaming.StreamingCusum.oracles
 }
