@@ -343,6 +343,43 @@ object Advanced {
           .as("corr_price_qty"))
     }),
 
+    // A/B experiment readout with an EXACT significance flag: users
+    // hash-split into two arms (md5 parity — deterministic,
+    // assignment survives reruns and engine changes), conversion =
+    // "ever made a high-value (> $180) purchase" (~26% of users —
+    // every user purchases SOMETHING in this corpus, so the plain
+    // definition is vacuous), and the two-proportion z-test at 95%
+    // (z² > 3.84 = 96/25) multiplied out into one integer
+    // inequality: 25·(c₁n₂ − c₂n₁)²·N > 96·C·(N−C)·n₁·n₂ (pooled
+    // variance, C = c₁+c₂, N = n₁+n₂). No division, no sqrt, no
+    // float — the flag can't flip on an engine ulp. One user-keyed
+    // aggregate then one 1-row fold; the wide arithmetic runs in
+    // decimal(38,0) (bigint clears at ~1e9 users).
+    "ab_test_report" -> ((s, dir) => {
+      val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15),
+        16, 10).cast("long"), lit(2L))
+      val users = Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 180.0,
+          1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", arm)
+      users.agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("c_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("c_b"))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          expr("(c_a * 1000000) DIV n_a").as("p_a_e6"),
+          expr("(c_b * 1000000) DIV n_b").as("p_b_e6"),
+          expr("""25 * POW_D2 * (n_a + n_b) >
+                 |  96 * CAST(c_a + c_b AS DECIMAL(38,0)) *
+                 |  ((n_a + n_b) - (c_a + c_b)) * n_a * n_b"""
+            .stripMargin.replace("POW_D2",
+              "(CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a) * " +
+                "(CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)"))
+            .as("significant"))
+    }),
+
     // Pareto frontier (2D skyline): the price/size points no other
     // part dominates (strictly cheaper with at-least-equal size, or
     // equal price with strictly larger size). The naive formulation
@@ -393,6 +430,27 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    "ab_test_report" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180.0
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |agg AS (SELECT
+        |  cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a,
+        |  cast(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS bigint) AS c_a,
+        |  cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b,
+        |  cast(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS bigint) AS c_b
+        |  FROM u)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  cast((c_a * 1000000) // n_a AS bigint) AS p_a_e6,
+        |  cast((c_b * 1000000) // n_b AS bigint) AS p_b_e6,
+        |  25 * (c_a::HUGEINT * n_b - c_b::HUGEINT * n_a)
+        |     * (c_a::HUGEINT * n_b - c_b::HUGEINT * n_a) * (n_a + n_b) >
+        |  96 * (c_a + c_b)::HUGEINT * ((n_a + n_b) - (c_a + c_b)) * n_a * n_b
+        |    AS significant
+        |FROM agg""".stripMargin,
     "pareto_frontier" ->
       """WITH pts AS (
         |  SELECT p_retailprice AS price, max(p_size) AS size

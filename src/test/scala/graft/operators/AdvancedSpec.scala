@@ -97,4 +97,22 @@ class AdvancedSpec extends SparkSpec {
     assert(ts.map(_.getAs[Long]("n_closed")).sum == withLines)
     assert(ts.last.getAs[Long]("n_open") == total - withLines)
   }
+
+  test("A/B significance flag equals the double-precision z-test") {
+    val r = run("ab_test_report").collect()(0)
+    val na = r.getAs[Long]("n_a").toDouble; val ca = r.getAs[Long]("c_a").toDouble
+    val nb = r.getAs[Long]("n_b").toDouble; val cb = r.getAs[Long]("c_b").toDouble
+    assert(na > 0 && nb > 0)
+    assert(ca + cb > 0 && ca + cb < na + nb,
+      "conversion must be non-degenerate for the test to have teeth")
+    val p = (ca + cb) / (na + nb)
+    val z2 = math.pow(ca / na - cb / nb, 2) /
+      (p * (1 - p) * (1 / na + 1 / nb))
+    assert(r.getAs[Boolean]("significant") == (z2 > 3.84),
+      s"flag disagrees with z²=$z2")
+    // arms are a hash split of all users
+    val users = graft.catalog.Tables(spark, sf).events
+      .select($"user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+  }
 }
