@@ -136,6 +136,42 @@ object Timeseries {
             .as("alarm"))
     }),
 
+    // Forecast backtest: score the two standard baseline forecasters
+    // — naive (last month) and seasonal naive (same month last year)
+    // — against realized monthly revenue, per nation. The eval
+    // pattern every forecasting pipeline needs before trusting a
+    // model: lag windows build the predictions, only months where
+    // BOTH predictors exist are scored (fair comparison), absolute
+    // errors accumulate in integer cents, and the winner column is a
+    // pure integer comparison. Monthly relation is
+    // |nations|×|months|-bounded; the corpus-sized work is one
+    // map-side-combined aggregate.
+    "forecast_backtest" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val monthly = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          trunc(to_date(col("o_orderdate")), "month").as("month"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .groupBy(col("nation"), col("month"))
+        .agg(sum(col("cents")).as("y"))
+      val w = Window.partitionBy(col("nation")).orderBy(col("month"))
+      monthly
+        .withColumn("naive", lag(col("y"), 1).over(w))
+        .withColumn("snaive", lag(col("y"), 12).over(w))
+        .filter(col("naive").isNotNull && col("snaive").isNotNull)
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("y") - col("naive"))).as("ae_naive_cents"),
+          sum(abs(col("y") - col("snaive"))).as("ae_snaive_cents"))
+        .withColumn("winner",
+          when(col("ae_snaive_cents") < col("ae_naive_cents"), "seasonal")
+            .when(col("ae_snaive_cents") > col("ae_naive_cents"), "naive")
+            .otherwise("tie"))
+    }),
+
     // Per-nation OLS revenue trend: the least-squares slope of daily
     // order revenue (cents) against the day index, closed-form from
     // five integer moments — slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
@@ -240,6 +276,29 @@ object Timeseries {
         |  cast(st - mt AS bigint) AS cusum,
         |  (st - mt) * (st - mt) > 25 * (m * q - ssum * ssum) AS alarm
         |FROM mn""".stripMargin,
+    "forecast_backtest" ->
+      """WITH monthly AS (
+        |  SELECT n_name AS nation,
+        |    cast(date_trunc('month', cast(o_orderdate AS date)) AS date)
+        |      AS month,
+        |    cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint))
+        |      AS bigint) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT nation, month, y,
+        |    lag(y, 1) OVER w AS naive, lag(y, 12) OVER w AS snaive
+        |  FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY month)),
+        |sc AS (SELECT * FROM lagged
+        |       WHERE naive IS NOT NULL AND snaive IS NOT NULL)
+        |SELECT nation, cast(count(*) AS bigint) AS n_scored,
+        |  cast(sum(abs(y - naive)) AS bigint) AS ae_naive_cents,
+        |  cast(sum(abs(y - snaive)) AS bigint) AS ae_snaive_cents,
+        |  CASE WHEN sum(abs(y - snaive)) < sum(abs(y - naive)) THEN 'seasonal'
+        |       WHEN sum(abs(y - snaive)) > sum(abs(y - naive)) THEN 'naive'
+        |       ELSE 'tie' END AS winner
+        |FROM sc GROUP BY nation""".stripMargin,
     "sales_trend_slope" ->
       """WITH daily AS (
         |  SELECT n_name AS nation,

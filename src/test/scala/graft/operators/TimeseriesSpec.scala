@@ -97,6 +97,28 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("forecast backtest scores months where both lags exist; winner consistent") {
+    val out = run("forecast_backtest").collect()
+    assert(out.nonEmpty)
+    val months = graft.catalog.Tables(spark, sf).orders
+      .join(graft.catalog.Tables(spark, sf).customer,
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.catalog.Tables(spark, sf).nation,
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .distinct().groupBy(col("nation")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      // lag-12 is the binding constraint on a dense monthly series
+      assert(r.getAs[Long]("n_scored") == months(r.getString(0)) - 12)
+      val (an, as_) = (r.getAs[Long]("ae_naive_cents"),
+        r.getAs[Long]("ae_snaive_cents"))
+      val expect = if (as_ < an) "seasonal" else if (as_ > an) "naive" else "tie"
+      assert(r.getAs[String]("winner") == expect)
+    }
+  }
+
   test("trend slope matches double-precision OLS per nation") {
     val out = run("sales_trend_slope").collect()
     assert(out.length > 0)
