@@ -105,6 +105,9 @@ object ScaleSmoke {
         .select(col("a").as("src"), col("b").as("dst"))
       ProductAnalytics.bfsHopHistogram(edges, maxHops = 3).count()
     }
+    // disjoint graph copies ⇒ the pair relation and the top-k windows
+    // grow linearly in N; expect ~N× time, never N²
+    time("item_similarity")(ProductAnalytics.itemNeighbors(li).count())
 
     // ---- vocabulary-bounded ops at N× ------------------------------
     // linkage: N× part copies leave the DISTINCT-name relation

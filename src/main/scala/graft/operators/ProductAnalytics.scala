@@ -115,30 +115,8 @@ object ProductAnalytics {
     // window PARTITIONED BY ITEM — keyed, never global. A 100 TB
     // deploy widens sim²'s numerator to decimal(38,0) (n_both can
     // reach 1e6 there; here it's bounded by per-pair order counts).
-    "item_similarity" -> ((s, dir) => {
-      val io = Tables(s, dir).lineitem
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val cnt = io.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-      val co = io.select(col("ok"), col("pk").as("ia"))
-        .join(io.select(col("ok"), col("pk").as("ib")), Seq("ok"))
-        .filter(col("ia") < col("ib"))
-        .groupBy(col("ia"), col("ib"))
-        .agg(count(lit(1)).as("n_both"))
-      val sym = co.unionAll(
-        co.select(col("ib").as("ia"), col("ia").as("ib"), col("n_both")))
-      val scored = sym
-        .join(cnt.select(col("pk").as("ia"), col("n_item")), Seq("ia"))
-        .join(cnt.select(col("pk").as("ib"), col("n_item").as("n_b")), Seq("ib"))
-        .withColumn("sim2_e6",
-          expr("(n_both * n_both * 1000000) DIV (n_item * n_b)"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ia"))
-        .orderBy(desc("sim2_e6"), desc("n_both"), asc("ib"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("ia").as("item"), col("ib").as("neighbor"),
-          col("n_both"), col("n_item"), col("sim2_e6"), col("rank"))
-    }),
+    "item_similarity" -> ((s, dir) =>
+      itemNeighbors(Tables(s, dir).lineitem)),
 
     // Fixed-iteration PageRank over the part co-purchase graph — the
     // iterative-graph-dataflow pattern (per-round keyed join +
@@ -340,6 +318,35 @@ object ProductAnalytics {
     * co-occurrence counts); otherwise both directions minus the
     * diagonal (directed rules, PageRank edges).
     */
+  /** Top-k co-purchase neighbors per part, ranked by cosine² kept in
+    * bigint (see the `item_similarity` query comment). Factored out
+    * so ScaleSmoke can drive it at N× the bench scale.
+    */
+  def itemNeighbors(lineitem: DataFrame, k: Int = 5): DataFrame = {
+    val io = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val cnt = io.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val co = io.select(col("ok"), col("pk").as("ia"))
+      .join(io.select(col("ok"), col("pk").as("ib")), Seq("ok"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("n_both"))
+    val sym = co.unionAll(
+      co.select(col("ib").as("ia"), col("ia").as("ib"), col("n_both")))
+    val scored = sym
+      .join(cnt.select(col("pk").as("ia"), col("n_item")), Seq("ia"))
+      .join(cnt.select(col("pk").as("ib"), col("n_item").as("n_b")), Seq("ib"))
+      .withColumn("sim2_e6",
+        expr("(n_both * n_both * 1000000) DIV (n_item * n_b)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ia"))
+      .orderBy(desc("sim2_e6"), desc("n_both"), asc("ib"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ia").as("item"), col("ib").as("neighbor"),
+        col("n_both"), col("n_item"), col("sim2_e6"), col("rank"))
+  }
+
   def basketPairs(bk: DataFrame, ordered: Boolean): DataFrame = {
     val p = bk.select(explode(col("parts")).as("a"), col("parts"))
       .select(col("a"), explode(col("parts")).as("b"))
