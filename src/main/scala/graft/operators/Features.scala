@@ -448,6 +448,58 @@ object Features {
           max(col("norm2_e12")).as("max_norm2_e12"),
           sum(col("norm2_e12")).as("sum_norm2_e12"))
     }),
+    // Feature-screening AUC without a global sort: how well does the
+    // projection onto label 0's own centroid separate label 0 from
+    // the rest? (The norm² was tried first and scores 0.50 — these
+    // are unit vectors; the LEARNED direction scores ~0.79.) The
+    // centroid is a dim-bounded integer relation (per-dim
+    // sign-split-truncated mean of the e6-quantized coordinates),
+    // broadcast back onto the exploded coordinate stream, so the
+    // score s = Σ qᵢ·cᵢ is exact e12 fixed-point — model fit and
+    // scoring in two keyed passes, no driver collect. The textbook
+    // rank-sum AUC then needs a GLOBAL rank over the corpus — a
+    // single-task window at scale — so instead the score is
+    // quantized onto 4096 fixed-width buckets (the zorder_layout
+    // quantizer pattern: integer DIV against a broadcast 1-row
+    // range) and the Mann–Whitney U folds from per-bucket
+    // (pos, neg) counts: U₂ = Σ_b pos_b·(2·cum_neg_below + neg_b),
+    // ties inside a bucket counted ½ (hence the ×2 ledger), and
+    // AUC·1e6 = U₂·1e6 DIV (2·n_pos·n_neg). The only ordered window
+    // runs over the 4096-row bucket relation. This computes the
+    // EXACT AUC of the quantized score — the quantization is part of
+    // the operator's contract, which is what makes it both
+    // deterministic and scale-free.
+    "feature_auc" -> ((s, dir) => {
+      val exploded = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "qi")
+      val cent = exploded.filter(col("label") === 0)
+        .groupBy(col("i"))
+        .agg(sum(col("qi")).as("sq"), count(lit(1)).as("n"))
+        .select(col("i"),
+          expr("CASE WHEN sq < 0 THEN -((-sq) DIV n) ELSE sq DIV n END")
+            .as("c"))
+      val vecs = exploded.join(broadcast(cent), Seq("i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("qi") * col("c")).as("s"))
+        .select((col("label") === 0).as("pos"), col("s"))
+      val range = vecs.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+      val byB = vecs.crossJoin(broadcast(range))
+        .withColumn("b", expr("((s - lo) * 4095) DIV greatest(1, hi - lo)"))
+        .groupBy(col("b"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      byB.withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("(u2 * 1000000) DIV (2 * n_pos * n_neg)").as("auc_e6"))
+    }),
+
     "label_centroid_drift" -> ((s, dir) =>
       labelCentroidDrift(Tables(s, dir).embeddings)),
     "embedding_covariance" -> ((s, dir) =>
@@ -673,6 +725,43 @@ object Features {
         |  cast(max(norm2) AS bigint) AS max_norm2_e12,
         |  cast(sum(norm2) AS bigint) AS sum_norm2_e12
         |FROM n GROUP BY label""".stripMargin,
+    "feature_auc" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> cast(floor(x::DOUBLE * 1e6 + 0.5) AS bigint)) AS qv
+        |  FROM embeddings),
+        |su AS (
+        |  SELECT vec_id, label, unnest(qv) AS qi,
+        |    generate_subscripts(qv, 1) AS i
+        |  FROM q),
+        |cent AS (
+        |  SELECT i, CASE WHEN sum(qi) < 0
+        |    THEN -((-sum(qi)) // count(*))
+        |    ELSE sum(qi) // count(*) END AS c
+        |  FROM su WHERE label = 0 GROUP BY i),
+        |v AS (
+        |  SELECT s.label = 0 AS pos, cast(sum(s.qi * c.c) AS bigint) AS s
+        |  FROM su s JOIN cent c ON s.i = c.i
+        |  GROUP BY s.vec_id, s.label),
+        |r AS (SELECT min(s) AS lo, max(s) AS hi FROM v),
+        |byb AS (
+        |  SELECT ((s - lo) * 4095) // greatest(1, hi - lo) AS b,
+        |    cast(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS bigint) AS np,
+        |    cast(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS bigint) AS nn
+        |  FROM v, r GROUP BY 1),
+        |cum AS (
+        |  SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        |  FROM byb),
+        |agg AS (
+        |  SELECT cast(sum(np) AS bigint) AS n_pos,
+        |    cast(sum(nn) AS bigint) AS n_neg,
+        |    cast(sum(np * (2 * cum_nn + nn)) AS bigint) AS u2
+        |  FROM cum)
+        |SELECT n_pos, n_neg,
+        |  cast((u2 * 1000000) // (2 * n_pos * n_neg) AS bigint) AS auc_e6
+        |FROM agg""".stripMargin,
     "embed_project" -> {
       val cols = (0 until ProjDim).map { j =>
         val terms = (0 until EmbDim).map { i =>

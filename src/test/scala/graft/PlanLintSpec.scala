@@ -44,7 +44,8 @@ class PlanLintSpec extends SparkSpec {
     "temporal_split_report" -> "1-row user-overlap aggregate broadcast",
     "pareto_frontier" -> "1-row price-range broadcast for bucket pruning",
     "zorder_layout" -> "1-row dim-range broadcast for quantization",
-    "sketch_join_cardinality" -> "1-row KMV/exact summary aggregates crossed"
+    "sketch_join_cardinality" -> "1-row KMV/exact summary aggregates crossed",
+    "feature_auc" -> "1-row score-range broadcast for bucket quantization"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {
@@ -76,7 +77,8 @@ class PlanLintSpec extends SparkSpec {
     "open_orders_timeseries" ->
       "running backlog over the per-day delta aggregate (calendar-bounded)",
     "pareto_frontier" ->
-      "running max over the 256-bucket aggregate and the bucket-pruned candidates"
+      "running max over the 256-bucket aggregate and the bucket-pruned candidates",
+    "feature_auc" -> "cumulative negatives over the 4096-bucket aggregate"
   )
 
   test("no query runs a partition-less window over a non-aggregated relation") {

@@ -80,6 +80,37 @@ class FeaturesSpec extends SparkSpec {
     assert(got("view") == ((1L, 7L, 7L, 7L, 7.0)))
   }
 
+  test("feature_auc approximates the exact rank-sum AUC of the projection") {
+    val r = graft.SparkEntry.queries("feature_auc")(spark, sf).collect()(0)
+    // exact reference: integer centroid projection recomputed on the
+    // driver, textbook U with half-ties
+    val vecs = graft.catalog.Tables(spark, sf).embeddings
+      .select(org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(x => (x.getInt(0), x.getSeq[Float](1)
+        .map(v => math.floor(v * 1e6 + 0.5).toLong).toArray))
+    val pos0 = vecs.filter(_._1 == 0).map(_._2)
+    val dim = pos0.head.length
+    val cent = Array.tabulate(dim) { i =>
+      val s = pos0.map(_(i)).sum
+      if (s < 0) -((-s) / pos0.length) else s / pos0.length
+    }
+    def score(q: Array[Long]): Long =
+      q.zip(cent).map { case (a, b) => a * b }.sum
+    val pos = vecs.filter(_._1 == 0).map(v => score(v._2))
+    val neg = vecs.filter(_._1 != 0).map(v => score(v._2))
+    val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    val exact = u2.toDouble / (2.0 * pos.length * neg.length)
+    assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+    // 4096-bucket quantization can move ties; allow 1% absolute
+    assert(math.abs(r.getAs[Long]("auc_e6") / 1e6 - exact) < 0.01,
+      s"AUC ${r.getAs[Long]("auc_e6")} vs exact $exact")
+    // and the learned direction must actually separate the class
+    assert(r.getAs[Long]("auc_e6") > 600000L)
+  }
+
   test("embed_project plans as a pure projection — no shuffle, no UDF") {
     val plan = Features.jlProject(
       graft.catalog.Tables(spark, sf).embeddings)
