@@ -83,6 +83,41 @@ object CurationFilters {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Filter-threshold tradeoff curve: before committing a quality
+    // cutoff, a curation pipeline wants the whole survival curve —
+    // docs and tokens retained at EVERY candidate threshold — from
+    // one pass, not one job per threshold. The hashing-trick linear
+    // score is a rational sw/(n·1000), so "score > t" rewrites to
+    // the DIVISION-FREE integer test sw > t_e3·n (exact for
+    // negative thresholds too — no truncation ever happens); the
+    // per-doc (sw, n) aggregate fans out ×21 across the threshold
+    // grid (a bounded multiplier on the ALREADY-AGGREGATED doc
+    // relation, one row per doc — not on the token stream) and one
+    // more aggregate folds the curve. Output is 21 rows whatever the
+    // corpus size.
+    "filter_tradeoff_curve" -> ((s, dir) => {
+      Md5Hash60.register(s)
+      val w = pmod(Md5Hash60.md5_hash60(col("tok")), lit(2001L)) - lit(1000L)
+      val perDoc = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), w.as("wi"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wi")).as("sw"), count(lit(1)).as("n"))
+      val grid = (-50L to 50L by 5).map(lit(_))
+      perDoc.select(col("sw"), col("n"),
+          explode(array(grid: _*)).as("t_e3"))
+        .groupBy(col("t_e3"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          sum(when(col("sw") > col("t_e3") * col("n"), 1L).otherwise(0L))
+            .as("n_docs_kept"),
+          sum(when(col("sw") > col("t_e3") * col("n"), col("n"))
+            .otherwise(0L)).as("n_tokens_kept"))
+        .select(col("t_e3"), col("n_docs_kept"), col("n_tokens_kept"),
+          expr("(n_docs_kept * 1000000) DIV n_docs").as("pct_docs_e6"),
+          expr("(n_tokens_kept * 1000000) DIV n_tokens").as("pct_tokens_e6"))
+    }),
+
     // Split-leakage audit: distinct 8-grams shared across split
     // boundaries under the NAIVE doc-hash split vs the CLUSTER-SAFE
     // split — the report that justifies cluster-keyed splitting (a
@@ -448,6 +483,28 @@ object CurationFilters {
       |GROUP BY t.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "filter_tradeoff_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    cast(sum(('0x' || substr(md5(tok), 1, 15))::bigint % 2001 - 1000)
+        |      AS bigint) AS sw,
+        |    cast(count(*) AS bigint) AS n
+        |  FROM toks GROUP BY doc_id),
+        |grid AS (SELECT unnest(generate_series(-50, 50, 5)) AS t_e3)
+        |SELECT cast(t_e3 AS bigint) AS t_e3,
+        |  cast(sum(CASE WHEN sw > t_e3 * n THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_docs_kept,
+        |  cast(sum(CASE WHEN sw > t_e3 * n THEN n ELSE 0 END) AS bigint)
+        |    AS n_tokens_kept,
+        |  cast((sum(CASE WHEN sw > t_e3 * n THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS bigint) AS pct_docs_e6,
+        |  cast((sum(CASE WHEN sw > t_e3 * n THEN n ELSE 0 END) * 1000000)
+        |    // sum(n) AS bigint) AS pct_tokens_e6
+        |FROM perdoc, grid GROUP BY t_e3""".stripMargin,
     "temporal_split_report" ->
       """WITH tagged AS (
         |  SELECT user_id,
