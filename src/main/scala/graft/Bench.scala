@@ -257,7 +257,8 @@ object Bench {
     // queries and round-trips the corpus through a landing zone —
     // same "real cost, wrong venue" argument
     val rocksDbQueries = Set("stream_neardup_pairs", "stream_heavy_hitters",
-      "stream_incremental_ingest", "stream_sessions", "stream_user_profiles")
+      "stream_incremental_ingest", "stream_sessions", "stream_user_profiles",
+      "stream_cusum")
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1))
     val batchQs = sorted.filterNot(q => rocksDbQueries(q._1))
