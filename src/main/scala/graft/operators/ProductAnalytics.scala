@@ -104,6 +104,52 @@ object ProductAnalytics {
         .limit(20)
     }),
 
+    // Whole-graph summary statistics in one row, all integer-exact:
+    // wedge count Σ d(d−1)/2 (exact — d(d−1) is even), total
+    // triangles as Σ participation / 3 (reusing the oriented
+    // adjacency-intersect machinery; the sum is divisible by 3 by
+    // construction), global clustering coefficient 3T·1e6 DIV W, and
+    // degree assortativity — the Pearson correlation of endpoint
+    // degrees over the directed edge list — from four integer
+    // moments with the decimal(38,0) widening and SIGN-SPLIT
+    // truncating division (the numerator is negative on
+    // disassortative graphs). Five bounded aggregates crossed into
+    // one row; the only corpus-scale work is the edge build the
+    // other graph rows already pay.
+    "part_graph_stats" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val und = copurchaseEdges(li, ordered = true)
+        .select(col("a"), col("b"))
+      val both = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      val deg = both.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val nNodes = li.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val nEdges = und.agg(count(lit(1)).as("n_edges"))
+      val wedges = deg.agg(expr("sum((deg * (deg - 1)) DIV 2)").as("n_wedges"))
+      val tri = triangleParticipation(
+          und.select(col("a").as("u"), col("b").as("v")))
+        .agg(expr("sum(n_tri) DIV 3").as("n_triangles"))
+      val mom = both
+        .join(deg.select(col("a"), col("deg").as("dx")), Seq("a"))
+        .join(deg.select(col("a").as("b"), col("deg").as("dy")), Seq("b"))
+        .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"))
+      nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+        .crossJoin(mom)
+        .withColumn("num", expr(
+          "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("den", expr(
+          "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("(3 * n_triangles * 1000000) DIV n_wedges").as("global_cc_e6"),
+          expr("""CAST(CASE WHEN num < 0
+                 |  THEN -(((-num) * 1000000) DIV den)
+                 |  ELSE ((num * 1000000) DIV den) END AS BIGINT)"""
+            .stripMargin).as("assortativity_e6"))
+    }),
+
     // Item-item collaborative-filtering neighbors: top-5 most-similar
     // parts per part by co-purchase cosine². Ranking by cosine² keeps
     // the whole estimator in bigint — sim²·1e6 = n_both²·1e6 DIV
@@ -727,6 +773,39 @@ object ProductAnalytics {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+    "part_graph_stats" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |bth AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT a, cast(count(*) AS bigint) AS deg
+        |        FROM bth GROUP BY a),
+        |tri AS (SELECT cast(count(*) AS bigint) AS n_triangles
+        |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |wed AS (SELECT cast(sum((deg * (deg - 1)) // 2) AS bigint)
+        |          AS n_wedges FROM deg),
+        |nn AS (SELECT cast(count(DISTINCT pk) AS bigint) AS n_nodes FROM li),
+        |ne AS (SELECT cast(count(*) AS bigint) AS n_edges FROM und),
+        |mom AS (
+        |  SELECT cast(count(*) AS bigint) AS m,
+        |    cast(sum(da.deg) AS bigint) AS sx,
+        |    cast(sum(da.deg * db.deg) AS bigint) AS sxy,
+        |    cast(sum(da.deg * da.deg) AS bigint) AS sxx
+        |  FROM bth j JOIN deg da ON j.a = da.a JOIN deg db ON j.b = db.a),
+        |f AS (
+        |  SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |    m::HUGEINT * sxy - sx::HUGEINT * sx AS num,
+        |    m::HUGEINT * sxx - sx::HUGEINT * sx AS den
+        |  FROM nn, ne, wed, tri, mom)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  cast((3 * n_triangles * 1000000) // n_wedges AS bigint)
+        |    AS global_cc_e6,
+        |  cast(CASE WHEN num < 0
+        |    THEN -(((-num) * 1000000) // den)
+        |    ELSE ((num * 1000000) // den) END AS bigint) AS assortativity_e6
+        |FROM f""".stripMargin,
     "item_similarity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

@@ -45,7 +45,8 @@ class PlanLintSpec extends SparkSpec {
     "pareto_frontier" -> "1-row price-range broadcast for bucket pruning",
     "zorder_layout" -> "1-row dim-range broadcast for quantization",
     "sketch_join_cardinality" -> "1-row KMV/exact summary aggregates crossed",
-    "feature_auc" -> "1-row score-range broadcast for bucket quantization"
+    "feature_auc" -> "1-row score-range broadcast for bucket quantization",
+    "part_graph_stats" -> "five 1-row graph-summary aggregates crossed"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {

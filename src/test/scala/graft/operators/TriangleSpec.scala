@@ -47,6 +47,29 @@ class TriangleSpec extends SparkSpec {
     assert(counts(bip).isEmpty)
   }
 
+  test("graph stats row: wedge identity, triangle totals, bounded coefficients") {
+    val r = graft.SparkEntry.queries("part_graph_stats")(spark, sf).collect()(0)
+    import org.apache.spark.sql.functions._
+    val li = graft.catalog.Tables(spark, sf).lineitem
+    val und = ProductAnalytics.copurchaseEdges(li, ordered = true)
+      .select(col("a"), col("b")).cache()
+    try {
+      assert(r.getAs[Long]("n_edges") == und.count())
+      // wedges = sum d(d-1)/2 over the independent degree recompute
+      val degs = und.select(col("a")).unionAll(und.select(col("b")))
+        .groupBy(col("a")).count().collect().map(_.getLong(1))
+      assert(r.getAs[Long]("n_wedges") == degs.map(d => d * (d - 1) / 2).sum)
+      // triangle total = sum of per-part participation / 3
+      assert(r.getAs[Long]("n_triangles") * 3 ==
+        ProductAnalytics.triangleParticipation(
+          und.select(col("a").as("u"), col("b").as("v")))
+          .agg(sum(col("n_tri"))).collect()(0).getLong(0))
+      assert(r.getAs[Long]("global_cc_e6") >= 0 &&
+        r.getAs[Long]("global_cc_e6") <= 1000000L)
+      assert(math.abs(r.getAs[Long]("assortativity_e6")) <= 1000000L)
+    } finally und.unpersist()
+  }
+
   test("seeded random graph matches the brute-force census") {
     val rnd = new Random(42)
     val n = 30
