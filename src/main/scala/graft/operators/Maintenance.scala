@@ -89,6 +89,51 @@ object Maintenance {
             .as("lag_us"))
     }),
 
+    // Position-based (40/20/40) multi-touch attribution — the
+    // multi-click generalization of click_attribution's last-touch
+    // pick. Each purchase's in-window clicks split one unit of
+    // credit: first and last touch get 40% each, the middles share
+    // 20%. Credit is ledgered in INTEGER MICRO-SHARES so every
+    // purchase's credits sum to exactly 1e6 — the integer-division
+    // remainder of the middle share is assigned deterministically to
+    // the earliest middle click, the same penny-allocation discipline
+    // a billing system uses (a float split neither conserves nor
+    // reproduces). Windows partition by purchase (fan-out bounded by
+    // clicks-per-user-per-30min); the final per-click rollup reuses
+    // the join's user keying.
+    "multi_touch_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val windowUs = 30L * 60L * 1000000L
+      val j = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            unix_micros(col("click_ts")) <= unix_micros(col("purchase_ts")) &&
+            unix_micros(col("click_ts")) >=
+              unix_micros(col("purchase_ts")) - lit(windowUs))
+        .select(col("purchase_id"), col("click_id"), col("click_ts"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id")).orderBy(col("click_ts"), col("click_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+      val credit =
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
+          .otherwise(expr("200000 DIV (n - 2)") +
+            when(col("rn") === 2, expr("200000 % (n - 2)")).otherwise(0L))
+      j.withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("credit", credit)
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("credit")).as("credit_e6"))
+    }),
+
     // Z-ORDER layout: Morton-interleave two join/filter dimensions
     // into one clustering key, bucket the key range, and emit each
     // bucket's per-dimension min/max — exactly the footer statistics
@@ -168,6 +213,36 @@ object Maintenance {
         |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
         |  epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
         |FROM j WHERE rn = 1""".stripMargin,
+    "multi_touch_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT purchase_id, click_id, click_ts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND epoch_us(c.click_ts) <= epoch_us(p.purchase_ts)
+        |    AND epoch_us(c.click_ts) >= epoch_us(p.purchase_ts) - 1800000000),
+        |pos AS (
+        |  SELECT purchase_id, click_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY click_ts, click_id) AS rn,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n
+        |  FROM j),
+        |cr AS (
+        |  SELECT click_id,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = n THEN 400000
+        |         ELSE 200000 // (n - 2) +
+        |           CASE WHEN rn = 2 THEN 200000 % (n - 2) ELSE 0 END
+        |    END AS credit
+        |  FROM pos)
+        |SELECT click_id, cast(count(*) AS bigint) AS n_purchases,
+        |  cast(sum(credit) AS bigint) AS credit_e6
+        |FROM cr GROUP BY click_id""".stripMargin,
     "zorder_layout" ->
       """WITH stats AS (
         |  SELECT min(l_partkey) AS lox, max(l_partkey) AS hix,
