@@ -84,6 +84,30 @@ object Advanced {
             .as("p"))
     }),
 
+    // Transition dwell times — the TIMING complement of
+    // event_transitions' counts: for each (event_type → next_type)
+    // step, how long do users sit between the two? Same single
+    // user-keyed lead window builds the consecutive pairs (gap in
+    // exact integer micros); per-transition p50/p90 round to 4 dp on
+    // both engines before comparison, the established interpolated-
+    // percentile discipline. The quantile aggregate runs on the
+    // |types|²-bounded group set.
+    "transition_dwell" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            .as("gap_us"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("gap_us").cast("double") / 1e6, lit(0.5)), 4)
+            .as("p50_sec"),
+          round(percentile(col("gap_us").cast("double") / 1e6, lit(0.9)), 4)
+            .as("p90_sec"))
+    }),
+
     // Sequential-pattern MINING (the discovery complement of the
     // fixed-pattern funnels): frequent ordered event-type trigram
     // motifs across user streams, with occurrence and distinct-user
@@ -484,6 +508,18 @@ object Advanced {
         |  cast(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS bigint)
         |    AS n_open
         |FROM deltas""".stripMargin,
+    "transition_dwell" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type, next_type, cast(count(*) AS bigint) AS n,
+        |  round(quantile_cont(gap_us::DOUBLE / 1e6, 0.5), 4) AS p50_sec,
+        |  round(quantile_cont(gap_us::DOUBLE / 1e6, 0.9), 4) AS p90_sec
+        |FROM pairs WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin,
     "event_motifs" ->
       """WITH tri AS (
         |  SELECT user_id, event_type AS e1,

@@ -98,6 +98,19 @@ class AdvancedSpec extends SparkSpec {
     assert(ts.last.getAs[Long]("n_open") == total - withLines)
   }
 
+  test("transition dwell: ordered gaps are non-negative, p90 >= p50, counts match") {
+    val out = run("transition_dwell").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("p50_sec") >= 0.0)
+      assert(r.getAs[Double]("p90_sec") >= r.getAs[Double]("p50_sec"))
+    }
+    // total pairs = total events - one open tail per user
+    val ev = graft.catalog.Tables(spark, sf).events
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum == expected)
+  }
+
   test("A/B significance flag equals the double-precision z-test") {
     val r = run("ab_test_report").collect()(0)
     val na = r.getAs[Long]("n_a").toDouble; val ca = r.getAs[Long]("c_a").toDouble
