@@ -344,6 +344,30 @@ object Advanced {
             .as("sum_price"))
     }),
 
+    // Joint (2D) histogram of order value × line count — the
+    // two-column statistics a cost-based optimizer needs to estimate
+    // correlated predicates (`price > X AND lines > Y`), where
+    // independent per-column histograms multiply into garbage. 16×16
+    // equi-width grid: the value axis quantizes against a broadcast
+    // 1-row min/max (integer cents, the zorder quantizer), the line
+    // count IS an integer. One corpus aggregate per axis input, one
+    // grid aggregate out; 256 cells regardless of scale.
+    "joint_histogram" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val lines = Tables(s, dir).lineitem
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      val base = o.join(lines, Seq("o_orderkey"))
+        .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"), least(col("n_lines"), lit(16L)).as("n_lines"))
+      val range = base.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      base.crossJoin(broadcast(range))
+        .withColumn("vb", expr("((cents - lo) * 15) DIV greatest(1, hi - lo)"))
+        .groupBy(col("vb"), col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"))
+    }),
+
     // Exact Pearson correlation between price and quantity: all five
     // moments accumulate in exact decimals in ONE pass, the closed
     // form runs in double on the driver-free aggregate row — engine
@@ -508,6 +532,20 @@ object Advanced {
         |  cast(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS bigint)
         |    AS n_open
         |FROM deltas""".stripMargin,
+    "joint_histogram" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey AS o_orderkey, cast(count(*) AS bigint) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT cast(floor(o_totalprice * 100.0 + 0.5) AS bigint) AS cents,
+        |    least(n_lines, 16) AS n_lines
+        |  FROM orders JOIN lines USING (o_orderkey)),
+        |r AS (SELECT min(cents) AS lo, max(cents) AS hi FROM base)
+        |SELECT ((cents - lo) * 15) // greatest(1, hi - lo) AS vb,
+        |  cast(n_lines AS bigint) AS n_lines,
+        |  cast(count(*) AS bigint) AS n_orders,
+        |  cast(sum(cents) AS bigint) AS sum_cents
+        |FROM base, r GROUP BY 1, 2""".stripMargin,
     "transition_dwell" ->
       """WITH pairs AS (
         |  SELECT event_type,

@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSpec {
     "zorder_layout" -> "1-row dim-range broadcast for quantization",
     "sketch_join_cardinality" -> "1-row KMV/exact summary aggregates crossed",
     "feature_auc" -> "1-row score-range broadcast for bucket quantization",
-    "part_graph_stats" -> "five 1-row graph-summary aggregates crossed"
+    "part_graph_stats" -> "five 1-row graph-summary aggregates crossed",
+    "joint_histogram" -> "1-row value-range broadcast for grid quantization"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {

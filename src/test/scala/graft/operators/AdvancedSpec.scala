@@ -98,6 +98,22 @@ class AdvancedSpec extends SparkSpec {
     assert(ts.last.getAs[Long]("n_open") == total - withLines)
   }
 
+  test("joint histogram covers every order once and bounds the grid") {
+    val out = run("joint_histogram").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vb = r.getAs[Long]("vb")
+      assert(vb >= 0 && vb <= 15)
+      assert(r.getAs[Long]("n_lines") >= 1 && r.getAs[Long]("n_lines") <= 16)
+    }
+    // conservation: every order with lines lands in exactly one cell
+    val t = graft.catalog.Tables(spark, sf)
+    val expected = t.orders.join(
+      t.lineitem.select($"l_orderkey".as("o_orderkey")).distinct(),
+      Seq("o_orderkey")).count()
+    assert(out.map(_.getAs[Long]("n_orders")).sum == expected)
+  }
+
   test("transition dwell: ordered gaps are non-negative, p90 >= p50, counts match") {
     val out = run("transition_dwell").collect()
     assert(out.nonEmpty)
