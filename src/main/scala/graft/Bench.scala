@@ -190,11 +190,8 @@ object Bench {
     // re-records (one family under iteration) shouldn't pay for all
     // of it. Comma-separated globs over query names; unset = full
     // suite — the driver recording never sets it, so the committed
-    // protocol is unchanged.
-    val subset = sys.env.get("SPARK_GRAFT_SUBSET")
-    def selected(name: String): Boolean = subset.forall(_.split(",")
-      .exists(g => name.matches(
-        java.util.regex.Pattern.quote(g.trim).replace("*", "\\E.*\\Q"))))
+    // protocol is unchanged. (Shared impl — see graft.Subset.)
+    def selected(name: String): Boolean = Subset.selected(name)
     if (selected("dpp_quarter_revenue"))
       graft.operators.PartitionedFacts.partitionedLineitem(spark, sfDir)
     // same argument for the near-dup cluster assignment: ONE

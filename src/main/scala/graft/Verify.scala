@@ -33,12 +33,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // same subset filter as Bench: targeted dev-loop checks on one
-    // family; the driver never sets it, so the gate stays full
-    val subset = sys.env.get("SPARK_GRAFT_SUBSET")
-    def selected(name: String): Boolean = subset.forall(_.split(",")
-      .exists(g => name.matches(
-        java.util.regex.Pattern.quote(g.trim).replace("*", "\\E.*\\Q"))))
+    // same subset filter as Bench (shared impl — see graft.Subset):
+    // targeted dev-loop checks on one family; the driver never sets
+    // it, so the gate stays full
+    def selected(name: String): Boolean = Subset.selected(name)
     SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -402,7 +402,16 @@ object Advanced {
     // variance, C = c₁+c₂, N = n₁+n₂). No division, no sqrt, no
     // float — the flag can't flip on an engine ulp. One user-keyed
     // aggregate then one 1-row fold; the wide arithmetic runs in
-    // decimal(38,0) (bigint clears at ~1e9 users).
+    // decimal(38,0), whose headroom is N ≈ 3.6e7 users — the left
+    // side grows as 25·N⁵/16 worst-case (c₁=n₁, c₂=0), so 38 digits
+    // clear at N = (16e38/25)^(1/5), NOT at 1e9 (r11 advice; the
+    // earlier claim sized the quadratic factor only). Past that bound
+    // Spark's decimal overflow yields NULL `significant` while DuckDB
+    // HUGEINT (~1.7e38) raises — a loud stop either way, never a
+    // silently wrong flag. The deploy-scale fix is standard: test on
+    // counts divided by a common factor (z is scale-free up to the
+    // rounding of c/k), or fold the z-test from per-bucket counts the
+    // way feature_auc quantizes ranks.
     "ab_test_report" -> ((s, dir) => {
       val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15),
         16, 10).cast("long"), lit(2L))

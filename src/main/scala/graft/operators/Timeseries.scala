@@ -47,6 +47,14 @@ object Timeseries {
     * last observed value forward. Input and output are bounded by
     * |series| × |calendar days| regardless of corpus size (the
     * corpus-scale work happens in the caller's aggregate).
+    *
+    * LOCF segments are keyed on the OBSERVATION (n_events non-null —
+    * a day the left join matched), not on the value: a day with
+    * events whose values are all NULL starts its own segment and
+    * carries locf_e6 = NULL forward, rather than silently re-serving
+    * the previous observation as if nothing had happened (r11 advice
+    * — latent with the current fixtures, where observed days always
+    * carry a value, but the honest semantics once values go nullable).
     */
   def gapfillLocf(dailyAgg: DataFrame, seriesCol: String): DataFrame = {
     val spine = dailyAgg.groupBy(col(seriesCol))
@@ -56,7 +64,7 @@ object Timeseries {
     val wOrd = Window.partitionBy(col(seriesCol)).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val grouped = joined
-      .withColumn("obs_grp", count(col("value_e6")).over(wOrd))
+      .withColumn("obs_grp", count(col("n_events")).over(wOrd))
     val wGrp = Window.partitionBy(col(seriesCol), col("obs_grp"))
     grouped.select(col(seriesCol), col("day"),
       coalesce(col("n_events"), lit(0L)).as("n_events"),
@@ -79,6 +87,22 @@ object Timeseries {
     "timeseries_gapfill" -> ((s, dir) =>
       gapfillLocf(daily(s, dir), "event_type")),
 
+    // The same resampler with DETERMINISTICALLY SYNTHESIZED gaps: the
+    // events corpus is gap-free at every sf (TESTDATA), so the plain
+    // row's oracle only ever proves the dense case and the actual
+    // LOCF carry lived in specs alone (r11 verdict gap #2). Dropping
+    // the ~25% of (series, day) rows whose md5 leads with 0–3 BEFORE
+    // the spine is built — both engines hash the same strings, so
+    // both drop the same days — puts is_gap=true rows and the
+    // carried-forward values themselves under the cross-engine hash
+    // gate. Same calendar-bounded scale shape as the dense row.
+    "timeseries_gapfill_sparse" -> ((s, dir) =>
+      gapfillLocf(
+        daily(s, dir).filter(
+          substring(md5(concat_ws("|", col("event_type"),
+            col("day").cast("string"))), 1, 1) > "3"),
+        "event_type")),
+
     // Day-of-week seasonal anomaly days: for each (event_type,
     // weekday) cell the baseline is the mean daily event count over
     // the corpus; a day is anomalous when its count sits more than
@@ -86,22 +110,30 @@ object Timeseries {
     // is pure bigint — flag ⇔ (m·x − S)² > 9·(m·Q − S²) with
     // m = #days, S = Σx, Q = Σx² in the cell — and the emitted mean
     // is truncating-integer-scaled, so the row hashes identically in
-    // DuckDB. Baselines live on a |types|×7 relation; every day is
-    // emitted with its flag (a filtered variant can be vacuously
-    // green on a well-behaved corpus — the flag column keeps the
-    // oracle's teeth).
+    // DuckDB. The squared/product terms (Q = Σx², S², m·Q, dev²,
+    // S·1e6) run in decimal(38,0) / HUGEINT: bigint wraps SILENTLY in
+    // Spark where DuckDB raises, so the hash gate would diverge
+    // exactly at the overflow (r11 advice) — dev² clears to |dev| <
+    // 1e19 this way instead of 3e9. The linear terms (x, S) stay
+    // bigint: safe below Σx per cell < 9.2e18, i.e. any corpus whose
+    // per-(type, dow) event total fits an int64. Baselines live on a
+    // |types|×7 relation; every day is emitted with its flag (a
+    // filtered variant can be vacuously green on a well-behaved
+    // corpus — the flag column keeps the oracle's teeth).
     "anomaly_days_dow" -> ((s, dir) => {
       val counts = daily(s, dir)
         .select(col("event_type"), col("day"), col("n_events").as("x"),
           dayofweek(col("day")).as("dow"))
       val base = counts.groupBy(col("event_type"), col("dow"))
         .agg(count(lit(1)).as("m"), sum(col("x")).as("s"),
-          sum(col("x") * col("x")).as("q"))
-      val dev = col("m") * col("x") - col("s")
-      val bound = (col("m") * col("q") - col("s") * col("s")) * lit(9L)
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+      val dev = col("m").cast("decimal(38,0)") * col("x") - col("s")
+      val bound = (col("m") * col("q") -
+        col("s").cast("decimal(38,0)") * col("s")) * lit(9L)
       counts.join(base, Seq("event_type", "dow"))
         .select(col("event_type"), col("day"), col("dow"), col("x"),
-          expr("(s * 1000000) DIV m").as("mean_e6"),
+          expr("CAST((CAST(s AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)")
+            .as("mean_e6"),
           (dev * dev > bound).as("is_anomaly"))
     }),
 
@@ -116,13 +148,20 @@ object Timeseries {
     // — i.e. cusum > 5σ in the same m-scaled units, multiplied out
     // so no sqrt runs. An upward level shift accumulates in s_t
     // until the alarm fires; the statistic resets itself through the
-    // running minimum.
+    // running minimum. The squared/product terms (Q = Σx², m·Q, S²,
+    // cusum²) run in decimal(38,0) / HUGEINT — Spark bigint wraps
+    // silently where DuckDB raises, so the hash gate would diverge at
+    // the overflow (r11 advice). The LINEAR recurrence terms (d, S_t,
+    // the emitted cusum) stay bigint by contract: safe while
+    // m·(Σx per series) < 9.2e18 — the same int64 bound every keyed
+    // prefix sum on the board carries, documented here because the
+    // streaming twin's Long state shares it.
     "changepoint_cusum" -> ((s, dir) => {
       val counts = daily(s, dir)
         .select(col("event_type"), col("day"), col("n_events").as("x"))
       val base = counts.groupBy(col("event_type"))
         .agg(count(lit(1)).as("m"), sum(col("x")).as("ssum"),
-          sum(col("x") * col("x")).as("q"))
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
       val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)
       counts.join(base, Seq("event_type"))
@@ -131,19 +170,28 @@ object Timeseries {
         .withColumn("mt", least(min(col("st")).over(wCum), lit(0L)))
         .select(col("event_type"), col("day"), col("x"),
           (col("st") - col("mt")).as("cusum"),
-          ((col("st") - col("mt")) * (col("st") - col("mt")) >
-            lit(25L) * (col("m") * col("q") - col("ssum") * col("ssum")))
+          ((col("st") - col("mt")).cast("decimal(38,0)") *
+            (col("st") - col("mt")) >
+            lit(25L) * (col("m") * col("q") -
+              col("ssum").cast("decimal(38,0)") * col("ssum")))
             .as("alarm"))
     }),
 
     // Forecast backtest: score the two standard baseline forecasters
-    // — naive (last month) and seasonal naive (same month last year)
-    // — against realized monthly revenue, per nation. The eval
-    // pattern every forecasting pipeline needs before trusting a
-    // model: lag windows build the predictions, only months where
-    // BOTH predictors exist are scored (fair comparison), absolute
-    // errors accumulate in integer cents, and the winner column is a
-    // pure integer comparison. Monthly relation is
+    // — naive (last observed month) and seasonal naive (same month
+    // last year) — against realized monthly revenue, per nation. The
+    // eval pattern every forecasting pipeline needs before trusting a
+    // model: only months where BOTH predictors exist are scored (fair
+    // comparison), absolute errors accumulate in integer cents, and
+    // the winner column is a pure integer comparison. The seasonal
+    // baseline is a CALENDAR self-join on month − 12 months, not
+    // lag(y, 12): a 12-row lag equals same-month-last-year only when
+    // every nation-month is present, and one missing month silently
+    // shifts the whole seasonal baseline onto the wrong month with
+    // both engines agreeing — the hash gate can't catch semantic
+    // drift that's mirrored in the oracle (r11 advice). lag(y, 1)
+    // stays for the naive arm — "last OBSERVED value" is that
+    // forecaster's definition, gap or no gap. Monthly relation is
     // |nations|×|months|-bounded; the corpus-sized work is one
     // map-side-combined aggregate.
     "forecast_backtest" -> ((s, dir) => {
@@ -160,7 +208,9 @@ object Timeseries {
       val w = Window.partitionBy(col("nation")).orderBy(col("month"))
       monthly
         .withColumn("naive", lag(col("y"), 1).over(w))
-        .withColumn("snaive", lag(col("y"), 12).over(w))
+        .join(monthly.select(col("nation"),
+          add_months(col("month"), 12).as("month"), col("y").as("snaive")),
+          Seq("nation", "month"), "left")
         .filter(col("naive").isNotNull && col("snaive").isNotNull)
         .groupBy(col("nation"))
         .agg(count(lit(1)).as("n_scored"),
@@ -212,30 +262,38 @@ object Timeseries {
     })
   )
 
+  /** Shared oracle body for the dense and synthesized-gap gap-fill
+    * rows — `filterSql` splices into the daily CTE (empty = dense).
+    */
+  private def gapfillOracle(filterSql: String): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, cast(ts AS date) AS day,
+       |    cast(count(*) AS bigint) AS n_events,
+       |    cast(sum(cast(floor(value * 1e6 + 0.5) AS bigint)) AS bigint)
+       |      AS value_e6
+       |  FROM events GROUP BY 1, 2),
+       |kept AS (SELECT * FROM daily $filterSql),
+       |spine AS (
+       |  SELECT event_type, cast(unnest(generate_series(
+       |      min(day), max(day), INTERVAL 1 DAY)) AS date) AS day
+       |  FROM kept GROUP BY event_type),
+       |joined AS (
+       |  SELECT s.event_type, s.day, d.n_events, d.value_e6,
+       |    count(d.n_events) OVER (PARTITION BY s.event_type
+       |      ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS obs_grp
+       |  FROM spine s LEFT JOIN kept d
+       |    ON s.event_type = d.event_type AND s.day = d.day)
+       |SELECT event_type, day,
+       |  cast(coalesce(n_events, 0) AS bigint) AS n_events,
+       |  n_events IS NULL AS is_gap,
+       |  value_e6 AS observed_e6,
+       |  max(value_e6) OVER (PARTITION BY event_type, obs_grp) AS locf_e6
+       |FROM joined""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "timeseries_gapfill" ->
-      """WITH daily AS (
-        |  SELECT event_type, cast(ts AS date) AS day,
-        |    cast(count(*) AS bigint) AS n_events,
-        |    cast(sum(cast(floor(value * 1e6 + 0.5) AS bigint)) AS bigint)
-        |      AS value_e6
-        |  FROM events GROUP BY 1, 2),
-        |spine AS (
-        |  SELECT event_type, cast(unnest(generate_series(
-        |      min(day), max(day), INTERVAL 1 DAY)) AS date) AS day
-        |  FROM daily GROUP BY event_type),
-        |joined AS (
-        |  SELECT s.event_type, s.day, d.n_events, d.value_e6,
-        |    count(d.value_e6) OVER (PARTITION BY s.event_type
-        |      ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS obs_grp
-        |  FROM spine s LEFT JOIN daily d
-        |    ON s.event_type = d.event_type AND s.day = d.day)
-        |SELECT event_type, day,
-        |  cast(coalesce(n_events, 0) AS bigint) AS n_events,
-        |  n_events IS NULL AS is_gap,
-        |  value_e6 AS observed_e6,
-        |  max(value_e6) OVER (PARTITION BY event_type, obs_grp) AS locf_e6
-        |FROM joined""".stripMargin,
+    "timeseries_gapfill" -> gapfillOracle(""),
+    "timeseries_gapfill_sparse" -> gapfillOracle(
+      "WHERE substring(md5(event_type || '|' || cast(day AS varchar)), 1, 1) > '3'"),
     "anomaly_days_dow" ->
       """WITH counts AS (
         |  SELECT event_type, cast(ts AS date) AS day,
@@ -245,12 +303,12 @@ object Timeseries {
         |  SELECT event_type, day, x, dayofweek(day) + 1 AS dow FROM counts),
         |base AS (
         |  SELECT event_type, dow, cast(count(*) AS bigint) AS m,
-        |    cast(sum(x) AS bigint) AS s, cast(sum(x * x) AS bigint) AS q
+        |    cast(sum(x) AS bigint) AS s, sum(x::HUGEINT * x) AS q
         |  FROM withdow GROUP BY 1, 2)
         |SELECT c.event_type, c.day, cast(c.dow AS int) AS dow, c.x,
-        |  cast((b.s * 1000000) // b.m AS bigint) AS mean_e6,
-        |  (b.m * c.x - b.s) * (b.m * c.x - b.s)
-        |    > 9 * (b.m * b.q - b.s * b.s) AS is_anomaly
+        |  cast((b.s::HUGEINT * 1000000) // b.m AS bigint) AS mean_e6,
+        |  (b.m::HUGEINT * c.x - b.s) * (b.m::HUGEINT * c.x - b.s)
+        |    > 9 * (b.m * b.q - b.s::HUGEINT * b.s) AS is_anomaly
         |FROM withdow c JOIN base b
         |  ON c.event_type = b.event_type AND c.dow = b.dow""".stripMargin,
     "changepoint_cusum" ->
@@ -261,12 +319,12 @@ object Timeseries {
         |base AS (
         |  SELECT event_type, cast(count(*) AS bigint) AS m,
         |    cast(sum(x) AS bigint) AS ssum,
-        |    cast(sum(x * x) AS bigint) AS q
+        |    sum(x::HUGEINT * x) AS q
         |  FROM counts GROUP BY 1),
         |pre AS (
         |  SELECT c.event_type, c.day, c.x, b.m, b.ssum, b.q,
-        |    sum(b.m * c.x - b.ssum) OVER (PARTITION BY c.event_type
-        |      ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS st
+        |    cast(sum(b.m * c.x - b.ssum) OVER (PARTITION BY c.event_type
+        |      ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS bigint) AS st
         |  FROM counts c JOIN base b ON c.event_type = b.event_type),
         |mn AS (
         |  SELECT *, least(min(st) OVER (PARTITION BY event_type
@@ -274,7 +332,8 @@ object Timeseries {
         |  FROM pre)
         |SELECT event_type, day, x,
         |  cast(st - mt AS bigint) AS cusum,
-        |  (st - mt) * (st - mt) > 25 * (m * q - ssum * ssum) AS alarm
+        |  (st::HUGEINT - mt) * (st::HUGEINT - mt)
+        |    > 25 * (m * q - ssum::HUGEINT * ssum) AS alarm
         |FROM mn""".stripMargin,
     "forecast_backtest" ->
       """WITH monthly AS (
@@ -287,9 +346,12 @@ object Timeseries {
         |  JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2),
         |lagged AS (
-        |  SELECT nation, month, y,
-        |    lag(y, 1) OVER w AS naive, lag(y, 12) OVER w AS snaive
-        |  FROM monthly WINDOW w AS (PARTITION BY nation ORDER BY month)),
+        |  SELECT m.nation, m.month, m.y,
+        |    lag(m.y, 1) OVER (PARTITION BY m.nation ORDER BY m.month) AS naive,
+        |    p.y AS snaive
+        |  FROM monthly m LEFT JOIN monthly p
+        |    ON p.nation = m.nation
+        |    AND p.month = cast(m.month - INTERVAL 12 MONTH AS date)),
         |sc AS (SELECT * FROM lagged
         |       WHERE naive IS NOT NULL AND snaive IS NOT NULL)
         |SELECT nation, cast(count(*) AS bigint) AS n_scored,

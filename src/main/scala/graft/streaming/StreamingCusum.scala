@@ -49,12 +49,18 @@ object StreamingCusum {
         m = r.m; ssum = r.ssum; q = r.q
       }
       state.update((n, counts))
-      // the recurrence, over the (calendar-bounded) sorted day map
-      val thresh = 25L * (m * q - ssum * ssum)
+      // the recurrence, over the (calendar-bounded) sorted day map.
+      // Squared/product terms fold in BigInt — the exact mirror of
+      // the batch operator's decimal(38,0) widening (r11 advice): a
+      // Long thresh would wrap silently where the shared HUGEINT
+      // oracle raises. The linear state (st, the In moments) stays
+      // Long under the same documented bound as the batch row:
+      // m·(Σx per series) < 9.2e18.
+      val thresh = BigInt(25) * (BigInt(m) * q - BigInt(ssum) * ssum)
       var st = 0L
       val out = counts.toSeq.sortBy(_._1).map { case (d, x) =>
         st = math.max(0L, st + (m * x - ssum))
-        Out(key, n, d, x, st, st * st > thresh)
+        Out(key, n, d, x, st, BigInt(st) * st > thresh)
       }
       out.iterator
     }

@@ -100,18 +100,27 @@ class TimeseriesSpec extends SparkSpec {
   test("forecast backtest scores months where both lags exist; winner consistent") {
     val out = run("forecast_backtest").collect()
     assert(out.nonEmpty)
-    val months = graft.catalog.Tables(spark, sf).orders
+    // expected scored set computed independently under the CALENDAR
+    // join semantics (r11 advice): a month scores iff it has a
+    // previous OBSERVED month (naive) AND its exact month − 12 exists
+    // in the nation's set (seasonal) — on a sparse series lag(y, 12)
+    // would instead grab whatever row sits 12 back, which is exactly
+    // the silent-shift bug this pins against
+    val monthSets = graft.catalog.Tables(spark, sf).orders
       .join(graft.catalog.Tables(spark, sf).customer,
         col("o_custkey") === col("c_custkey"))
       .join(graft.catalog.Tables(spark, sf).nation,
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"),
         trunc(to_date(col("o_orderdate")), "month").as("month"))
-      .distinct().groupBy(col("nation")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (n, rs) => n -> rs.map(_.getDate(1).toLocalDate).toSet }
     out.foreach { r =>
-      // lag-12 is the binding constraint on a dense monthly series
-      assert(r.getAs[Long]("n_scored") == months(r.getString(0)) - 12)
+      val ms = monthSets(r.getString(0))
+      val first = ms.min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      val expectScored = ms.count(m => m != first && ms.contains(m.minusMonths(12)))
+      assert(r.getAs[Long]("n_scored") == expectScored.toLong)
       val (an, as_) = (r.getAs[Long]("ae_naive_cents"),
         r.getAs[Long]("ae_snaive_cents"))
       val expect = if (as_ < an) "seasonal" else if (as_ > an) "naive" else "tie"
