@@ -209,6 +209,12 @@ object Bench {
       graft.operators.ProductAnalytics.materializedPairCounts(spark, sfDir)
       graft.operators.ProductAnalytics.materializedPartOrderCounts(spark, sfDir)
     }
+    // ...and the PCA family's memoized eigen-fit (r11 verdict #3):
+    // one moments scan + integer eigensolve, three consumer queries
+    if (Seq("pca_power_projection", "mahalanobis_pc2", "zca_whiten_pc2")
+        .exists(selected))
+      graft.operators.Features.powerFitE6For(spark, sfDir,
+        graft.operators.Features.PowerIters)
     // a crashing query must surface as an err entry, not be billed a
     // fast "time" inside a clean-looking total
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

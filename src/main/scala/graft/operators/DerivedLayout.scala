@@ -35,24 +35,34 @@ object DerivedLayout {
     * `partitionBy`); `write` must end in a committed `_SUCCESS` at
     * the given path.
     */
+  /** Source fingerprint of `dir/srcRel` (file names, sizes, mtimes) —
+    * the staleness key for derived layouts, also usable as a memo key
+    * for derived DRIVER-SIDE models (e.g. the PCA-family eigen-fit):
+    * same contract, same "regenerated corpus can never serve a stale
+    * derivation" guarantee.
+    */
+  def fingerprint(dir: String, srcRel: String): String = {
+    val src = new java.io.File(s"$dir/$srcRel")
+    val srcFiles =
+      if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+    srcFiles
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+  }
+
   def deriveWith(s: SparkSession, dir: String, name: String, srcRel: String)(
       write: String => Unit): String = {
     val sfName = new java.io.File(dir).getName
     val out = new java.io.File(s"target/derived/$sfName/$name").getAbsolutePath
     locks.computeIfAbsent(out, _ => new Object).synchronized {
-      val src = new java.io.File(s"$dir/$srcRel")
-      val srcFiles =
-        if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
-      val fingerprint = srcFiles
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      val fp = fingerprint(dir, srcRel)
       val marker = new java.io.File(s"$out/_SOURCE_FINGERPRINT")
       val fresh = new java.io.File(s"$out/_SUCCESS").exists() &&
         marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          "UTF-8") == fingerprint
+          "UTF-8") == fp
       if (!fresh) {
         write(out)
-        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+        java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
       }
     }
     out
