@@ -266,10 +266,11 @@ object Bench {
     // reported maps stay name-sorted.
     // ...plus the incremental-ingest drill, which boots two streaming
     // queries and round-trips the corpus through a landing zone —
-    // same "real cost, wrong venue" argument
-    val rocksDbQueries = Set("stream_neardup_pairs", "stream_heavy_hitters",
-      "stream_incremental_ingest", "stream_sessions", "stream_user_profiles",
-      "stream_cusum")
+    // same "real cost, wrong venue" argument. Membership is DERIVED
+    // from the provider registry (default isolated; see
+    // StreamingProvider) — the set was previously hardcoded here and
+    // every new streaming row had to remember to join it (r11 #4).
+    val rocksDbQueries = SparkEntry.isolatedStreamingQueries
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1))
     val batchQs = sorted.filterNot(q => rocksDbQueries(q._1))
@@ -436,11 +437,31 @@ object Bench {
         Some(s""""$n":[${hashes.map("\"" + _ + "\"").mkString(",")}]""")
       else None
     }.mkString("{", ",", "}")
+    // ---- contention guard (r11 verdict #1) --------------------------
+    // The r11 committed recording carried 71 s foreign CPU and 42
+    // warm_unstable flags with monotonically falling reps — the
+    // instrumentation caught the contended box, but nothing stopped
+    // the recording from overwriting the committed reference. Now a
+    // recording that self-identifies as contended (many unstable-rep
+    // flags, or heavy foreign CPU on a full-suite run) lands in
+    // bench_full.contended.json instead of clobbering bench_full.json;
+    // SPARK_GRAFT_FORCE_RECORD=1 overrides when a contended number is
+    // deliberately wanted.
+    val warmUnstableCount = flags.count(_.contains("\"warm_unstable\""))
+    val contended = warmUnstableCount > 10 || foreignCpuSec > 60.0
+    val forceRecord = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
+    val recordPath =
+      if (contended && !forceRecord) "bench_full.contended.json"
+      else "bench_full.json"
+    if (contended)
+      System.err.println(
+        f"bench: CONTENDED recording ($warmUnstableCount warm_unstable flags, " +
+          f"foreign_cpu ${fmt(foreignCpuSec)} s) -> $recordPath")
     // the stdout budget (driver captures only the final ~2000 chars)
     // can't hold all per-query times — the COMPLETE record goes to a
     // side file in the repo root for the judge / cross-round diffs
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","contended":$contended,
          |"warm_total":${fmt(warmTotal)},"warm_reps":$warmReps,
          |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},
          |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},"pass_gate_wait_sec":${fmt(passGateWaitTotal)},
@@ -454,7 +475,7 @@ object Bench {
          |"cold":${jmap(cold.map(kv => kv._1 -> kv._2.sec))},
          |"warm":${jmap(warm)}}""".stripMargin
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullJson)
+      java.nio.file.Paths.get(recordPath), fullJson)
     // full detail first (for humans / logs)…
     println(s"""BENCH_WARM ${jmap(warm)}""")
     // …then the machine-read line LAST. The driver captures only the
@@ -470,7 +491,8 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val er = if (errors.nonEmpty) s""","errors":${jsmap(errors.toSeq)}""" else ""
       val fl = if (flags.nonEmpty) s""","n_flags":${flags.size}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(qs)},"warm_total":${fmt(warmTotal)},"foreign_cpu_sec":${fmt(foreignCpuSec)}$om$er$fl,"full":"bench_full.json","sf":"$sfDir"}"""
+      val ct = if (contended) s""","contended":true""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(qs)},"warm_total":${fmt(warmTotal)},"foreign_cpu_sec":${fmt(foreignCpuSec)}$om$er$fl$ct,"full":"$recordPath","sf":"$sfDir"}"""
     }
     var keep = coldTimes.sortBy(-_._2)
     while (line(keep.sortBy(_._1), coldTimes.size - keep.size).length > budget && keep.size > 1)

@@ -20,10 +20,27 @@ object SparkEntry {
     BestPerformingProduct(t.lineitem, t.orders, t.part)
   }
 
+  /** Every streaming provider, registered ONCE — queries, oracles,
+    * and the bench's isolated-phase membership all derive from this
+    * list, so a provider can't contribute rows while dodging the
+    * phase registry (r11 verdict #4).
+    */
+  def streamingProviders: Seq[graft.streaming.StreamingProvider] = Seq(
+    graft.streaming.EventsStream, graft.streaming.StreamingNearDup,
+    graft.streaming.StreamingHeavyHitters, graft.streaming.IncrementalIngest,
+    graft.streaming.UserProfileState, graft.streaming.StreamingCusum)
+
+  /** Queries the bench must run in the isolated streaming phase —
+    * derived from the providers' own declarations (default isolated;
+    * see [[graft.streaming.StreamingProvider]]).
+    */
+  def isolatedStreamingQueries: Set[String] =
+    streamingProviders.flatMap(_.isolatedQueries).toSet
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     parity ++ Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Advanced.queries ++ CorpusCuration.queries ++ WindowsAndStrings.queries ++ ProductAnalytics.queries ++ PartitionedFacts.queries ++ RangeJoin.queries ++ CurationFilters.queries ++ Skew.queries ++ Retrieval.queries ++ Maintenance.queries ++ ProductQuantization.queries ++ Sketches.queries ++ CorpusMixture.queries ++ Features.queries ++ RecordLinkage.queries ++ DataQuality.queries ++ Timeseries.queries ++ graft.streaming.EventsStream.queries ++ graft.streaming.StreamingNearDup.queries ++ graft.streaming.StreamingHeavyHitters.queries ++ graft.streaming.IncrementalIngest.queries ++ graft.streaming.UserProfileState.queries ++ graft.streaming.StreamingCusum.queries
+      Similarity.queries ++ Multimodal.queries ++ Advanced.queries ++ CorpusCuration.queries ++ WindowsAndStrings.queries ++ ProductAnalytics.queries ++ PartitionedFacts.queries ++ RangeJoin.queries ++ CurationFilters.queries ++ Skew.queries ++ Retrieval.queries ++ Maintenance.queries ++ ProductQuantization.queries ++ Sketches.queries ++ CorpusMixture.queries ++ Features.queries ++ RecordLinkage.queries ++ DataQuality.queries ++ Timeseries.queries ++ streamingProviders.map(_.queries).reduce(_ ++ _)
 
   private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- parity: the reference's three analytics transforms ---------
@@ -46,5 +63,5 @@ object SparkEntry {
     "agg_shipments"           -> AggShipments.oracle,
     "best_performing_product" -> BestPerformingProduct.oracle
   ) ++ Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-    Similarity.oracles ++ Multimodal.oracles ++ Advanced.oracles ++ CorpusCuration.oracles ++ WindowsAndStrings.oracles ++ ProductAnalytics.oracles ++ PartitionedFacts.oracles ++ RangeJoin.oracles ++ CurationFilters.oracles ++ Skew.oracles ++ Retrieval.oracles ++ Maintenance.oracles ++ ProductQuantization.oracles ++ Sketches.oracles ++ CorpusMixture.oracles ++ Features.oracles ++ RecordLinkage.oracles ++ DataQuality.oracles ++ Timeseries.oracles ++ graft.streaming.EventsStream.oracles ++ graft.streaming.StreamingNearDup.oracles ++ graft.streaming.StreamingHeavyHitters.oracles ++ graft.streaming.IncrementalIngest.oracles ++ graft.streaming.UserProfileState.oracles ++ graft.streaming.StreamingCusum.oracles
+    Similarity.oracles ++ Multimodal.oracles ++ Advanced.oracles ++ CorpusCuration.oracles ++ WindowsAndStrings.oracles ++ ProductAnalytics.oracles ++ PartitionedFacts.oracles ++ RangeJoin.oracles ++ CurationFilters.oracles ++ Skew.oracles ++ Retrieval.oracles ++ Maintenance.oracles ++ ProductQuantization.oracles ++ Sketches.oracles ++ CorpusMixture.oracles ++ Features.oracles ++ RecordLinkage.oracles ++ DataQuality.oracles ++ Timeseries.oracles ++ streamingProviders.map(_.oracles).reduce(_ ++ _)
 }

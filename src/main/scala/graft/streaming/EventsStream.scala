@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * shape to the batch equivalents, so the 100 TB sizing story
   * (partitions, skew, AQE) carries over.
   */
-object EventsStream {
+object EventsStream extends StreamingProvider {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
@@ -235,6 +235,16 @@ object EventsStream {
     * execution modes, which is the whole point of Structured
     * Streaming's unified model.
     */
+  /** The two batch-executed transform rows are safe outside the
+    * isolated streaming phase: `withWatermark` on a batch Dataset is
+    * a no-op (see the scaladoc above), so neither boots a streaming
+    * engine or a state store inside the timed window.
+    * `stream_sessions` stays isolated (RocksDB via [[sessionize]]'s
+    * drain).
+    */
+  override def batchPhaseOk: Set[String] =
+    Set("stream_hourly_counts", "stream_attribution_join")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_counts" -> ((s, dir) =>
       hourlyCounts(graft.catalog.Tables(s, dir).events)),

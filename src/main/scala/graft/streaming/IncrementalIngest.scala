@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.StructType
   * objects, each ingest run picks up the delta, output is
   * partitioned parquet.
   */
-object IncrementalIngest {
+object IncrementalIngest extends StreamingProvider {
 
   /** Drain all unprocessed CSVs from `srcDir` into parquet at
     * `destDir`. Returns after the drain completes. The checkpoint

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * operator, so arrival order and batch boundaries cannot perturb a
   * single bit of the output.
   */
-object StreamingCusum {
+object StreamingCusum extends StreamingProvider {
 
   case class In(event_type: String, day: String, m: Long, ssum: Long, q: Long)
   case class Out(event_type: String, n_seen: Long, day: String, x: Long,

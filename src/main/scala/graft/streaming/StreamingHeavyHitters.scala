@@ -25,7 +25,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * distinct-item count the summary is exact — the condition
   * `StreamingHeavyHittersSpec` uses to pin stream ≡ batch.
   */
-object StreamingHeavyHitters {
+object StreamingHeavyHitters extends StreamingProvider {
 
   case class Item(group: String, item: String)
   case class GroupHitters(group: String, n_seen: Long,

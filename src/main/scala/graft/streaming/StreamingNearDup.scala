@@ -39,7 +39,7 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   *    is by arrival; doc_a < doc_b is NOT guaranteed across batches —
   *    earlier-seen id first.
   */
-object StreamingNearDup {
+object StreamingNearDup extends StreamingProvider {
 
   case class BandedDoc(bucket: String, doc_id: Long, mh: Array[Long])
   case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * replays and partition order can't perturb it) and surfaces as a
   * double only in the emitted row.
   */
-object UserProfileState {
+object UserProfileState extends StreamingProvider {
 
   case class ProfileEvent(user_id: Long, value: Double)
   case class UserProfile(user_id: Long, n_events: Long, total_value: Double)

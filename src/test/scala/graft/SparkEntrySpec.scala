@@ -20,6 +20,26 @@ class SparkEntrySpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
   }
 
+  test("isolated streaming-phase set derives from the provider registry") {
+    val iso = SparkEntry.isolatedStreamingQueries
+    // two-way pin (the PlanLintSpec staleness pattern): adding a
+    // streaming row forces a conscious phase decision here — the
+    // provider default is isolated, so the expected set grows unless
+    // the author opts the row into batchPhaseOk with a justification
+    assert(iso == Set("stream_neardup_pairs", "stream_heavy_hitters",
+      "stream_incremental_ingest", "stream_sessions",
+      "stream_user_profiles", "stream_cusum"),
+      s"isolated set drifted: $iso")
+    // registry completeness: every stream_* board row must come from
+    // a registered provider (a provider added to SparkEntry.queries
+    // but not streamingProviders would dodge the phase registry)
+    val provided = SparkEntry.streamingProviders.flatMap(_.queries.keySet).toSet
+    val streamRows = SparkEntry.queries.keySet.filter(_.startsWith("stream_"))
+    assert(streamRows == provided,
+      s"stream rows outside the provider registry: ${streamRows -- provided}")
+    assert(iso.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("oracle SQL never references tables outside the testdata set") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
