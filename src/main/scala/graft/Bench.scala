@@ -215,6 +215,10 @@ object Bench {
         .exists(selected))
       graft.operators.Features.powerFitE6For(spark, sfDir,
         graft.operators.Features.PowerIters)
+    // ...and the embedded-Derby warehouse load (one JDBC stage per
+    // corpus fingerprint — the reference's load-then-query shape)
+    if (selected("jdbc_pushdown_segment"))
+      graft.sources.JdbcGate.ensureCustomerLoaded(spark, sfDir)
     // a crashing query must surface as an err entry, not be billed a
     // fast "time" inside a clean-looking total
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -40,7 +40,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     parity ++ Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Advanced.queries ++ CorpusCuration.queries ++ WindowsAndStrings.queries ++ ProductAnalytics.queries ++ PartitionedFacts.queries ++ RangeJoin.queries ++ CurationFilters.queries ++ Skew.queries ++ Retrieval.queries ++ Maintenance.queries ++ ProductQuantization.queries ++ Sketches.queries ++ CorpusMixture.queries ++ Features.queries ++ RecordLinkage.queries ++ DataQuality.queries ++ Timeseries.queries ++ streamingProviders.map(_.queries).reduce(_ ++ _)
+      Similarity.queries ++ Multimodal.queries ++ Advanced.queries ++ CorpusCuration.queries ++ WindowsAndStrings.queries ++ ProductAnalytics.queries ++ PartitionedFacts.queries ++ RangeJoin.queries ++ CurationFilters.queries ++ Skew.queries ++ Retrieval.queries ++ Maintenance.queries ++ ProductQuantization.queries ++ Sketches.queries ++ CorpusMixture.queries ++ Features.queries ++ RecordLinkage.queries ++ DataQuality.queries ++ Timeseries.queries ++ graft.sources.JdbcGate.queries ++ streamingProviders.map(_.queries).reduce(_ ++ _)
 
   private def parity: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- parity: the reference's three analytics transforms ---------
@@ -63,5 +63,5 @@ object SparkEntry {
     "agg_shipments"           -> AggShipments.oracle,
     "best_performing_product" -> BestPerformingProduct.oracle
   ) ++ Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-    Similarity.oracles ++ Multimodal.oracles ++ Advanced.oracles ++ CorpusCuration.oracles ++ WindowsAndStrings.oracles ++ ProductAnalytics.oracles ++ PartitionedFacts.oracles ++ RangeJoin.oracles ++ CurationFilters.oracles ++ Skew.oracles ++ Retrieval.oracles ++ Maintenance.oracles ++ ProductQuantization.oracles ++ Sketches.oracles ++ CorpusMixture.oracles ++ Features.oracles ++ RecordLinkage.oracles ++ DataQuality.oracles ++ Timeseries.oracles ++ streamingProviders.map(_.oracles).reduce(_ ++ _)
+    Similarity.oracles ++ Multimodal.oracles ++ Advanced.oracles ++ CorpusCuration.oracles ++ WindowsAndStrings.oracles ++ ProductAnalytics.oracles ++ PartitionedFacts.oracles ++ RangeJoin.oracles ++ CurationFilters.oracles ++ Skew.oracles ++ Retrieval.oracles ++ Maintenance.oracles ++ ProductQuantization.oracles ++ Sketches.oracles ++ CorpusMixture.oracles ++ Features.oracles ++ RecordLinkage.oracles ++ DataQuality.oracles ++ Timeseries.oracles ++ graft.sources.JdbcGate.oracles ++ streamingProviders.map(_.oracles).reduce(_ ++ _)
 }

@@ -64,6 +64,19 @@ class JdbcSpec extends SparkSpec {
     assert(f.count() == 10)
   }
 
+  test("jdbc_pushdown_segment board row pushes both predicates into Derby") {
+    val df = JdbcGate.queries("jdbc_pushdown_segment")(spark, sf)
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("PushedFilters"), ex.take(400))
+    // both the segment equality and the balance range reach the
+    // database (the * prefix marks a FULLY pushed filter; the
+    // metadata string truncates at the default char budget, so match
+    // the prefix of the second predicate)
+    assert(ex.contains("*EqualTo(c_mktsegment,BUILDING)") &&
+      ex.contains("*GreaterThan(c"), ex.take(600))
+    assert(df.count() > 0)
+  }
+
   test("query read pushes the subquery down to the database") {
     // Spark's JDBC writer quotes column identifiers, so Derby stores
     // them case-sensitively lowercase — quote them in the pushdown SQL
