@@ -452,7 +452,15 @@ object Bench {
     // SPARK_GRAFT_FORCE_RECORD=1 overrides when a contended number is
     // deliberately wanted.
     val warmUnstableCount = flags.count(_.contains("\"warm_unstable\""))
-    val contended = warmUnstableCount > 10 || foreignCpuSec > 60.0
+    // Foreign CPU must be judged as a RATE, not a total: the container's
+    // constant ~0.15-core background accumulates 75-85 s over a clean
+    // 10-minute full-board run (both clean r11 recordings: 82.5/75.3 s),
+    // while the contaminated r11 recording had LESS absolute foreign CPU
+    // (71.3 s) but 42 warm_unstable flags. So the rep-instability count
+    // is the primary signal and foreign CORES (>0.5 of a core sustained
+    // over the whole run) the secondary one.
+    val foreignCores = if (wallSec > 0) foreignCpuSec / wallSec else 0.0
+    val contended = warmUnstableCount > 10 || foreignCores > 0.5
     val forceRecord = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
     val recordPath =
       if (contended && !forceRecord) "bench_full.contended.json"
@@ -460,7 +468,7 @@ object Bench {
     if (contended)
       System.err.println(
         f"bench: CONTENDED recording ($warmUnstableCount warm_unstable flags, " +
-          f"foreign_cpu ${fmt(foreignCpuSec)} s) -> $recordPath")
+          f"foreign_cpu ${fmt(foreignCpuSec)} s = ${fmt(foreignCores)} cores) -> $recordPath")
     // the stdout budget (driver captures only the final ~2000 chars)
     // can't hold all per-query times — the COMPLETE record goes to a
     // side file in the repo root for the judge / cross-round diffs
