@@ -219,6 +219,33 @@ object Bench {
     // corpus fingerprint — the reference's load-then-query shape)
     if (selected("jdbc_pushdown_segment"))
       graft.sources.JdbcGate.ensureCustomerLoaded(spark, sfDir)
+    // AOT-warm experiment (r11 verdict #7, opt-in): the graph family's
+    // residual cold:warm gap is C2/JIT warming of the iterative keyed
+    // join+agg dataflow's classes, not plan compile count (the r11
+    // negative result). Run the SAME dataflows once over a 6-edge
+    // in-memory graph in setup — identical plan SHAPES, so the shared
+    // infra (Janino, shuffle writers, codegen frameworks, decimal sum
+    // paths) warms on setup's dime while per-plan generated classes
+    // still compile cold as the protocol demands. Measured A/B before
+    // adoption; off by default so the committed protocol is unchanged.
+    if (sys.env.get("SPARK_GRAFT_AOT_WARM").contains("1")) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L), (5L, 1L))
+        .toDF("src", "dst")
+      val nodes = e.select(col("src").as("part")).distinct()
+      graft.functions.TopKByScore.register(spark)
+      graft.operators.ProductAnalytics
+        .pageRankRatios(nodes, e, rounds = 3).count()
+      graft.operators.ProductAnalytics
+        .bfsHopHistogram(e, maxHops = 3).count()
+      graft.operators.ProductAnalytics
+        .triangleParticipation(e.select(col("src").as("u"),
+          col("dst").as("v"))).count()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     // a crashing query must surface as an err entry, not be billed a
     // fast "time" inside a clean-looking total
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
