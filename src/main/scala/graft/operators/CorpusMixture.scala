@@ -189,7 +189,59 @@ object CorpusMixture {
           .as("novelty"))
   }
 
+  /** Token-budget epoch allocation: how many epochs of each source to
+    * run when composing a fixed-budget pretraining mixture — the
+    * budget face of the mixture family (DSIR ranks docs, source_kl
+    * measures drift; this row decides REPETITION, the knob production
+    * corpora actually turn when the budget exceeds the deduped corpus,
+    * cf. Muennighoff et al., "Scaling Data-Constrained Language
+    * Models"). Deterministic integer formulation so the hash gate
+    * holds: per-source token counts and a quality proxy (share of
+    * 3–12-char tokens, in e6 fixed point) come from ONE pass over the
+    * token stream; the budget (`budgetMultiple` × corpus tokens)
+    * splits across sources proportionally to quality_e6 × n_tokens;
+    * epochs_e6 = target/n_tokens caps at `maxEpochsE6` (the repeated-
+    * epoch value decay bound — leftover from capped sources is NOT
+    * redistributed, a one-shot allocation by design). Every division
+    * is an integral DIV with positive operands (Spark truncates,
+    * DuckDB floors — equal on positives); products run in
+    * decimal(38,0)/HUGEINT, clearing ~1e32 at a 100 TB corpus
+    * (2 × 1.25e13 tokens × 1e6 × 1e13). Scale shape: one explode +
+    * map-side-combined per-source aggregate; everything after is a
+    * sources-bounded relation with a 1-row broadcast total.
+    */
+  def tokenBudgetEpochs(docs: DataFrame, budgetMultiple: Int = 2,
+                        maxEpochsE6: Long = 4000000L): DataFrame = {
+    val perSource = toks(docs)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(length(col("w")).between(3, 12), 1L).otherwise(0L))
+          .as("n_good"))
+      .withColumn("quality_e6",
+        expr("(1000000 * CAST(n_good AS DECIMAL(38,0))) DIV n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(expr("CAST(quality_e6 AS DECIMAL(38,0)) * n_tokens"))
+        .as("qweight"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens", expr(
+        s"($budgetMultiple * CAST(total_tokens AS DECIMAL(38,0))" +
+          " * quality_e6 * n_tokens) DIV qweight"))
+      .withColumn("epochs_e6", least(lit(maxEpochsE6), expr(
+        "(CAST(target_tokens AS DECIMAL(38,0)) * 1000000) DIV n_tokens")))
+      .withColumn("alloc_tokens", expr(
+        "(CAST(epochs_e6 AS DECIMAL(38,0)) * n_tokens) DIV 1000000"))
+      .withColumn("share_e6", expr(
+        "(1000000 * CAST(alloc_tokens AS DECIMAL(38,0)))" +
+          " DIV sum(alloc_tokens) OVER ()"))
+      .select(col("source"), col("n_tokens"), col("quality_e6"),
+        col("epochs_e6"), col("alloc_tokens"), col("share_e6"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_budget_epochs" -> ((s, dir) =>
+      tokenBudgetEpochs(Tables(s, dir).documents)),
     "source_novelty" -> ((s, dir) => sourceNovelty(Tables(s, dir).documents)),
     "dsir_weights" -> ((s, dir) => dsirWeights(Tables(s, dir).documents, "en")),
     "source_kl" -> ((s, dir) => sourceKl(Tables(s, dir).documents)),
@@ -200,6 +252,49 @@ object CorpusMixture {
   )
 
   def oracles: Map[String, String] = Map(
+    // mirrors tokenBudgetEpochs step for step: same one-pass counts,
+    // same HUGEINT products, same two-step target->epochs integral
+    // divisions (folding them would change the truncation points)
+    "token_budget_epochs" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |ps AS (
+        |  SELECT source, cast(count(*) AS bigint) AS n_tokens,
+        |    cast(sum(CASE WHEN len(w) BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+        |      AS bigint) AS n_good
+        |  FROM toks GROUP BY source),
+        |ps2 AS (
+        |  SELECT source, n_tokens,
+        |    cast((1000000 * cast(n_good AS HUGEINT)) // n_tokens AS bigint)
+        |      AS quality_e6
+        |  FROM ps),
+        |tot AS (
+        |  SELECT cast(sum(n_tokens) AS HUGEINT) AS total_tokens,
+        |    sum(cast(quality_e6 AS HUGEINT) * n_tokens) AS qweight
+        |  FROM ps2),
+        |tgt AS (
+        |  SELECT source, n_tokens, quality_e6,
+        |    (2 * total_tokens * quality_e6 * n_tokens) // qweight
+        |      AS target_tokens
+        |  FROM ps2, tot),
+        |ep AS (
+        |  SELECT source, n_tokens, quality_e6,
+        |    least(4000000, (cast(target_tokens AS HUGEINT) * 1000000)
+        |      // n_tokens) AS epochs_e6
+        |  FROM tgt),
+        |al AS (
+        |  SELECT source, n_tokens, quality_e6, epochs_e6,
+        |    (cast(epochs_e6 AS HUGEINT) * n_tokens) // 1000000
+        |      AS alloc_tokens
+        |  FROM ep)
+        |SELECT source, n_tokens, cast(quality_e6 AS bigint) AS quality_e6,
+        |  cast(epochs_e6 AS bigint) AS epochs_e6,
+        |  cast(alloc_tokens AS bigint) AS alloc_tokens,
+        |  cast((1000000 * cast(alloc_tokens AS HUGEINT))
+        |    // (SELECT sum(alloc_tokens) FROM al) AS bigint) AS share_e6
+        |FROM al
+        |ORDER BY source""".stripMargin,
     // the same 8-gram md5 hash stream as the decontamination oracle,
     // then min-source coverage attribution; the novelty ratio is one
     // int/int division, identical IEEE in both engines

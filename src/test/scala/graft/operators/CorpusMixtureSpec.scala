@@ -98,4 +98,32 @@ class CorpusMixtureSpec extends SparkSpec {
     val heavyShare = got.count(t => isHeavy(t._3)).toDouble / got.length
     assert(heavyShare >= 0.9, s"heavy docs should dominate, got $heavyShare")
   }
+
+  test("tokenBudgetEpochs: cap binds, budget conserved, quality ordering") {
+    // "clean": all 5-char tokens (quality_e6 = 1e6); "noisy": half the
+    // tokens are 1-char (quality_e6 = 5e5); equal token counts, so the
+    // quality-proportional split targets 2/3 vs 1/3 of a 2x budget
+    val d = docs(
+      (1L, "heavy heavy heavy heavy", "en", "clean"),
+      (2L, "a token a token a token a token", "en", "noisy"))
+    val rows = CorpusMixture.tokenBudgetEpochs(d, budgetMultiple = 2,
+        maxEpochsE6 = 4000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (nc, qc, ec, ac) = rows("clean")
+    val (nn, qn, en, an) = rows("noisy")
+    assert(nc == 4 && nn == 8)
+    assert(qc == 1000000L && qn == 500000L)
+    // qweight = 1e6*4 + 5e5*8 = 8e6; budget = 24 tokens.
+    // clean target = 24*4e6/8e6 = 12 -> 3 epochs; noisy = 12 -> 1.5
+    assert(ec == 3000000L && en == 1500000L)
+    assert(ac == 12L && an == 12L)
+    assert(ac + an == 2 * (nc + nn), "uncapped allocation spends the budget")
+    // a tight cap binds and leftover is NOT redistributed
+    val capped = CorpusMixture.tokenBudgetEpochs(d, budgetMultiple = 2,
+        maxEpochsE6 = 2000000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(capped("clean") == ((2000000L, 8L)), "cap binds the clean source")
+    assert(capped("noisy") == ((1500000L, 12L)), "uncapped source unchanged")
+  }
 }
