@@ -380,6 +380,15 @@ object TextAnalysis {
     "bpe_fertility_by_lang" -> ((s, dir) =>
       bpeFertilityByLang(Tables(s, dir).documents, BpeRounds)),
 
+    // tokenizer DECODE: id-rank the learned vocab, encode every
+    // distinct word to its id sequence, decode the ids back through
+    // the inverse vocab join, and certify the lossless round trip
+    // (plus a position-weighted id checksum pinning the exact
+    // assignment) in one row — closes the encode-only gap in the
+    // BPE family
+    "bpe_decode_roundtrip" -> ((s, dir) =>
+      bpeDecodeRoundtrip(Tables(s, dir).documents, BpeRounds)),
+
     "bpe_pair_stats" -> ((s, dir) => {
       val words = Tables(s, dir).documents
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -580,6 +589,65 @@ object TextAnalysis {
           col("n_words").cast("double"), 4).as("fertility"))
   }
 
+  /** Tokenizer DECODE certificate: assign integer ids to the learned
+    * vocabulary (rank by weighted occurrence count DESC, token ASC —
+    * a total order, so the assignment is engine-stable), encode every
+    * distinct word into its id sequence, decode the ids back through
+    * the inverse vocab join, and certify the round trip in one row:
+    * vocab size, word/token counts, how many words reconstruct
+    * exactly (all of them — BPE merges are concatenative, and this
+    * row PROVES it rather than assuming it), and a position-weighted
+    * id checksum that pins the exact id assignment and sequence
+    * order into the hash gate.
+    *
+    * Scale shape: after the one corpus fold into the word-frequency
+    * table (inside [[bpeTrain]]) everything here is vocab-sized —
+    * the id-assignment window runs over distinct TOKENS (characters
+    * + learned merges, bounded by alphabet + rounds; the single
+    * partition it implies holds hundreds of rows, not corpus rows),
+    * and the encode/decode joins shuffle on token/id keys over the
+    * distinct-word table. At 100 TB the corpus cost stays the one
+    * word-count pass the whole BPE family already shares.
+    */
+  def bpeDecodeRoundtrip(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, syms) = bpeTrain(docs, rounds, needFinalSyms = true)
+    // vocab ids: weighted occurrence rank, ties broken lexically
+    val vocab = syms
+      .select(col("wf"), explode(col("sym")).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("wf")).as("n_occ"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("n_occ"), asc("tok"))))
+    // encode: distinct word -> ordered (pos, id) stream
+    val enc = syms
+      .select(col("w"), posexplode(col("sym")).as(Seq("pos0", "tok")))
+      .select(col("w"), (col("pos0") + 1).as("pos"), col("tok"))
+      .join(vocab.select(col("tok"), col("id")).hint("shuffle_hash"),
+        Seq("tok"))
+      .select(col("w"), col("pos"), col("id"))
+    // decode: id stream -> tokens via the inverse join, reassembled
+    // in position order (struct sort on the unique pos key)
+    val dec = enc
+      .join(vocab.select(col("id"), col("tok").as("dtok"))
+        .hint("shuffle_hash"), Seq("id"))
+      .groupBy(col("w"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("dtok")))),
+          x => x.getField("dtok")), "").as("decoded"),
+        sum(col("pos").cast("long") * col("id").cast("long")).as("wsum"),
+        count(lit(1)).as("n_tok"))
+    dec
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("decoded") === col("w"), 1L).otherwise(0L))
+          .as("n_roundtrip_ok"),
+        sum(col("wsum")).as("id_pos_checksum"))
+      .crossJoin(vocab.agg(count(lit(1)).as("vocab_size")))
+      .select(col("n_words"), col("vocab_size"), col("n_tokens"),
+        col("n_roundtrip_ok"), col("id_pos_checksum"))
+  }
+
   /** The shared trainer loop: returns the learned merges and the
     * final persisted per-word symbol table (caller unpersists or
     * leaves it for the session's clearCache). With
@@ -722,6 +790,37 @@ object TextAnalysis {
           |  cast(sum(len(s.sym)) AS bigint) AS n_bpe_tokens
           |FROM doc_words d JOIN syms$BpeRounds s ON d.w = s.w
           |GROUP BY d.doc_id""".stripMargin),
+    "bpe_decode_roundtrip" ->
+      (s"WITH ${bpeOracleCtes(BpeRounds)}" +
+        s""",
+          |vocab_ids AS MATERIALIZED (
+          |  SELECT tok, n_occ,
+          |    row_number() OVER (ORDER BY n_occ DESC, tok) AS id
+          |  FROM (
+          |    SELECT sym[i] AS tok, sum(wf) AS n_occ
+          |    FROM (SELECT wf, sym, unnest(range(1, len(sym) + 1)) AS i
+          |          FROM syms$BpeRounds)
+          |    GROUP BY 1)),
+          |enc AS (
+          |  SELECT e.w, e.pos, v.id
+          |  FROM (SELECT w, sym[i] AS tok, i AS pos
+          |        FROM (SELECT w, sym, unnest(range(1, len(sym) + 1)) AS i
+          |              FROM syms$BpeRounds)) e
+          |  JOIN vocab_ids v ON v.tok = e.tok),
+          |dec AS (
+          |  SELECT e.w,
+          |    string_agg(v.tok, '' ORDER BY e.pos) AS decoded,
+          |    sum(e.pos * v.id) AS wsum,
+          |    count(*) AS n_tok
+          |  FROM enc e JOIN vocab_ids v ON v.id = e.id
+          |  GROUP BY e.w)
+          |SELECT cast(count(*) AS bigint) AS n_words,
+          |  cast((SELECT count(*) FROM vocab_ids) AS bigint) AS vocab_size,
+          |  cast(sum(n_tok) AS bigint) AS n_tokens,
+          |  cast(sum(CASE WHEN decoded = w THEN 1 ELSE 0 END) AS bigint)
+          |    AS n_roundtrip_ok,
+          |  cast(sum(wsum) AS bigint) AS id_pos_checksum
+          |FROM dec""".stripMargin),
     "text_tokens" ->
       s"""SELECT doc_id,
          |  cast($sqlNWords AS bigint) AS n_ws_tokens,

@@ -47,7 +47,9 @@ class PlanLintSpec extends SparkSpec {
     "sketch_join_cardinality" -> "1-row KMV/exact summary aggregates crossed",
     "feature_auc" -> "1-row score-range broadcast for bucket quantization",
     "part_graph_stats" -> "five 1-row graph-summary aggregates crossed",
-    "joint_histogram" -> "1-row value-range broadcast for grid quantization"
+    "joint_histogram" -> "1-row value-range broadcast for grid quantization",
+    "token_budget_epochs" -> "1-row corpus-totals broadcast over the per-source aggregate",
+    "bpe_decode_roundtrip" -> "1-row vocab-size aggregate crossed onto the 1-row certificate"
   )
 
   test("no query plans corpus-sized cartesian or nested-loop joins") {
@@ -80,7 +82,9 @@ class PlanLintSpec extends SparkSpec {
       "running backlog over the per-day delta aggregate (calendar-bounded)",
     "pareto_frontier" ->
       "running max over the 256-bucket aggregate and the bucket-pruned candidates",
-    "feature_auc" -> "cumulative negatives over the 4096-bucket aggregate"
+    "feature_auc" -> "cumulative negatives over the 4096-bucket aggregate",
+    "token_budget_epochs" -> "share normalizer over the sources-bounded aggregate",
+    "bpe_decode_roundtrip" -> "id rank over the vocab-sized token aggregate"
   )
 
   test("no query runs a partition-less window over a non-aggregated relation") {

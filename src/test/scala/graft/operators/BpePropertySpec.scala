@@ -14,7 +14,7 @@ class BpePropertySpec extends SparkSpec {
 
   /** Independent reference trainer: explicit index-walk greedy merge. */
   private def reference(words: Seq[String], rounds: Int)
-      : (Seq[(String, String, Long)], Map[String, Int]) = {
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
     val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
     var syms: Map[String, Vector[String]] =
       wf.keys.map(w => w -> w.map(_.toString).toVector).toMap
@@ -38,7 +38,7 @@ class BpePropertySpec extends SparkSpec {
         }
       }
     }
-    (merges.toSeq, syms.view.mapValues(_.length).toMap)
+    (merges.toSeq, syms)
   }
 
   private def check(texts: Seq[String], rounds: Int, label: String): Unit = {
@@ -56,7 +56,7 @@ class BpePropertySpec extends SparkSpec {
     texts.zipWithIndex.foreach { case (t, i) =>
       val ws = t.trim.split("\\s+").filter(_.nonEmpty)
       if (ws.nonEmpty) {
-        val exp = (ws.length.toLong, ws.map(w => expSyms(w).toLong).sum)
+        val exp = (ws.length.toLong, ws.map(w => expSyms(w).length.toLong).sum)
         assert(gotCounts(i.toLong) == exp,
           s"$label doc $i: encode counts ${gotCounts(i.toLong)} != $exp")
       }
@@ -82,5 +82,47 @@ class BpePropertySpec extends SparkSpec {
       "aaaa aaaa aaaa",
       "b bb bbb bbbb bbbbb")
     check(texts, rounds = 5, "repeat-runs")
+  }
+
+  /** Decode certificate against an independent reference: vocab ids by
+    * (weighted occurrence DESC, token ASC), lossless reconstruction,
+    * and the position-weighted id checksum — all recomputed with plain
+    * Scala collections and compared to the one-row Spark result.
+    */
+  private def checkDecode(texts: Seq[String], rounds: Int, label: String)
+      : Unit = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    val (_, syms) = reference(words, rounds)
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nOcc = scala.collection.mutable.Map[String, Long]()
+    for ((w, s) <- syms; t <- s) nOcc(t) = nOcc.getOrElse(t, 0L) + wf(w)
+    val ids = nOcc.toSeq.sortBy { case (t, n) => (-n, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val expWords = syms.size.toLong
+    val expVocab = ids.size.toLong
+    val expTokens = syms.values.map(_.length.toLong).sum
+    val expOk = syms.count { case (w, s) => s.mkString == w }.toLong
+    val expSum = syms.values.flatMap(_.zipWithIndex.map {
+      case (t, i) => (i + 1L) * ids(t) }).sum
+    val row = TextAnalysis.bpeDecodeRoundtrip(docs, rounds).collect()(0)
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4))
+    val exp = (expWords, expVocab, expTokens, expOk, expSum)
+    assert(got == exp, s"$label: certificate $got != $exp")
+    assert(row.getLong(3) == row.getLong(0),
+      s"$label: decode was lossy — ${row.getLong(3)} of ${row.getLong(0)}")
+  }
+
+  test("decode roundtrip certificate matches the reference on random corpora") {
+    val rnd = new scala.util.Random(29)
+    val texts = (1 to 25).map(_ =>
+      Seq.fill(3 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(7))(('a' + rnd.nextInt(3)).toChar)
+          .mkString).mkString(" "))
+    checkDecode(texts, rounds = 4, "decode-random")
+    checkDecode(Seq("aaaa aaa aa a", "ababab abab ab", "xyz zyx"),
+      rounds = 5, "decode-adversarial")
   }
 }
