@@ -111,6 +111,12 @@ object Dedup {
         .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
     }),
 
+    // duplication-rate curve by n-gram order (1/2/4/8): the
+    // granularity diagnostic behind every dedup/decontamination key
+    // choice — one corpus pass, (n, hash)-keyed distinct aggregate
+    "dup_curve_by_order" -> ((s, dir) =>
+      dupCurveByOrder(Tables(s, dir).documents)),
+
     // n-gram (word-set) Jaccard near-dup pairs inside blocking groups,
     // with the per-block skew guard (see jaccardPairsBlocked)
     "dedup_jaccard_pairs" -> ((s, dir) =>
@@ -430,6 +436,44 @@ object Dedup {
     */
   private[operators] def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
     df.repartition(Parallelism.pinCount(df), c)
+
+  /** Duplication-rate curve by n-gram order — the diagnostic that
+    * picks a dedup granularity: unigram dup share is near-total in
+    * any natural corpus (vocabulary reuse), 8-gram dup share isolates
+    * genuine boilerplate/copying, and where the curve knees between
+    * them is where exact/fuzzy dedup keys should sit (the same
+    * reasoning decontamination fixes at n=8). One row per order:
+    * (n, total_ngrams, distinct_ngrams, dup_rate).
+    *
+    * Scale shape: ONE corpus scan and ONE position explode emit every
+    * order's n-gram hash per token position (4 md5s per token, no
+    * per-order re-scan); the only wide op is the (n, h)-keyed
+    * distinct aggregate — linear in the token stream, output bounded
+    * by |orders|. The dup_rate is one IEEE division of two exact
+    * ints, identical in both engines.
+    */
+  def dupCurveByOrder(docs: DataFrame,
+                      orders: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    graft.functions.Md5Hash60.register(docs.sparkSession)
+    val base = spread(
+      docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws")),
+      col("doc_id"))
+    val perOrder = orders.map(n =>
+      when(size(col("ws")) - col("i") + 1 >= n,
+        struct(lit(n).as("n"), graft.functions.Md5Hash60.md5_hash60(
+          array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("h")))
+        .otherwise(lit(null)))
+    base
+      .select(explode(sequence(lit(1), size(col("ws")))).as("i"), col("ws"))
+      .select(explode(filter(array(perOrder: _*), x => x.isNotNull)).as("g"))
+      .groupBy(col("g.n").as("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("g.h")).as("distinct_ngrams"))
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        (lit(1.0) - col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double")).as("dup_rate"))
+  }
 
   private def dfOrderedPrep(docs: DataFrame, threshold: Double,
                             shingleK: Int): (DataFrame, Boolean) = {
@@ -1212,6 +1256,21 @@ object Dedup {
         |  cast(count(*) OVER (PARTITION BY md5(text)) AS bigint) AS dup_count,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
         |FROM documents""".stripMargin,
+    "dup_curve_by_order" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (
+        |  SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM t),
+        |ng AS (
+        |  SELECT o.n,
+        |    ('0x' || substr(md5(array_to_string(ws[i:i+o.n-1], ' ')), 1, 15))::bigint AS h
+        |  FROM pos, (VALUES (1), (2), (4), (8)) AS o(n)
+        |  WHERE i + o.n - 1 <= len(ws))
+        |SELECT n, cast(count(*) AS bigint) AS total_ngrams,
+        |  cast(count(DISTINCT h) AS bigint) AS distinct_ngrams,
+        |  1.0::DOUBLE - count(DISTINCT h)::DOUBLE / count(*)::DOUBLE AS dup_rate
+        |FROM ng GROUP BY n""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

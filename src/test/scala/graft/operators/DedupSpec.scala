@@ -15,6 +15,30 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("is_duplicate") && col("dup_count") < 2).count() == 0)
   }
 
+  test("dup curve by order matches the hand-computed corpus") {
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "c c"), (4L, "  ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupCurveByOrder(docs).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // n=1: 9 grams, 3 distinct; n=2: 6/4; n=4: 1/1; n=8: no word
+    // array reaches length 8, so the order is ABSENT (not a 0-row)
+    assert(got == Map(
+      1 -> ((9L, 3L, 1.0 - 3.0 / 9.0)),
+      2 -> ((6L, 4L, 1.0 - 4.0 / 6.0)),
+      4 -> ((1L, 1L, 0.0))), s"curve was $got")
+  }
+
+  test("dup curve is monotone-ish on the real corpus: unigram dup >> 8-gram dup") {
+    val rows = run("dup_curve_by_order").collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(rows(1) > 0.9, s"unigram dup_rate ${rows(1)} should be near 1")
+    assert(rows(1) > rows(2) && rows(2) > rows(4),
+      s"dup rate should fall with order: $rows")
+    assert(rows.contains(8))
+  }
+
   test("jaccard of identical token sets is 1, disjoint is 0") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "c b a", "en", "s1"),
