@@ -58,9 +58,20 @@ object ScaleSmoke {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count()
       }
+      // per-op GC + foreign-CPU telemetry (same sources as Bench):
+      // the r12 host-variance investigation had to re-run batteries
+      // to separate "slower kernel" from "GC tail / foreign burst" —
+      // print the split so one log answers it
+      val gc0 = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.stream()
+        .mapToLong(_.getCollectionTime).sum()
       val t0 = System.nanoTime()
       val n = body
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s   rows=$n")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.stream()
+        .mapToLong(_.getCollectionTime).sum() - gc0
+      println(f"$name%-28s $sec%7.1f s   rows=$n   gc_ms=$gcMs")
     }
 
     time("dedup_exact")(docs.withColumn("h", md5(col("text")))
