@@ -117,6 +117,12 @@ object Dedup {
     "dup_curve_by_order" -> ((s, dir) =>
       dupCurveByOrder(Tables(s, dir).documents)),
 
+    // per-doc duplicated-span coverage: exact interval union of
+    // corpus-duplicated 8-gram spans via one per-doc lag window —
+    // the exact-substring-dedup removal signal
+    "dup_span_coverage" -> ((s, dir) =>
+      dupSpanCoverage(Tables(s, dir).documents)),
+
     // n-gram (word-set) Jaccard near-dup pairs inside blocking groups,
     // with the per-block skew guard (see jaccardPairsBlocked)
     "dedup_jaccard_pairs" -> ((s, dir) =>
@@ -436,6 +442,68 @@ object Dedup {
     */
   private[operators] def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
     df.repartition(Parallelism.pinCount(df), c)
+
+  /** Per-document duplicated-span coverage — the exact-substring
+    * dedup signal (cf. Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): the share of a document's token
+    * positions covered by an `n`-gram that occurs ≥ 2 times anywhere
+    * in the corpus (within-doc repeats count — a self-repeating doc
+    * is as boilerplate as a copied one). A doc with high coverage_e6
+    * is mostly duplicated spans and a removal candidate even when no
+    * whole-document near-dup fires.
+    *
+    * Coverage is the exact interval union of [i, i+n-1] over
+    * duplicated positions i, computed with one per-doc lag window:
+    * because span ends are monotone in i, each position's fresh
+    * contribution is min(n, i − prev_i) (n for the first). No
+    * interval relation materializes.
+    *
+    * Scale shape: one n-gram pass (the decontamination shape), a
+    * hash-keyed count, a hash-keyed join back, a doc-keyed window,
+    * and a doc-keyed left join — every wide op keyed, linear in the
+    * token stream. coverage_e6 is an integral DIV of positives.
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    graft.functions.Md5Hash60.register(docs.sparkSession)
+    val base = spread(
+      docs.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+")).as("ws")),
+      col("doc_id"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+    // (doc, position, hash) stream feeds the dup-hash count AND the
+    // join back — persist so the tokenize + md5 map runs once
+    val grams = base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n_tokens") - lit(n - 1))).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i"),
+        graft.functions.Md5Hash60.md5_hash60(
+          array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val covered = grams
+      .join(dupHashes.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("gap", col("i") - lag(col("i"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("gap").isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong), col("gap").cast("long")))
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("cov"), count(lit(1)).as("dg"))
+    base.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dg"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("cov"), lit(0L)).as("n_covered"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          expr("(1000000 * coalesce(cov, 0)) DIV n_tokens"))
+          .as("coverage_e6"))
+  }
 
   /** Duplication-rate curve by n-gram order — the diagnostic that
     * picks a dedup granularity: unigram dup share is near-total in
@@ -1256,6 +1324,36 @@ object Dedup {
         |  cast(count(*) OVER (PARTITION BY md5(text)) AS bigint) AS dup_count,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
         |FROM documents""".stripMargin,
+    "dup_span_coverage" ->
+      """WITH b2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15))::bigint AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM b2 WHERE n_tokens >= 8)),
+        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id,
+        |    cast(sum(CASE WHEN prev IS NULL THEN 8
+        |             ELSE least(8, i - prev) END) AS bigint) AS n_covered,
+        |    cast(count(*) AS bigint) AS n_dup_grams
+        |  FROM (SELECT g.doc_id, g.i,
+        |          lag(g.i) OVER (PARTITION BY g.doc_id ORDER BY g.i) AS prev
+        |        FROM grams g JOIN dup USING (h))
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, cast(b.n_tokens AS bigint) AS n_tokens,
+        |  coalesce(c.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(c.n_covered, 0) AS n_covered,
+        |  CASE WHEN b.n_tokens = 0 THEN 0
+        |       ELSE (1000000 * coalesce(c.n_covered, 0)) // b.n_tokens
+        |  END AS coverage_e6
+        |FROM b2 b LEFT JOIN cov c USING (doc_id)""".stripMargin,
     "dup_curve_by_order" ->
       """WITH t AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws

@@ -30,6 +30,50 @@ class DedupSpec extends SparkSpec {
       4 -> ((1L, 1L, 0.0))), s"curve was $got")
   }
 
+  test("dup span coverage: interval union, self-repeats, and zero cases") {
+    val docs = Seq(
+      // cross-doc dup: the 8-gram "a b c d e f g h" at position 1
+      (1L, "a b c d e f g h x y z q r s t u v"),
+      (2L, "a b c d e f g h only once here pad pad2 pad3 pad4 pad5"),
+      // SELF-repeating doc: dup positions {1,2,10,11} — overlapping
+      // spans merge (contrib 8+1) and a far span re-opens (8... but
+      // gap 10-2=8 caps at 8, then +1): total 18 of 18 tokens
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, "short doc"),            // no 8-gram at all
+      (5L, "")                      // blank: n_tokens 0, coverage 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((17L, 1L, 8L, 470588L)),
+      2L -> ((16L, 1L, 8L, 500000L)),
+      3L -> ((18L, 4L, 18L, 1000000L)),
+      4L -> ((2L, 0L, 0L, 0L)),
+      5L -> ((0L, 0L, 0L, 0L))), s"coverage was $got")
+  }
+
+  test("dup curve matches an independent reference on random corpora") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val texts = (1 to 30).map(_ =>
+        Seq.fill(rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val exp = Seq(1, 2, 4, 8).flatMap { n =>
+        val grams = texts.map(_.trim).filter(_.nonEmpty)
+          .flatMap(_.split("\\s+").sliding(n).filter(_.length == n)
+            .map(_.mkString(" ")))
+        if (grams.isEmpty) None
+        else Some(n -> ((grams.size.toLong, grams.distinct.size.toLong)))
+      }.toMap
+      val got = Dedup.dupCurveByOrder(docs).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == exp, s"trial $trial: $got != $exp")
+    }
+  }
+
   test("dup curve is monotone-ish on the real corpus: unigram dup >> 8-gram dup") {
     val rows = run("dup_curve_by_order").collect()
       .map(r => r.getInt(0) -> r.getDouble(3)).toMap
