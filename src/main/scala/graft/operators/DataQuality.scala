@@ -115,13 +115,48 @@ object DataQuality {
         col("nc").as("n_child_rows"))
   }
 
+  /** k-anonymity audit over the customer quasi-identifiers
+    * (nation, market segment, $1000 account-balance bucket) — the
+    * privacy-risk face next to `pii_redaction`: a row is re-
+    * identifiable when its quasi-identifier equivalence class holds
+    * fewer than k individuals. One report row per k ∈ {2, 5, 10}:
+    * class count, classes below k, rows at risk, smallest class.
+    *
+    * Scale shape: ONE corpus aggregation to the QI-bounded class
+    * relation (≤ |nations|·|segments|·|buckets| rows at any corpus
+    * size), then a |ks|-way explode and a 3-group aggregate on it —
+    * nothing after the first groupBy touches corpus-sized data. The
+    * bucket is floor(balance/1000.0): one IEEE division + floor,
+    * identical in both engines.
+    */
+  def kAnonymityReport(customer: DataFrame,
+                       ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    val classes = customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    classes
+      .select(explode(array(ks.map(k => lit(k)): _*)).as("k"), col("sz"))
+      .groupBy(col("k"))
+      .agg(sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_below_k"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L)))
+          .as("n_rows_at_risk"),
+        min(col("sz")).as("min_class_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> ((s, dir) => {
       val t = Tables(s, dir)
       profile(t.orders, "orders")
         .unionAll(profile(t.customer, "customer"))
     }),
-    "dq_fk_orphans" -> ((s, dir) => fkOrphans(Tables(s, dir)))
+    "dq_fk_orphans" -> ((s, dir) => fkOrphans(Tables(s, dir))),
+    // k-anonymity privacy audit over customer quasi-identifiers
+    "dq_k_anonymity" -> ((s, dir) =>
+      kAnonymityReport(Tables(s, dir).customer))
   )
 
   /** One UNION ALL branch per profiled column. */
@@ -178,6 +213,21 @@ object DataQuality {
         |  cast((SELECT count(*) FROM customer c
         |    WHERE NOT EXISTS (SELECT 1 FROM nation n
         |      WHERE n.n_nationkey = c.c_nationkey)) AS bigint),
-        |  cast((SELECT count(*) FROM customer) AS bigint)""".stripMargin
+        |  cast((SELECT count(*) FROM customer) AS bigint)""".stripMargin,
+    "dq_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    cast(floor(c_acctbal / 1000.0) AS bigint) AS bal_bucket,
+        |    cast(count(*) AS bigint) AS sz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 5, 10]) AS k)
+        |SELECT k, cast(sum(sz) AS bigint) AS n_rows,
+        |  cast(count(*) AS bigint) AS n_classes,
+        |  cast(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_classes_below_k,
+        |  cast(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS bigint)
+        |    AS n_rows_at_risk,
+        |  cast(min(sz) AS bigint) AS min_class_size
+        |FROM classes, ks GROUP BY k""".stripMargin
   )
 }

@@ -101,15 +101,34 @@ class StreamingHeavyHittersSpec extends SparkSpec {
         ("group,item" +: (1 to 5).map(i => s"g,item$i")).mkString("\n"))
       val in = spark.readStream.schema("group STRING, item STRING")
         .option("header", "true").csv(src)
-      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        graft.streaming.EventsStream.runAvailableNow(
-          StreamingHeavyHitters.perGroupHitters(
-            in, capacity = 3, failAtCapacity = true).toDF(),
-          "hh_capfail_sink", outputMode = "update")
-      }
-      val msg = Option(ex.getCause).map(_.toString).getOrElse("") + ex.toString
-      assert(msg.contains("capacity"),
-        s"expected the capacity contract error, got: $msg")
+      // the query MUST fail; a clean completion fails the test
+      // immediately. The designed capacity error interrupts the
+      // micro-batch, which can race the RocksDB checkpoint zip and
+      // surface as an UncheckedIOException teardown artifact instead
+      // of the StreamingQueryException carrying the contract message
+      // (seen once in ~6 full-suite runs) — retry ONCE on an
+      // exception whose whole cause chain lacks "capacity"; never on
+      // success.
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .take(10).map(_.toString).toSeq
+      def attempt(i: Int): Seq[String] =
+        try {
+          graft.streaming.EventsStream.runAvailableNow(
+            StreamingHeavyHitters.perGroupHitters(
+              in, capacity = 3, failAtCapacity = true).toDF(),
+            s"hh_capfail_sink$i", outputMode = "update")
+          fail("capacity violation completed cleanly — the exact-" +
+            "regime contract must fail loudly")
+        } catch {
+          case e: org.scalatest.exceptions.TestFailedException => throw e
+          case t: Throwable => chain(t)
+        }
+      val first = attempt(1)
+      val msgs = if (first.exists(_.contains("capacity"))) first
+                 else first ++ attempt(2)
+      assert(msgs.exists(_.contains("capacity")),
+        s"expected the capacity contract error in the cause chain, got: $msgs")
     }
   }
 
