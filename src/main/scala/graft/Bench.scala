@@ -233,7 +233,13 @@ object Bench {
     // and always JIT-warm — a freshly-booted JVM's first iterative
     // query overstates production cold latency. SPARK_GRAFT_AOT_WARM=0
     // opts out (for measuring the raw-JVM regime).
-    if (!sys.env.get("SPARK_GRAFT_AOT_WARM").contains("0")) {
+    // ...gated, like the setup preloads above, on a graph-family query
+    // actually being selected (r12 advice): subset re-records of other
+    // families shouldn't pay the warm or its clearCache/unpersist-all.
+    if (!sys.env.get("SPARK_GRAFT_AOT_WARM").contains("0") &&
+        Seq("part_pagerank", "part_bfs_hops", "part_triangles",
+          "part_graph_stats", "part_cooccurrence", "item_similarity",
+          "association_rules").exists(selected)) {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L), (5L, 1L))

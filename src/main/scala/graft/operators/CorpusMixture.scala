@@ -224,16 +224,25 @@ object CorpusMixture {
       sum(expr("CAST(quality_e6 AS DECIMAL(38,0)) * n_tokens"))
         .as("qweight"))
     perSource.crossJoin(broadcast(totals))
+      // degenerate-corpus guard (r12 advice): qweight = 0 means no
+      // source has any 3-12-char token — Spark's decimal DIV by zero
+      // yields NULL and least(cap, NULL) would then return the CAP,
+      // allocating max epochs to quality-0 sources; DuckDB's // 0
+      // raises instead, so the engines would diverge. Allocate 0.
       .withColumn("target_tokens", expr(
-        s"($budgetMultiple * CAST(total_tokens AS DECIMAL(38,0))" +
-          " * quality_e6 * n_tokens) DIV qweight"))
+        s"CASE WHEN qweight > 0 THEN ($budgetMultiple * CAST(total_tokens AS DECIMAL(38,0))" +
+          " * quality_e6 * n_tokens) DIV qweight ELSE CAST(0 AS BIGINT) END"))
       .withColumn("epochs_e6", least(lit(maxEpochsE6), expr(
         "(CAST(target_tokens AS DECIMAL(38,0)) * 1000000) DIV n_tokens")))
       .withColumn("alloc_tokens", expr(
         "(CAST(epochs_e6 AS DECIMAL(38,0)) * n_tokens) DIV 1000000"))
+      // same guard for the share: an all-zero allocation (possible
+      // only via the qweight guard above) must yield share 0, not a
+      // 0/0 NULL-vs-error divergence between engines
       .withColumn("share_e6", expr(
-        "(1000000 * CAST(alloc_tokens AS DECIMAL(38,0)))" +
-          " DIV sum(alloc_tokens) OVER ()"))
+        "CASE WHEN sum(alloc_tokens) OVER () > 0 THEN" +
+          " (1000000 * CAST(alloc_tokens AS DECIMAL(38,0)))" +
+          " DIV sum(alloc_tokens) OVER () ELSE CAST(0 AS BIGINT) END"))
       .select(col("source"), col("n_tokens"), col("quality_e6"),
         col("epochs_e6"), col("alloc_tokens"), col("share_e6"))
       .orderBy(col("source"))
@@ -275,8 +284,9 @@ object CorpusMixture {
         |  FROM ps2),
         |tgt AS (
         |  SELECT source, n_tokens, quality_e6,
-        |    (2 * total_tokens * quality_e6 * n_tokens) // qweight
-        |      AS target_tokens
+        |    CASE WHEN qweight > 0
+        |      THEN (2 * total_tokens * quality_e6 * n_tokens) // qweight
+        |      ELSE 0 END AS target_tokens
         |  FROM ps2, tot),
         |ep AS (
         |  SELECT source, n_tokens, quality_e6,
@@ -291,8 +301,10 @@ object CorpusMixture {
         |SELECT source, n_tokens, cast(quality_e6 AS bigint) AS quality_e6,
         |  cast(epochs_e6 AS bigint) AS epochs_e6,
         |  cast(alloc_tokens AS bigint) AS alloc_tokens,
-        |  cast((1000000 * cast(alloc_tokens AS HUGEINT))
-        |    // (SELECT sum(alloc_tokens) FROM al) AS bigint) AS share_e6
+        |  cast(CASE WHEN (SELECT sum(alloc_tokens) FROM al) > 0
+        |    THEN (1000000 * cast(alloc_tokens AS HUGEINT))
+        |      // (SELECT sum(alloc_tokens) FROM al)
+        |    ELSE 0 END AS bigint) AS share_e6
         |FROM al
         |ORDER BY source""".stripMargin,
     // the same 8-gram md5 hash stream as the decontamination oracle,

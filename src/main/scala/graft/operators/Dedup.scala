@@ -473,7 +473,13 @@ object Dedup {
       col("doc_id"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
     // (doc, position, hash) stream feeds the dup-hash count AND the
-    // join back — persist so the tokenize + md5 map runs once
+    // join back — persist so the tokenize + md5 map runs once.
+    // CALLER-UNPERSISTS contract (same as bpeTrain's symbol table):
+    // the returned frame is lazy, so this function cannot know when
+    // the final join materializes; Bench/Verify clear caches between
+    // queries, and any other caller owns releasing the corpus-sized
+    // n-gram cache (spark.catalog.clearCache() or unpersist-all)
+    // once the result is consumed (r12 advice).
     val grams = base.filter(col("n_tokens") >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), col("n_tokens") - lit(n - 1))).as("i"),
