@@ -111,6 +111,21 @@ object ScaleSmoke {
       ProductAnalytics.pageRankRatios(nodes, edges, rounds = 3,
         prePartitioned = true).count()
     }
+    time("pagerank_converged") {
+      // the tolerance-terminated variant: N disjoint copies mix
+      // exactly like one copy (block-diagonal transition matrix, same
+      // per-copy deltas scaled by N), so the round count must stay
+      // BOUNDED — print it so the smoke line shows rounds, not just
+      // seconds
+      val edges = ProductAnalytics.copurchaseEdges(li, ordered = false)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = li.select(col("l_partkey").as("part")).distinct()
+      val (ranks, k) = ProductAnalytics.pageRankConverged(nodes, edges,
+        prePartitioned = true)
+      val n = ranks.count()
+      println(s"  pagerank_converged rounds=$k (cap=${ProductAnalytics.PageRankMaxRounds})")
+      n
+    }
     time("part_bfs_hops") {
       val edges = ProductAnalytics.copurchaseEdges(li, ordered = false)
         .select(col("a").as("src"), col("b").as("dst"))

@@ -202,6 +202,29 @@ object ProductAnalytics {
           col("col.id").as("part"), col("col.score").as("pr_ratio"))
     }),
 
+    // Tolerance-terminated PageRank (r12 verdict #4): the same graph
+    // and per-round dataflow as part_pagerank, but the loop stops
+    // when the exact decimal L1 delta drops under the tolerance (or
+    // the round cap) instead of a fixed unroll — `rounds` reports
+    // what the graph actually needed. The oracle unrolls the same
+    // recurrence to the same k (deterministic: the stop test is
+    // exact decimal arithmetic on deterministic doubles).
+    "pagerank_converged" -> ((s, dir) => {
+      graft.functions.TopKByScore.register(s)
+      val pairs = materializedPairCounts(s, dir)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val nodes = materializedPartOrderCounts(s, dir).select(col("part"))
+      val (ranks, k) = pageRankConverged(nodes, edges)
+      ranks
+        .agg(graft.functions.TopKByScore
+          .topk_by_score(col("pr_ratio"), col("part"), 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("part"), col("col.score").as("pr_ratio"),
+          lit(k).cast("int").as("rounds"))
+    }),
+
     // Bounded-hop BFS from the minimum edge-touched part: how much
     // of the co-purchase graph is within 1/2/3 hops of one product —
     // the reachability face of the graph trio. Frontier-only rounds
@@ -610,6 +633,99 @@ object ProductAnalytics {
       .select(col("part"), round(col("pr") * col("n"), 6).as("pr_ratio"))
   }
 
+  /** Convergence-TERMINATED PageRank (r12 verdict #4): iterate the
+    * identical per-round dataflow as [[pageRankRatios]] until the L1
+    * rank delta drops under `tolL1E6`/1e6 or `maxRounds` caps the
+    * loop — the shape a 100× graph actually wants (a fixed unroll
+    * either under-converges or wastes rounds; a tolerance with a
+    * round CAP spends exactly what the graph needs, bounded).
+    * Returns (ranks, roundsUsed).
+    *
+    * Unlike the fixed-3 unroll, each round MATERIALIZES (persist +
+    * one scalar delta aggregate) — intrinsic to convergence testing:
+    * the stop decision needs the round's Σ|Δpr| on the driver (one
+    * 16-byte decimal per round, the same bounded-collect budget as
+    * the BPE merge loop). The delta is EXACT and order-invariant —
+    * both rank vectors cast to decimal(38,18) before |new − old| and
+    * the sum is decimal addition — so the round count is
+    * deterministic under shuffle nondeterminism and identical at any
+    * partitioning: the oracle can unroll to the same k. L1 contracts
+    * by ≥ the 0.85 damping per round (Markov contraction), so
+    * tolerance, not the cap, terminates on any connected corpus;
+    * the cap bounds adversarial graphs.
+    */
+  def pageRankConverged(nodes: DataFrame, edges: DataFrame,
+                        tolL1E6: Long = PageRankTolL1E6,
+                        maxRounds: Int = PageRankMaxRounds,
+                        prePartitioned: Boolean = false): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val numP = Parallelism.pinCount(edges)
+    val ed = (if (prePartitioned) edges else edges.repartition(numP, col("src")))
+      .persist(MEMORY_AND_DISK)
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(MEMORY_AND_DISK)
+    val nd = nodes.repartition(numP, col("part")).persist(MEMORY_AND_DISK)
+    val nn = nd.agg(count(lit(1)).as("n"))
+    val tol = new java.math.BigDecimal(tolL1E6).movePointLeft(6)
+    // Each round's rank vector is an EAGER localCheckpoint, not a
+    // persist: persist caches data but keeps the logical lineage, so
+    // an open-ended loop builds an O(rounds)-deep plan that Catalyst
+    // re-analyzes (and AQE re-prints) every round — at the cap that
+    // is an OOM in plan strings, not data. The checkpoint truncates
+    // lineage to the materialized node-sized RDD each round (the
+    // round's action doubles as the delta job's input). On a real
+    // cluster swap localCheckpoint for reliable checkpointing (same
+    // API shape) so executor loss can't kill a long convergence run.
+    var pr = nd.crossJoin(broadcast(nn))
+      .select(col("part"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prw = pr.withColumnRenamed("part", "src")
+        .join(deg.hint("shuffle_hash"), Seq("src"))
+        .select(col("src"), (col("pr") / col("outdeg")).as("w"))
+      val contrib = ed
+        .join(prw.hint("shuffle_hash"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w").cast("decimal(38,18)")).as("s"))
+      val next = nd
+        .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
+          Seq("part"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("part"),
+          (lit(0.15) / col("n") +
+            lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      // one exact decimal scalar per round: Σ|pr_new − pr_old|
+      val delta = next.withColumnRenamed("pr", "pr_new")
+        .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
+          Seq("part"))
+        .agg(sum(abs(col("pr_new").cast("decimal(38,18)") -
+          col("pr_old").cast("decimal(38,18)"))).as("d"))
+        .head().getDecimal(0)
+      pr = next // the dropped round's checkpoint RDD is cleaner-reclaimed
+      rounds += 1
+      converged = delta == null || delta.compareTo(tol) < 0
+      if (sys.env.contains("SPARK_GRAFT_PR_DEBUG"))
+        System.err.println(s"pagerank_converged round=$rounds delta_l1=$delta")
+    }
+    val ranks = pr.crossJoin(broadcast(nn))
+      .select(col("part"), round(col("pr") * col("n"), 6).as("pr_ratio"))
+    (ranks, rounds)
+  }
+
+  /** Stop when Σ|Δpr| < 1e-4 — average per-node pr_ratio change under
+    * 1e-4 (Σ|Δpr_i·N|/N = Σ|Δpr_i|), well past where top-k orderings
+    * stop moving on this graph family. With 0.85 damping the L1
+    * contracts ≥ 15%/round (Markov contraction), so k ≤
+    * log(tol/δ₁)/log(0.85) — bounded at any corpus size (δ₁ ≤ 2);
+    * on well-mixing graphs (this one) the real contraction is much
+    * stronger and k stays single-digit.
+    */
+  val PageRankTolL1E6 = 100L
+  val PageRankMaxRounds = 20
+
   /** Per-node triangle participation counts (part, n_tri) over an
     * undirected edge list `und` with columns (u, v), u < v, no
     * duplicates. Nodes in no triangle are absent. See the
@@ -783,6 +899,62 @@ object ProductAnalytics {
     res
   }
 
+  /** CONVERGENCE-AWARE oracle for [[pageRankConverged]]: unrolls the
+    * part_pagerank recurrence to `maxK` rounds, computes each round's
+    * exact decimal L1 delta IN SQL, and selects the first round under
+    * the tolerance — the same stop rule the Spark loop applies, so the
+    * oracle terminates at the same k on ANY corpus (measured k = 5 at
+    * sf0.01, 4 at sf0.001; a fixed unroll would pin one corpus's k).
+    * Both engines compare the identical exact decimal(38,18) sum of
+    * |pr_new − pr_old| against the identical decimal literal, so the
+    * round choice cannot diverge. `maxK` bounds the generated SQL —
+    * if a corpus ever needed more rounds than `maxK`, the converged-
+    * round subquery goes empty and the gate fails LOUDLY (0 rows)
+    * rather than silently comparing different rounds; this graph
+    * family contracts ~10×/round, so 8 covers any gate corpus.
+    */
+  private def pagerankConvergedOracle(maxK: Int, tolLit: String): String = {
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+        |deg AS (SELECT src, cast(count(*) AS bigint) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT l_partkey AS part FROM li),
+        |nn AS (SELECT cast(count(*) AS bigint) AS n FROM nodes),
+        |it0 AS (SELECT part, 1.0::DOUBLE / n AS pr FROM nodes, nn)""".stripMargin
+    val its = (1 to maxK).map { i =>
+      s""",
+         |it$i AS (
+         |  SELECT nodes.part,
+         |    0.15::DOUBLE / n + 0.85::DOUBLE * coalesce(cast(c.s AS DOUBLE), 0) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS part, sum(cast(p.pr / d.outdeg AS decimal(38,18))) AS s
+         |    FROM edges e JOIN it${i - 1} p ON e.src = p.part JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON nodes.part = c.part, nn)""".stripMargin
+    }.mkString
+    val deltas = (1 to maxK).map { i =>
+      s"""  SELECT $i AS r,
+         |    (SELECT sum(abs(cast(a.pr AS decimal(38,18)) - cast(b.pr AS decimal(38,18))))
+         |     FROM it$i a JOIN it${i - 1} b ON a.part = b.part) AS dl""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val allIts = (1 to maxK).map(i =>
+      s"  SELECT $i AS r, part, pr FROM it$i").mkString("\n  UNION ALL\n")
+    head + its +
+      s""",
+         |d AS (
+         |$deltas),
+         |kk AS (SELECT cast(min(r) AS int) AS k FROM d WHERE dl < $tolLit),
+         |allit AS (
+         |$allIts)
+         |SELECT cast(row_number() OVER (ORDER BY pr_ratio DESC, part) AS int) AS rk,
+         |  part, pr_ratio, kk.k AS rounds
+         |FROM (SELECT part, round(pr * n, 6) AS pr_ratio
+         |      FROM allit, kk, nn WHERE allit.r = kk.k), kk
+         |ORDER BY pr_ratio DESC, part LIMIT 20""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "clv_cohorts" ->
       """WITH o AS (
@@ -951,6 +1123,13 @@ object ProductAnalytics {
         |  part, pr_ratio
         |FROM (SELECT part, round(pr * n, 6) AS pr_ratio FROM it3, nn)
         |ORDER BY pr_ratio DESC, part LIMIT 20""".stripMargin,
+    // the tolerance-terminated variant: the SAME recurrence with the
+    // SAME stop rule evaluated in SQL (per-round exact decimal L1
+    // deltas, first round under 1e-4 wins) — converges at k = 5 at
+    // sf0.01 (delta_l1: 0.1334, 0.0102, 0.00109, 0.000136, 0.0000190)
+    // and k = 4 at sf0.001, and the oracle picks the same k on any
+    // corpus because the delta arithmetic is exact in both engines
+    "pagerank_converged" -> pagerankConvergedOracle(8, "0.0001"),
     // identical degree-oriented triangle enumeration: every triangle
     // counted once from its (deg, id)-minimum endpoint
     "part_triangles" ->

@@ -34,6 +34,36 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(length($"frame_bytes") > 16).count() == 0)
   }
 
+  test("synthetic payloads are REAL PNG files (magic header + codec-parseable)") {
+    val png = Multimodal.syntheticPngTable(Tables(spark, sf).documents)
+    val rows = png.limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // PNG signature: 0x89 'P' 'N' 'G' \r \n 0x1a \n
+      val sig = r.content.take(8).map(_ & 0xff)
+      assert(sig.sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)),
+        s"doc ${r.doc_id}: payload is not a PNG container")
+      assert(r.mime == "image/png")
+    }
+  }
+
+  test("ImageIO decode reconstructs every pixel of the synthetic image exactly") {
+    val docs = Tables(spark, sf).documents
+    val stats = Multimodal.decodeStats(Multimodal.syntheticPngTable(docs))
+    // closed-form recomputation of the same stats from doc_id — the
+    // Scala twin of the DuckDB oracle's arithmetic
+    val bad = stats.collect().filter { s =>
+      val (w, h) = Multimodal.synthDims(s.doc_id)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += Multimodal.synthLuma(s.doc_id, x, y)
+      s.width != w || s.height != h || s.px_sum != sum ||
+        s.mean_luma_e6 != 1000000L * sum / (w.toLong * h)
+    }
+    assert(bad.isEmpty, s"decode mismatch for docs ${bad.map(_.doc_id).mkString(",")}")
+    assert(stats.count() == docs.count())
+  }
+
   test("resize metadata preserves aspect ratio and caps the max side") {
     val rs = Multimodal.resizeMeta(Multimodal.extractFeatures(media), maxDim = 224)
     assert(rs.filter($"target_w" > 224 || $"target_h" > 224).count() == 0)

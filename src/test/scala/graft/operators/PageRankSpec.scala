@@ -60,6 +60,34 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("converged variant stops at tolerance, matches the fixed unroll at its k") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L),
+      (1L, 2L), (1L, 3L), (1L, 4L))
+    // the star's period-2 oscillation contracts at exactly the 0.85
+    // damping bound (~53 rounds to 1e-4), so test the stop rule at
+    // 1e-2 (~25 rounds) — the corpus graph mixes ~10×/round instead
+    val (ranksDf, k) = ProductAnalytics.pageRankConverged(
+      nodes.toDF("part"), edges.toDF("src", "dst"),
+      tolL1E6 = 10000L, maxRounds = 50)
+    assert(k >= 1 && k < 50, s"tolerance, not the cap, must terminate (k=$k)")
+    // the converged result IS the fixed-k result — same recurrence
+    val fixed = ranks(nodes, edges, rounds = k)
+    val got = ranksDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assertClose(got, fixed)
+  }
+
+  test("round cap bounds the loop on a slow-converging graph") {
+    // long directed cycle mixes slowly; a tolerance of 0 can never be
+    // met, so the cap must terminate
+    val nodes = (1L to 8L).toSeq
+    val edges = nodes.map(i => i -> (i % 8 + 1))
+    val (_, k) = ProductAnalytics.pageRankConverged(
+      nodes.toDF("part"), edges.toDF("src", "dst"),
+      tolL1E6 = 0L, maxRounds = 4)
+    assert(k == 4)
+  }
+
   test("dangling mass is dropped, not redistributed") {
     // 1 → 2, 2 dangles: total ratio mass shrinks below N·(1/N)
     val nodes = Seq(1L, 2L)
