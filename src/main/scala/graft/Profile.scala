@@ -47,9 +47,32 @@ object Profile {
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
+      // per-rep attribution telemetry (r12 verdict #1: "a profile,
+      // not a narrative"): stop-the-world GC ms, JIT compiler wall ms
+      // (CompilationMXBean — C1+C2 queue time), and foreign-process
+      // CPU seconds during the rep, so a slow rep separates into
+      // GC tail / JIT warmup / host contention / genuine kernel cost.
+      def gcMs(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+      }
+      def jitMs(): Long =
+        java.lang.management.ManagementFactory.getCompilationMXBean
+          .getTotalCompilationTime
+      def busySelf(): (Long, Long) =
+        try {
+          val stat = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("/proc/stat"))
+            .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+          val self = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("/proc/self/stat")).split("\\s+")
+          (stat.sum - stat(3) - stat(4), self(13).toLong + self(14).toLong)
+        } catch { case _: Throwable => (-1L, -1L) }
       val times = (1 to reps).map { i =>
         if (args.contains("--clear")) spark.catalog.clearCache()
         stageLog.clear()
+        val (gc0, jit0, bs0) = (gcMs(), jitMs(), busySelf())
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         // --plans executes df's OWN QueryExecution (count() builds a
@@ -57,6 +80,12 @@ object Profile {
         if (plans) df.queryExecution.executedPlan.executeCollect()
         else df.count()
         val dt = (System.nanoTime() - t0) / 1e9
+        val bs1 = busySelf()
+        val foreignSec =
+          if (bs0._1 < 0 || bs1._1 < 0) -1.0
+          else math.max(0L, (bs1._1 - bs0._1) - (bs1._2 - bs0._2)) / 100.0
+        println(f"  rep $i: ${dt}%6.2f s  gc=${gcMs() - gc0}%5d ms  " +
+          f"jit=${jitMs() - jit0}%5d ms  foreign_cpu=${foreignSec}%5.1f s")
         if (plans) {
           println(s"--- $name rep $i (${f"$dt%.2f"}s) final plan ---")
           // post-execution: AdaptiveSparkPlanExec has settled on its
