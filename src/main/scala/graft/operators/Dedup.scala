@@ -311,7 +311,7 @@ object Dedup {
     */
   private val VerdictCacheMax = 256
 
-  private def memoVerdict(
+  private[operators] def memoVerdict(
       cache: java.util.concurrent.ConcurrentHashMap[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean],
       key: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(

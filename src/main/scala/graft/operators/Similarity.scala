@@ -288,7 +288,36 @@ object Similarity {
     * an oversized block belongs to the IVF-probed ANN path.
     */
   def knnJoinBlocked(emb: DataFrame, k: Int = KnnK,
-                     blockCap: Int = 10000): DataFrame = {
+                     blockCap: Int = 10000): DataFrame =
+    if (embeddingsDupFree(emb)) knnJoinDirect(emb, k, blockCap)
+    else knnJoinReps(emb, k, blockCap)
+
+  /** Memoized "embedding corpus is essentially duplicate-free"
+    * verdict for the knn rep-composition gate — the embedding twin of
+    * Dedup's text gate (same memo cache, same 5% share, same
+    * exactness argument: both branches are exact, so the gate only
+    * picks the cheaper plan). Keyed by (label, embedding): duplicate
+    * vectors in DIFFERENT blocks never share pair work, so they don't
+    * count. xxhash64 over the raw array is deterministic; a collision
+    * could only misroute the PLAN choice, never the output.
+    */
+  private val embDupVerdicts = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
+  private def embeddingsDupFree(emb: DataFrame): Boolean =
+    graft.operators.Dedup.memoVerdict(embDupVerdicts,
+        emb.queryExecution.analyzed.canonicalized) {
+      val r = emb.agg(count(lit(1)),
+        count_distinct(xxhash64(col("label"), col("embedding")))).head()
+      val n = r.getLong(0)
+      n == 0L || (n - r.getLong(1)).toDouble / n.toDouble <=
+        graft.operators.Dedup.RepGateDupShare
+    }
+
+  /** The all-pairs branch of [[knnJoinBlocked]] — right when blocks
+    * hold (essentially) distinct vectors.
+    */
+  private[operators] def knnJoinDirect(emb: DataFrame, k: Int = KnnK,
+                                       blockCap: Int = 10000): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     graft.functions.TopKByScore.register(emb.sparkSession)
     val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))
@@ -310,6 +339,81 @@ object Similarity {
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine_sim(col("ea"), col("eb")))
     pairs.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByScore
+        .topk_by_score(col("cosine"), col("nbr"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("nbr"), round(col("col.score"), 4).as("cosine"))
+  }
+
+  /** Exact-then-near REP composition of the blocked kNN (the r13 30×
+    * smoke's fix): identical (label, embedding) vectors collapse to
+    * one representative, the quadratic in-block compare runs on
+    * DISTINCT vectors only, and results expand back to members —
+    * OUTPUT-IDENTICAL to [[knnJoinDirect]] because duplicate vectors
+    * have identical cosines to everything (same float arrays through
+    * the same cosine_sim) and the final per-member heap re-ranks with
+    * the same (cosine DESC, id ASC) order. Per target group the
+    * top-(k+2) SOURCE GROUPS by (cosine DESC, rep ASC) provably
+    * contain every member that can reach the member-level top-k:
+    * a group beaten by k+2 groups is beaten by ≥ k+1 groups that each
+    * contribute a strictly-earlier candidate (at most one group — the
+    * target's own, whose rep may be the excluded member itself —
+    * can fail to contribute), so its members rank ≥ k+2. The cap
+    * bounds DISTINCT vectors per block — the honest quadratic-cost
+    * contract; a copy-heavy corpus (30× smoke: every vector ×30)
+    * stays linear in copies instead of quadratic.
+    */
+  private[operators] def knnJoinReps(emb: DataFrame, k: Int = KnnK,
+                                     blockCap: Int = 10000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    graft.functions.TopKByScore.register(emb.sparkSession)
+    // one group per distinct (label, embedding); rep = min member id,
+    // so group-level id tie-breaks see exactly the smallest member
+    val groups = emb.groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep"),
+        collect_list(col("vec_id")).as("members"),
+        count(lit(1)).as("gn"))
+      .persist(MEMORY_AND_DISK)
+    val sizes = groups.groupBy(col("label")).agg(count(lit(1)).as("bn"))
+    val checked = sizes.withColumn("bn",
+      when(col("bn") > blockCap, raise_error(concat(
+        lit("knnJoinBlocked: a block holds "), col("bn").cast("string"),
+        lit(s" DISTINCT vectors (> cap $blockCap); exact in-block top-k " +
+          "would go quadratic — route oversized blocks through the IVF " +
+          "ANN path"))))
+        .otherwise(col("bn")))
+    val t = groups.join(broadcast(checked), Seq("label"))
+      .filter(col("bn") > 0) // keeps the raise_error guard in the plan
+      .select(col("label"), col("rep"), col("embedding"), col("gn"))
+    // rep-level directed pairs; the self-pair survives only when the
+    // group has a sibling to offer (gn ≥ 2)
+    val pairs = t.select(col("label"), col("rep").as("trep"),
+        col("embedding").as("ea"))
+      .join(t.select(col("label"), col("rep").as("srep"),
+        col("embedding").as("eb"), col("gn").as("sgn"))
+        .hint("shuffle_hash"), Seq("label"))
+      .filter(col("trep") =!= col("srep") || col("sgn") >= 2)
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosine_sim(col("ea"), col("eb")))
+      .select(col("trep"), col("srep"), col("cosine"))
+    // top-(k+2) source GROUPS per target group (see proof above)
+    val topGroups = pairs.groupBy(col("trep"))
+      .agg(graft.functions.TopKByScore
+        .topk_by_score(col("cosine"), col("srep"), k + 2).as("top"))
+      .select(col("trep"), explode(col("top")).as("g"))
+      .select(col("trep"), col("g.id").as("srep"), col("g.score").as("cosine"))
+    // expand both sides to members, exclude self, re-rank per member
+    val expanded = topGroups
+      .join(groups.select(col("rep").as("trep"), col("members").as("tm"))
+        .hint("shuffle_hash"), Seq("trep"))
+      .join(groups.select(col("rep").as("srep"), col("members").as("sm"))
+        .hint("shuffle_hash"), Seq("srep"))
+      .select(col("cosine"), explode(col("tm")).as("vec_id"), col("sm"))
+      .select(col("cosine"), col("vec_id"), explode(col("sm")).as("nbr"))
+      .filter(col("vec_id") =!= col("nbr"))
+    expanded.groupBy(col("vec_id"))
       .agg(graft.functions.TopKByScore
         .topk_by_score(col("cosine"), col("nbr"), k).as("top"))
       .select(col("vec_id"), posexplode(col("top")))

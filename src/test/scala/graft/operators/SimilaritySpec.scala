@@ -102,6 +102,42 @@ class SimilaritySpec extends SparkSpec {
       "blockCap raise_error guard was optimized out of the plan")
   }
 
+  test("knn rep composition ≡ direct all-pairs on copy-heavy corpora (incl. rk ties)") {
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // 8 distinct vectors over 2 labels, each duplicated 1-4×: the
+      // 30×-smoke shape in miniature (dup share ≫ the 5% gate)
+      val base = (0 until 8).map { i =>
+        (i % 2, Array.fill(6)(rnd.nextFloat() * 2 - 1), 1 + (i % 4))
+      }
+      val rows = base.zipWithIndex.flatMap { case ((lbl, e, copies), gi) =>
+        (0 until copies).map(c => ((gi * 10 + c).toLong, lbl, e))
+      }
+      val emb = rows.toDF("vec_id", "label", "embedding")
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val direct = canon(Similarity.knnJoinDirect(emb, k = 3, blockCap = 100))
+      val reps = canon(Similarity.knnJoinReps(emb, k = 3, blockCap = 100))
+      assert(reps == direct,
+        s"seed $seed: rep-composition output diverged from all-pairs\n" +
+          s"only-direct: ${(direct -- reps).take(5)}\nonly-reps: ${(reps -- direct).take(5)}")
+      // the gate must route this corpus (dup share ~60%) to reps —
+      // i.e. the public entry agrees too
+      assert(canon(Similarity.knnJoinBlocked(emb, k = 3, blockCap = 100)) == direct)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("knn rep branch caps on DISTINCT vectors, not raw copies") {
+    // 4 distinct vectors ×10 copies = 40 rows, cap 5: distinct count
+    // 4 <= 5, so the rep branch must NOT raise
+    val emb = (0 until 4).flatMap(g => (0 until 10).map(c =>
+      ((g * 100 + c).toLong, 0, Array.fill(4)((g + 1).toFloat))))
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.knnJoinReps(emb, k = 2, blockCap = 5).count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("semdedup: clusters are consistent and representatives minimal") {
     val out = run("semdedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
