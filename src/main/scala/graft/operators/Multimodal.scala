@@ -197,13 +197,93 @@ object Multimodal {
     }
   }
 
+  // ---- REAL audio decode (the WAV twin of the PNG row) --------------
+  // Same contract: deterministic synthetic 16-bit PCM mono signals,
+  // encoded into a REAL RIFF/WAVE container by `javax.sound.sampled`
+  // (the JDK's actual audio codec), decoded back by a stage that sees
+  // only the bytes (RIFF chunk walk, fmt parse, little-endian signed
+  // sample reconstruction), stats verified against an arithmetic
+  // oracle that never touches the container.
+
+  /** Frame count and sample spec of doc `docId`'s synthetic signal —
+    * the shared spec both the encoder and the oracle compute.
+    * sample(i) = ((i·37 + docId) mod 8192) − 4096: full signed range
+    * coverage, no float anywhere.
+    */
+  private[operators] def synthFrames(docId: Long): Int =
+    256 + (docId % 512L).toInt
+  @inline private[operators] def synthSample(docId: Long, i: Int): Int =
+    (((i.toLong * 37L + docId) % 8192L) - 4096L).toInt
+
+  final case class AudioStats(doc_id: Long, n_frames: Long, amp_sum: Long,
+                              amp_abs_sum: Long, amp_sq_sum: Long,
+                              mean_abs_e6: Long)
+
+  /** Encode each doc's synthetic PCM signal to real WAV bytes. */
+  def syntheticWavTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      ids.map { id =>
+        val n = synthFrames(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = synthSample(id, i)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray, "audio/wav")
+      }
+    }
+  }
+
+  /** REAL decode: parse the WAV container with the JDK codec, read
+    * every 16-bit little-endian signed frame back, emit exact integer
+    * stats. mean_abs_e6 is an integral DIV of POSITIVES (abs sum), so
+    * Spark's truncation ≡ DuckDB's floor; amp_sum stays a raw sum
+    * (signed division would diverge between the engines).
+    */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        require(in.getFormat.getSampleSizeInBits == 16 &&
+          in.getFormat.getChannels == 1, s"doc ${r.doc_id}: unexpected format")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var (sum, absSum, sqSum) = (0L, 0L, 0L)
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sum += v; absSum += math.abs(v); sqSum += v.toLong * v
+          i += 1
+        }
+        AudioStats(r.doc_id, n.toLong, sum, absSum, sqSum,
+          if (n == 0) 0L else 1000000L * absSum / n)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> ((s, dir) => {
       extractFeatures(mediaTable(Tables(s, dir).documents)).toDF()
         .withColumn("mean_luma", round(col("mean_luma"), 4))
     }),
     "media_decode_stats" -> ((s, dir) =>
-      decodeStats(syntheticPngTable(Tables(s, dir).documents)).toDF())
+      decodeStats(syntheticPngTable(Tables(s, dir).documents)).toDF()),
+    "media_audio_stats" -> ((s, dir) =>
+      audioStats(syntheticWavTable(Tables(s, dir).documents)).toDF())
   )
 
   /** The decode stub is md5-derived, so DuckDB reproduces it exactly:
@@ -237,6 +317,30 @@ object Multimodal {
         |  px_sum,
         |  cast((1000000 * cast(px_sum AS HUGEINT)) // (w * h) AS bigint)
         |    AS mean_luma_e6
-        |FROM px""".stripMargin
+        |FROM px""".stripMargin,
+    // the WAV twin: sample(i) = ((i·37 + doc_id) % 8192) − 4096 over
+    // n = 256 + doc_id % 512 frames, recomputed arithmetically — the
+    // oracle never sees the RIFF container, so agreement proves the
+    // JDK codec reconstructed every 16-bit little-endian frame
+    "media_audio_stats" ->
+      """WITH frames AS (
+        |  SELECT doc_id, 256 + (doc_id % 512) AS n_frames
+        |  FROM documents),
+        |samp AS (
+        |  SELECT doc_id, n_frames,
+        |    (i * 37 + doc_id) % 8192 - 4096 AS v
+        |  FROM (SELECT doc_id, n_frames, unnest(range(n_frames)) AS i
+        |        FROM frames)),
+        |agg AS (
+        |  SELECT doc_id, n_frames,
+        |    cast(sum(v) AS bigint) AS amp_sum,
+        |    cast(sum(abs(v)) AS bigint) AS amp_abs_sum,
+        |    cast(sum(v * v) AS bigint) AS amp_sq_sum
+        |  FROM samp GROUP BY doc_id, n_frames)
+        |SELECT doc_id, cast(n_frames AS bigint) AS n_frames, amp_sum,
+        |  amp_abs_sum, amp_sq_sum,
+        |  cast((1000000 * cast(amp_abs_sum AS HUGEINT)) // n_frames AS bigint)
+        |    AS mean_abs_e6
+        |FROM agg""".stripMargin
   )
 }

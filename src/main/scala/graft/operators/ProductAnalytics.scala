@@ -665,7 +665,12 @@ object ProductAnalytics {
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(MEMORY_AND_DISK)
     val nd = nodes.repartition(numP, col("part")).persist(MEMORY_AND_DISK)
-    val nn = nd.agg(count(lit(1)).as("n"))
+    // the node count is a DRIVER scalar here (the loop already
+    // collects one scalar per round): folding 1/n and 0.15/n into
+    // literals removes a broadcast-exchange job from EVERY round's
+    // dataflow — the same IEEE divisions the crossJoin(broadcast(nn))
+    // form evaluated per row, so values are bit-identical
+    val n = nd.count()
     val tol = new java.math.BigDecimal(tolL1E6).movePointLeft(6)
     // Each round's rank vector is an EAGER localCheckpoint, not a
     // persist: persist caches data but keeps the logical lineage, so
@@ -676,12 +681,13 @@ object ProductAnalytics {
     // round's action doubles as the delta job's input). On a real
     // cluster swap localCheckpoint for reliable checkpointing (same
     // API shape) so executor loss can't kill a long convergence run.
-    var pr = nd.crossJoin(broadcast(nn))
-      .select(col("part"), (lit(1.0) / col("n")).as("pr"))
+    var pr = nd
+      .select(col("part"), lit(if (n == 0) 0.0 else 1.0 / n).as("pr"))
       .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      val roundT0 = System.nanoTime()
       val prw = pr.withColumnRenamed("part", "src")
         .join(deg.hint("shuffle_hash"), Seq("src"))
         .select(col("src"), (col("pr") / col("outdeg")).as("w"))
@@ -692,11 +698,11 @@ object ProductAnalytics {
       val next = nd
         .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
           Seq("part"), "left")
-        .crossJoin(broadcast(nn))
         .select(col("part"),
-          (lit(0.15) / col("n") +
+          (lit(if (n == 0) 0.0 else 0.15 / n) +
             lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
+      val ckptSec = (System.nanoTime() - roundT0) / 1e9
       // one exact decimal scalar per round: Σ|pr_new − pr_old|
       val delta = next.withColumnRenamed("pr", "pr_new")
         .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
@@ -708,10 +714,12 @@ object ProductAnalytics {
       rounds += 1
       converged = delta == null || delta.compareTo(tol) < 0
       if (sys.env.contains("SPARK_GRAFT_PR_DEBUG"))
-        System.err.println(s"pagerank_converged round=$rounds delta_l1=$delta")
+        System.err.println(f"pagerank_converged round=$rounds delta_l1=$delta " +
+          f"round_sec=${(System.nanoTime() - roundT0) / 1e9}%.2f " +
+          f"ckpt_sec=$ckptSec%.2f")
     }
-    val ranks = pr.crossJoin(broadcast(nn))
-      .select(col("part"), round(col("pr") * col("n"), 6).as("pr_ratio"))
+    val ranks = pr
+      .select(col("part"), round(col("pr") * lit(n.toDouble), 6).as("pr_ratio"))
     (ranks, rounds)
   }
 

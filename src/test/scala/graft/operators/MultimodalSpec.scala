@@ -64,6 +64,35 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.count() == docs.count())
   }
 
+  test("synthetic audio payloads are REAL RIFF/WAVE containers") {
+    val wav = Multimodal.syntheticWavTable(Tables(spark, sf).documents)
+    val rows = wav.limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(new String(r.content.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.content.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${r.doc_id}: payload is not a WAV container")
+      assert(r.mime == "audio/wav")
+    }
+  }
+
+  test("WAV decode reconstructs every 16-bit frame of the synthetic signal exactly") {
+    val docs = Tables(spark, sf).documents
+    val stats = Multimodal.audioStats(Multimodal.syntheticWavTable(docs))
+    val bad = stats.collect().filter { s =>
+      val n = Multimodal.synthFrames(s.doc_id)
+      var (sum, absSum, sqSum) = (0L, 0L, 0L)
+      for (i <- 0 until n) {
+        val v = Multimodal.synthSample(s.doc_id, i)
+        sum += v; absSum += math.abs(v); sqSum += v.toLong * v
+      }
+      s.n_frames != n || s.amp_sum != sum || s.amp_abs_sum != absSum ||
+        s.amp_sq_sum != sqSum || s.mean_abs_e6 != 1000000L * absSum / n
+    }
+    assert(bad.isEmpty, s"decode mismatch for docs ${bad.map(_.doc_id).mkString(",")}")
+    assert(stats.count() == docs.count())
+  }
+
   test("resize metadata preserves aspect ratio and caps the max side") {
     val rs = Multimodal.resizeMeta(Multimodal.extractFeatures(media), maxDim = 224)
     assert(rs.filter($"target_w" > 224 || $"target_h" > 224).count() == 0)
