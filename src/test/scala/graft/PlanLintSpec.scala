@@ -27,8 +27,6 @@ class PlanLintSpec extends SparkSpec {
     "bigram_logprob" -> "1-row vocab-size broadcast",
     "hard_negatives" -> "1-row label-count broadcast",
     "part_pagerank" -> "1-row node-count broadcast per round",
-    "pagerank_converged" ->
-      "1-row node-count broadcast onto the checkpointed final ranks",
     "dsir_weights" -> "1-row LM-totals broadcast",
     "source_kl" -> "1-row corpus-total broadcast",
     "pmi_collocations" -> "1-row pair/token-total broadcast",
