@@ -204,8 +204,8 @@ object Bench {
     // ...and the graph family's shared pair/node layouts (r11 verdict
     // #2): ONE orderkey self-join per corpus, seven consumer queries
     if (Seq("part_cooccurrence", "part_graph_stats", "part_pagerank",
-        "part_bfs_hops", "part_triangles", "item_similarity",
-        "association_rules").exists(selected)) {
+        "pagerank_converged", "part_bfs_hops", "part_triangles",
+        "item_similarity", "association_rules").exists(selected)) {
       graft.operators.ProductAnalytics.materializedPairCounts(spark, sfDir)
       graft.operators.ProductAnalytics.materializedPartOrderCounts(spark, sfDir)
     }
@@ -237,9 +237,9 @@ object Bench {
     // actually being selected (r12 advice): subset re-records of other
     // families shouldn't pay the warm or its clearCache/unpersist-all.
     if (!sys.env.get("SPARK_GRAFT_AOT_WARM").contains("0") &&
-        Seq("part_pagerank", "part_bfs_hops", "part_triangles",
-          "part_graph_stats", "part_cooccurrence", "item_similarity",
-          "association_rules").exists(selected)) {
+        Seq("part_pagerank", "pagerank_converged", "part_bfs_hops",
+          "part_triangles", "part_graph_stats", "part_cooccurrence",
+          "item_similarity", "association_rules").exists(selected)) {
       import org.apache.spark.sql.functions.{array, col, explode, expr}
       // SIZED synthetic graph, not a toy (r12 verdict #1): the r12
       // profile showed part_triangles' warm instability is the C2

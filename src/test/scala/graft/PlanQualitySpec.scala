@@ -60,6 +60,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("ShuffledHashJoin".r.findAllIn(p).length >= 3)
   }
 
+  test("media decode rows shuffle NO payload bytes: zero exchanges in the plan") {
+    // the 100 TB media contract: codec work co-located with the scan,
+    // only small stats rows leave the partition — any Exchange here
+    // means payload bytes crossed the wire
+    for (q <- Seq("media_decode_stats", "media_audio_stats")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"),
+        s"$q plans an exchange — media payloads must never shuffle")
+    }
+  }
+
   test("grouped top-k plans as partial+final heap aggregate, no window sort") {
     val p = planOf("top_customers_per_nation")
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
