@@ -135,6 +135,17 @@ object ScaleSmoke {
     // grow linearly in N; expect ~N× time, never N²
     time("item_similarity")(ProductAnalytics.itemNeighbors(li).count())
 
+    // media decode rows: pure narrow maps (zero exchanges,
+    // plan-asserted) — the smoke line documents the expected ~N×
+    // linearity of real codec work and catches any future shuffle
+    // sneaking into the pipeline as a superlinear bend
+    time("media_decode_stats")(
+      graft.operators.Multimodal.decodeStats(
+        graft.operators.Multimodal.syntheticPngTable(docs)).count())
+    time("media_audio_stats")(
+      graft.operators.Multimodal.audioStats(
+        graft.operators.Multimodal.syntheticWavTable(docs)).count())
+
     // ---- vocabulary-bounded ops at N× ------------------------------
     // linkage: N× part copies leave the DISTINCT-name relation
     // unchanged (the whole point of the exact-then-near composition)

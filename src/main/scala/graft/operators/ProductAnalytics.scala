@@ -681,9 +681,10 @@ object ProductAnalytics {
     // round's action doubles as the delta job's input). On a real
     // cluster swap localCheckpoint for reliable checkpointing (same
     // API shape) so executor loss can't kill a long convergence run.
+    // the uniform init is nd + a literal — no checkpoint needed, its
+    // lineage IS the cached node relation (one job saved)
     var pr = nd
       .select(col("part"), lit(if (n == 0) 0.0 else 1.0 / n).as("pr"))
-      .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -695,22 +696,26 @@ object ProductAnalytics {
         .join(prw.hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("w").cast("decimal(38,18)")).as("s"))
+      // the OLD rank rides along into the checkpoint so the delta is
+      // one cheap agg over the materialized node-sized relation
+      // instead of a second join job over two checkpoints per round
       val next = nd
         .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
           Seq("part"), "left")
+        .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
+          Seq("part"))
         .select(col("part"),
           (lit(if (n == 0) 0.0 else 0.15 / n) +
-            lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+            lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"),
+          col("pr_old"))
         .localCheckpoint(true)
       val ckptSec = (System.nanoTime() - roundT0) / 1e9
       // one exact decimal scalar per round: Σ|pr_new − pr_old|
-      val delta = next.withColumnRenamed("pr", "pr_new")
-        .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
-          Seq("part"))
-        .agg(sum(abs(col("pr_new").cast("decimal(38,18)") -
+      val delta = next
+        .agg(sum(abs(col("pr").cast("decimal(38,18)") -
           col("pr_old").cast("decimal(38,18)"))).as("d"))
         .head().getDecimal(0)
-      pr = next // the dropped round's checkpoint RDD is cleaner-reclaimed
+      pr = next.select(col("part"), col("pr")) // checkpointed; no job
       rounds += 1
       converged = delta == null || delta.compareTo(tol) < 0
       if (sys.env.contains("SPARK_GRAFT_PR_DEBUG"))
