@@ -699,16 +699,24 @@ object ProductAnalytics {
       // the OLD rank rides along into the checkpoint so the delta is
       // one cheap agg over the materialized node-sized relation
       // instead of a second join job over two checkpoints per round
-      val next = nd
-        .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
-          Seq("part"), "left")
-        .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
-          Seq("part"))
-        .select(col("part"),
-          (lit(if (n == 0) 0.0 else 0.15 / n) +
-            lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"),
-          col("pr_old"))
-        .localCheckpoint(true)
+      // stats reset is REQUIRED, not cosmetic: this plan references
+      // the previous checkpoint twice (contrib path + pr_old join), so
+      // the size-only join estimate SQUARES round-over-round and the
+      // eager stats rewrite inside checkpoint() goes super-exponential
+      // in driver CPU by round ~20 (BigInteger.multiplyToomCook3 on
+      // million-digit estimates — measured 161 s/round on a 4-node
+      // graph). Bound it to the honest 3-col row width × node count.
+      val next = org.apache.spark.sql.graftshim.CheckpointStats
+        .withBoundedStats(nd
+          .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
+            Seq("part"), "left")
+          .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
+            Seq("part"))
+          .select(col("part"),
+            (lit(if (n == 0) 0.0 else 0.15 / n) +
+              lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"),
+            col("pr_old"))
+          .localCheckpoint(true), BigInt(n).max(1) * 32)
       val ckptSec = (System.nanoTime() - roundT0) / 1e9
       // one exact decimal scalar per round: Σ|pr_new − pr_old|
       val delta = next
