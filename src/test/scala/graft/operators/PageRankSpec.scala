@@ -60,6 +60,13 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  // NOTE: this test intentionally runs a LONG horizon (~29 rounds at
+  // tol 1e-2 on the slow-mixing star) — it is the regression guard for
+  // driver-side per-round cost. The checkpoint stats squaring bug
+  // (fixed via graftshim.CheckpointStats) was invisible at the bench
+  // scales' k=5 and surfaced only here, as a hang past round ~20. If
+  // this test ever slows from ~30 s to minutes, suspect per-round
+  // plan/stats growth before suspecting the executor side.
   test("converged variant stops at tolerance, matches the fixed unroll at its k") {
     val nodes = Seq(1L, 2L, 3L, 4L)
     val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L),
