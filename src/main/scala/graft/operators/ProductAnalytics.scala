@@ -672,6 +672,16 @@ object ProductAnalytics {
     // form evaluated per row, so values are bit-identical
     val n = nd.count()
     val tol = new java.math.BigDecimal(tolL1E6).movePointLeft(6)
+    // DEPLOY.md's cluster contract, executable: when a reliable
+    // checkpoint dir is configured (spark.sparkContext.setCheckpointDir)
+    // the per-round truncation swaps localCheckpoint → checkpoint with
+    // NO other change — same eager semantics, same LogicalRDD leaf for
+    // the stats reset below, but blocks live in the checkpoint dir so a
+    // lost executor cannot kill a long convergence run. Locally the dir
+    // is unset and the cheaper executor-resident variant is used.
+    val reliable = nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     // Each round's rank vector is an EAGER localCheckpoint, not a
     // persist: persist caches data but keeps the logical lineage, so
     // an open-ended loop builds an O(rounds)-deep plan that Catalyst
@@ -679,8 +689,11 @@ object ProductAnalytics {
     // is an OOM in plan strings, not data. The checkpoint truncates
     // lineage to the materialized node-sized RDD each round (the
     // round's action doubles as the delta job's input). On a real
-    // cluster swap localCheckpoint for reliable checkpointing (same
-    // API shape) so executor loss can't kill a long convergence run.
+    // cluster set spark.sparkContext.setCheckpointDir and the loop
+    // swaps to reliable Dataset.checkpoint automatically (`truncate`
+    // below) so executor loss can't kill a long convergence run —
+    // ReliableCheckpointSpec proves the swap is output-identical and
+    // the stats reset still fires on the reliable leaf.
     // the uniform init is nd + a literal — no checkpoint needed, its
     // lineage IS the cached node relation (one job saved)
     var pr = nd
@@ -707,7 +720,7 @@ object ProductAnalytics {
       // million-digit estimates — measured 161 s/round on a 4-node
       // graph). Bound it to the honest 3-col row width × node count.
       val next = org.apache.spark.sql.graftshim.CheckpointStats
-        .withBoundedStats(nd
+        .withBoundedStats(truncate(nd
           .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
             Seq("part"), "left")
           .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
@@ -715,8 +728,7 @@ object ProductAnalytics {
           .select(col("part"),
             (lit(if (n == 0) 0.0 else 0.15 / n) +
               lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"),
-            col("pr_old"))
-          .localCheckpoint(true), BigInt(n).max(1) * 32)
+            col("pr_old"))), BigInt(n).max(1) * 32)
       val ckptSec = (System.nanoTime() - roundT0) / 1e9
       // one exact decimal scalar per round: Σ|pr_new − pr_old|
       val delta = next

@@ -32,16 +32,29 @@ import org.apache.spark.sql.execution.LogicalRDD
   * internal-row RDD (no recompute, no conversion).
   */
 object CheckpointStats {
+  /** Only the STATS are replaced: the checkpoint's rewritten
+    * constraints (`lr.constraints` — e.g. the IsNotNull inference the
+    * origin plan carried) are passed through unchanged, so callers
+    * without explicit join-strategy hints keep constraint-based
+    * pruning and nullability reasoning across the re-root.
+    */
   def withBoundedStats(df: org.apache.spark.sql.DataFrame,
                        sizeInBytes: BigInt): org.apache.spark.sql.DataFrame = {
-    val cdf = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val cdf = df match {
+      case d: Dataset[org.apache.spark.sql.Row @unchecked] => d
+      case other => throw new IllegalArgumentException(
+        "CheckpointStats.withBoundedStats requires a classic (local-JVM) " +
+          s"Dataset; got ${other.getClass.getName}. Connect-backed " +
+          "DataFrames have no driver-side LogicalRDD leaf to re-root.")
+    }
     cdf.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val spark = cdf.sparkSession
         Dataset.ofRows(spark,
           LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming, lr.stream)(
-            spark, Some(Statistics(sizeInBytes = sizeInBytes.max(1))), None))
+            spark, Some(Statistics(sizeInBytes = sizeInBytes.max(1))),
+            Some(lr.constraints)))
       case _ => df // not a checkpointed leaf; nothing to reset
     }
   }

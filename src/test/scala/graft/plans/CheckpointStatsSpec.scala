@@ -36,17 +36,34 @@ class CheckpointStatsSpec extends SparkSpec {
     // previous checkpoint twice, then re-checkpoints
     var cur = Seq((1L, 1.0), (2L, 1.0)).toDF("part", "pr").localCheckpoint(true)
     cur = CheckpointStats.withBoundedStats(cur, BigInt(48))
-    val digitsPerRound = (1 to 6).map { _ =>
+    val sizePerRound = (1 to 6).map { _ =>
       val doubled = cur.join(cur.withColumnRenamed("pr", "pr_old"), Seq("part"))
       val next = doubled.select($"part", ($"pr" + $"pr_old").as("pr"))
         .localCheckpoint(true)
       cur = CheckpointStats.withBoundedStats(next, BigInt(48))
-      sizeOf(cur).toString.length
+      sizeOf(cur)
     }
-    // without the reset the digit count doubles per round (squaring);
-    // with it the estimate is the same constant every round
-    assert(digitsPerRound.distinct == Seq(BigInt(48).toString.length),
-      s"stats grew across rounds: digit counts $digitsPerRound")
+    // without the reset the estimate SQUARES per round (digit count
+    // doubles); with it every round reads back exactly the constant —
+    // assert the value itself, not a digit-count proxy that any
+    // same-width wrong estimate would satisfy
+    assert(sizePerRound.forall(_ == BigInt(48)),
+      s"stats drifted across rounds: $sizePerRound " +
+        s"(digit counts ${sizePerRound.map(_.toString.length)})")
+  }
+
+  test("re-root preserves the checkpoint's rewritten constraints") {
+    // localCheckpoint rewrites the origin plan's constraints (here the
+    // filter's IsNotNull/GreaterThan inference) onto the new leaf; the
+    // stats re-root must pass them through, not drop them to empty —
+    // an unhinted caller relies on them for pruning/broadcast choices
+    val ckpt = Seq((1L, 2.0), (3L, 4.0)).toDF("part", "pr")
+      .filter($"part" > 0).localCheckpoint(true)
+    val before = ckpt.queryExecution.analyzed.constraints
+    assert(before.nonEmpty, "precondition: checkpoint carried constraints")
+    val fresh = CheckpointStats.withBoundedStats(ckpt, BigInt(48))
+    assert(fresh.queryExecution.analyzed.constraints == before)
+    assert(sizeOf(fresh) == BigInt(48))
   }
 
   test("non-checkpointed plans pass through unchanged") {
