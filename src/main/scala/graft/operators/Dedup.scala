@@ -309,7 +309,7 @@ object Dedup {
     * temp views) would grow without bound. Past the cap the map is
     * cleared — the only cost of a lost memo is one cheap re-probe.
     */
-  private val VerdictCacheMax = 256
+  private[operators] val VerdictCacheMax = 256
 
   private[operators] def memoVerdict(
       cache: java.util.concurrent.ConcurrentHashMap[
