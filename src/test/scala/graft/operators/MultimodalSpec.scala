@@ -16,19 +16,30 @@ class MultimodalSpec extends SparkSpec {
     assert(back.filter($"round_trip" =!= $"text").count() == 0)
   }
 
-  test("feature extraction emits one row per payload with sane dims") {
-    val f = Multimodal.extractFeatures(media)
-    assert(f.count() == media.count())
-    assert(f.filter($"width" < 1 || $"width" > 640).count() == 0)
-    assert(f.filter($"height" < 1 || $"height" > 480).count() == 0)
-    assert(f.filter($"mean_luma" < 0.0 || $"mean_luma" > 1.0).count() == 0)
+  test("feature extraction REAL-decodes each PNG payload to exact features") {
+    val png = Multimodal.syntheticPngTable(Tables(spark, sf).documents)
+    val f = Multimodal.extractFeatures(png)
+    assert(f.count() == png.count())
+    val bad = f.collect().filter { r =>
+      val (w, h) = Multimodal.synthDims(r.doc_id)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += Multimodal.synthLuma(r.doc_id, x, y)
+      r.width != w || r.height != h || r.n_bytes != w.toLong * h ||
+        r.n_frames != 1L ||
+        r.mean_luma != sum.toDouble / (w.toDouble * h * 255.0)
+    }
+    assert(bad.isEmpty, s"feature mismatch for docs ${bad.map(_.doc_id).mkString(",")}")
   }
 
-  test("frame sampling yields ceil(n_frames/stride) bounded slices") {
+  test("frame sampling yields ceil(slices/stride) bounded slices") {
     val frames = Multimodal.sampleFrames(media, stride = 4)
     val perDoc = frames.groupBy($"doc_id").count()
-    val expected = Multimodal.extractFeatures(media)
-      .select($"doc_id", ceil($"n_frames" / 4.0).as("want"))
+    // expected count from the payload itself: one 16-byte slice per
+    // stride step over floor(len/16)+1 slices
+    val expected = media.toDF()
+      .select($"doc_id",
+        ceil((floor(length($"content") / 16) + 1) / 4.0).as("want"))
     assert(perDoc.join(expected, Seq("doc_id"))
       .filter($"count" =!= $"want").count() == 0)
     assert(frames.filter(length($"frame_bytes") > 16).count() == 0)
@@ -94,8 +105,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize metadata preserves aspect ratio and caps the max side") {
-    val rs = Multimodal.resizeMeta(Multimodal.extractFeatures(media), maxDim = 224)
-    assert(rs.filter($"target_w" > 224 || $"target_h" > 224).count() == 0)
+    // maxDim 24 sits inside the synthetic dim range (16–47), so both
+    // the downscale and the no-upscale branches are exercised
+    val rs = Multimodal.resizeMeta(Multimodal.extractFeatures(
+      Multimodal.syntheticPngTable(Tables(spark, sf).documents)), maxDim = 24)
+    assert(rs.filter($"target_w" > 24 || $"target_h" > 24).count() == 0)
+    assert(rs.filter($"scale" < 1.0).count() > 0, "no downscale exercised")
     // targets are the rounded scaled dims (aspect preserved up to
     // integer rounding, which dominates at extreme aspect ratios)
     val bad = rs.filter(
