@@ -2,30 +2,45 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  /** One /proc sample: (total busy jiffies across all CPUs, this
-    * process's utime+stime jiffies). USER_HZ=100 on Linux; (-1,-1)
-    * when /proc is unavailable.
+  /** One /proc sample. `busy` is total non-idle non-iowait jiffies
+    * across all CPUs (steal INCLUDED — it is host time someone else
+    * ran); `self` is this process's utime+stime; `steal` and `iowait`
+    * are broken out separately because the r13 degraded-host regime
+    * (loadavg 16+ at 96 % CPU-idle, vmstat steal ~2 %) was INVISIBLE
+    * to per-process CPU deltas — two full-board attempts at 273–304 s
+    * cold passed the old guard. USER_HZ=100 on Linux; all -1 when
+    * /proc is unavailable.
     */
-  private def procBusyAndSelfJiffies(): (Long, Long) =
+  private final case class ProcSample(busy: Long, self: Long,
+                                      steal: Long, iowait: Long)
+  private def procSample(): ProcSample =
     try {
       val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
       val busyTotal = stat.sum - stat(3) - stat(4) // minus idle + iowait
       val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
         .split("\\s+")
-      (busyTotal, self(13).toLong + self(14).toLong) // utime + stime
-    } catch { case _: Throwable => (-1L, -1L) }
+      ProcSample(busyTotal, self(13).toLong + self(14).toLong, // utime+stime
+        if (stat.length > 7) stat(7) else 0L, stat(4))
+    } catch { case _: Throwable => ProcSample(-1L, -1L, -1L, -1L) }
 
-  /** Busy FOREIGN cores (other processes' CPU rate) averaged over a
-    * `secs`-second /proc sample; -1 when /proc is unavailable.
+  /** DISTURBANCE cores averaged over a `secs`-second /proc sample:
+    * other processes' CPU rate (which already includes hypervisor
+    * steal — it lands in the busy total) PLUS the host's iowait rate.
+    * iowait is host-wide time cores sat blocked on storage — exactly
+    * the steal/IO-contention regime per-process sampling cannot see
+    * (r13 verdict #1). Between passes this process is quiescent, so
+    * any sustained iowait is foreign storage pressure, not our own
+    * scans. -1 when /proc is unavailable.
     */
   private def foreignCoresSample(secs: Double): Double = {
-    val (b0, s0) = procBusyAndSelfJiffies()
-    if (b0 < 0) return -1.0
+    val a = procSample()
+    if (a.busy < 0) return -1.0
     Thread.sleep((secs * 1000).toLong)
-    val (b1, s1) = procBusyAndSelfJiffies()
-    if (b1 < 0) -1.0
-    else math.max(0L, (b1 - b0) - (s1 - s0)) / (100.0 * secs)
+    val b = procSample()
+    if (b.busy < 0) -1.0
+    else (math.max(0L, (b.busy - a.busy) - (b.self - a.self)) +
+      math.max(0L, b.iowait - a.iowait)) / (100.0 * secs)
   }
 
   // ---- per-query telemetry (r9 verdict #1) --------------------------
@@ -279,8 +294,10 @@ object Bench {
     // fast "time" inside a clean-looking total
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // contention telemetry: foreign_cpu_sec is busy CPU seconds spent
-    // by OTHER processes during the run.
-    val (busy0, self0) = procBusyAndSelfJiffies()
+    // by OTHER processes during the run; steal/iowait are broken out
+    // host-wide because they are the signals per-process CPU misses.
+    val run0 = procSample()
+    val (busy0, self0) = (run0.busy, run0.self)
     val wall0 = System.nanoTime()
     // pre-suite RSS, recorded for context (the leak-detector FLOOR is
     // taken after the cold pass instead: the JVM legitimately grows
@@ -346,9 +363,35 @@ object Bench {
     // one contended pass unable to move the trend line.
     val passTelemetry = scala.collection.mutable.ArrayBuffer[String]()
     var passGateWaitTotal = 0.0
+    // per-pass HOST-LEVEL contention evidence (r13 verdict #1): a
+    // degraded pass is one whose steal rate, iowait rate, or
+    // load-vs-busy divergence says the host was unhealthy while it
+    // ran. The divergence signature (runnable+D-state load high while
+    // host CPU is near-idle) is exactly the r13 regime — loadavg 16+
+    // at 96 % CPU-idle — which no per-process counter can see.
+    // Steal is judged as a SHARE of host execution, not an absolute
+    // rate: steal scales with demand, and this box measures ~0.1 %
+    // share under a healthy 32-thread burn but 15 %+ during a real
+    // neighbor burst (measured while building this guard — that
+    // burst also put the pass's part_pagerank cold at 2.2× warm, so
+    // the share signal and the damage line up). The 0.2-core floor
+    // keeps near-idle passes from flagging on jiffy noise; the other
+    // thresholds are one-sided: a HEALTHY bench pass has host busy ≈
+    // our own 32 threads, so high load with host busy under 3 cores
+    // cannot be self-inflicted.
+    final case class PassHost(label: String, stealCores: Double,
+                              iowaitCores: Double, hostBusyCores: Double,
+                              load1End: Double) {
+      def stealShare: Double =
+        if (hostBusyCores > 0) stealCores / hostBusyCores else 0.0
+      def degraded: Boolean =
+        (stealCores > 0.2 && stealShare > 0.05) || iowaitCores > 2.0 ||
+          (load1End > 12.0 && hostBusyCores >= 0 && hostBusyCores < 3.0)
+    }
+    val passHosts = scala.collection.mutable.ArrayBuffer[PassHost]()
     def passStamp(label: String, t: Double, gatePre: Double,
-                  gateWait: Double): Unit =
-      passTelemetry += f"""{"pass":"$label","sec":$t%.2f,"gc_ms":${gcMillis()},"heap_mb":${heapMb()._1},"rss_mb":${rssMb()},"load1":${load1()}%.2f,"gate_pre_cores":$gatePre%.2f,"gate_wait_sec":${math.max(0.0, gateWait)}%.1f}"""
+                  gateWait: Double, host: PassHost): Unit =
+      passTelemetry += f"""{"pass":"$label","sec":$t%.2f,"gc_ms":${gcMillis()},"heap_mb":${heapMb()._1},"rss_mb":${rssMb()},"load1":${load1()}%.2f,"gate_pre_cores":$gatePre%.2f,"gate_wait_sec":${math.max(0.0, gateWait)}%.1f,"steal_cores":${host.stealCores}%.2f,"iowait_cores":${host.iowaitCores}%.2f,"host_busy_cores":${host.hostBusyCores}%.2f,"degraded":${host.degraded}}"""
 
     def timedPass(label: String,
         qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
@@ -361,9 +404,21 @@ object Bench {
       // (the pass's load1/foreign telemetry then tells the story).
       val (gatePre, gateWait, _) = waitForIdle(2.0, 120.0)
       passGateWaitTotal += math.max(0.0, gateWait)
+      val p0 = procSample()
       val t0 = System.nanoTime()
       val r = runPass(qs)
-      passStamp(label, (System.nanoTime() - t0) / 1e9, gatePre, gateWait)
+      val passWall = (System.nanoTime() - t0) / 1e9
+      val p1 = procSample()
+      val host =
+        if (p0.busy < 0 || p1.busy < 0 || passWall <= 0)
+          PassHost(label, -1.0, -1.0, -1.0, load1())
+        else PassHost(label,
+          math.max(0L, p1.steal - p0.steal) / (100.0 * passWall),
+          math.max(0L, p1.iowait - p0.iowait) / (100.0 * passWall),
+          math.max(0L, p1.busy - p0.busy) / (100.0 * passWall),
+          load1())
+      passHosts += host
+      passStamp(label, passWall, gatePre, gateWait, host)
       // pass-boundary GC so heap pressure accumulated by one pass is
       // paid HERE (unbilled) instead of inside the next pass's queries
       System.gc()
@@ -476,12 +531,17 @@ object Bench {
     }
     if (flags.nonEmpty)
       System.err.println(s"bench: ${flags.size} regression flag(s) — see bench_full.json")
-    val (busy1, self1) = procBusyAndSelfJiffies()
+    val run1 = procSample()
+    val (busy1, self1) = (run1.busy, run1.self)
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val (selfCpuSec, foreignCpuSec) =
       if (busy0 < 0 || busy1 < 0) (-1.0, -1.0)
       else ((self1 - self0) / 100.0,
         math.max(0L, (busy1 - busy0) - (self1 - self0)) / 100.0)
+    val (stealCpuSec, iowaitCpuSec) =
+      if (run0.busy < 0 || run1.busy < 0) (-1.0, -1.0)
+      else (math.max(0L, run1.steal - run0.steal) / 100.0,
+        math.max(0L, run1.iowait - run0.iowait) / 100.0)
     // per-query cold telemetry + per-query warm reps + plan-hash
     // changes across passes (only queries whose hash moved — an AQE
     // replan under identical code is exactly what this catches)
@@ -520,7 +580,25 @@ object Bench {
     // is the primary signal and foreign CORES (>0.5 of a core sustained
     // over the whole run) the secondary one.
     val foreignCores = if (wallSec > 0) foreignCpuSec / wallSec else 0.0
-    val contended = warmUnstableCount > 10 || foreignCores > 0.5
+    // steal/IO-aware routing (r13 verdict #1): the r13 driver
+    // recording carried foreign_cpu_sec 0.00 yet 103 flags — the host
+    // was in a steal/IO-contention regime per-process CPU cannot see.
+    // Route on sustained host-level rates exactly like foreign cores:
+    // whole-run steal or iowait rate over threshold, or ≥ 2 degraded
+    // passes (per-pass steal/iowait/load-divergence — one pass alone
+    // can be a load1-EMA tail from our own previous pass).
+    val stealCores = if (wallSec > 0) math.max(0.0, stealCpuSec) / wallSec else 0.0
+    val iowaitCores = if (wallSec > 0) math.max(0.0, iowaitCpuSec) / wallSec else 0.0
+    val runBusySec =
+      if (busy0 < 0 || busy1 < 0) 0.0 else math.max(1L, busy1 - busy0) / 100.0
+    val stealShareRun =
+      if (runBusySec > 0) math.max(0.0, stealCpuSec) / runBusySec else 0.0
+    val degradedPasses = passHosts.filter(_.degraded)
+    val hostContended = (stealCores > 0.2 && stealShareRun > 0.05) ||
+      iowaitCores > 2.0 || degradedPasses.size >= 2
+    if (hostContended)
+      flags += f"""{"q":"_suite","kind":"host_contention","steal_cores":$stealCores%.2f,"steal_share":$stealShareRun%.3f,"iowait_cores":$iowaitCores%.2f,"degraded_passes":[${degradedPasses.map(p => "\"" + p.label + "\"").mkString(",")}],"pass_steal_cores":[${passHosts.map(p => f"${p.stealCores}%.2f").mkString(",")}],"pass_load1":[${passHosts.map(p => f"${p.load1End}%.1f").mkString(",")}],"pass_host_busy_cores":[${passHosts.map(p => f"${p.hostBusyCores}%.1f").mkString(",")}]}"""
+    val contended = warmUnstableCount > 10 || foreignCores > 0.5 || hostContended
     val forceRecord = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
     val recordPath =
       if (isSubset) "bench_subset.json"
@@ -529,14 +607,16 @@ object Bench {
     if (contended)
       System.err.println(
         f"bench: CONTENDED recording ($warmUnstableCount warm_unstable flags, " +
-          f"foreign_cpu ${fmt(foreignCpuSec)} s = ${fmt(foreignCores)} cores) -> $recordPath")
+          f"foreign_cpu ${fmt(foreignCpuSec)} s = ${fmt(foreignCores)} cores, " +
+          f"steal ${fmt(stealCores)} cores, iowait ${fmt(iowaitCores)} cores, " +
+          f"degraded passes [${degradedPasses.map(_.label).mkString(",")}]) -> $recordPath")
     // the stdout budget (driver captures only the final ~2000 chars)
     // can't hold all per-query times — the COMPLETE record goes to a
     // side file in the repo root for the judge / cross-round diffs
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","contended":$contended,
          |"warm_total":${fmt(warmTotal)},"warm_reps":$warmReps,
-         |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},
+         |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},"steal_cpu_sec":${fmt(stealCpuSec)},"iowait_cpu_sec":${fmt(iowaitCpuSec)},
          |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},"pass_gate_wait_sec":${fmt(passGateWaitTotal)},
          |"rss_pre_suite_mb":$rssPreSuiteMb,"rss_post_cold_mb":$rssPostColdMb,"rss_baseline_mb":$rssBaselineMb,"rss_end_mb":$rssEndMb,"rss_hwm_mb":${rssMb("VmHWM")},"rss_bound_ok":$rssBoundOk,
          |"errors":${jsmap(errors.toSeq)},
