@@ -179,6 +179,15 @@ object Bench {
       // generated class is evicted before its next use, so the "warm"
       // pass recompiles everything. Sized to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // typed-aggregate partials (topk_by_score heaps, sketch buffers)
+      // must stay HASH-based: the 128-key default fallback demotes any
+      // partition with >128 group keys to sort-based object aggregation
+      // - the r14 Zipf smoke measured the knn partial top-k sorting
+      // 14M-row partitions with 256MB spills (58s CPU in one task) for
+      // agg state that fits in a few MB of heap. 2^17 keys x ~100B
+      // state ~= 13MB/task - far under executor memory at 32 tasks.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       // caches report their real partitioning (see GraftSession) —
       // without this every consumer re-exchanges persisted relations
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",

@@ -313,11 +313,26 @@ object Similarity {
         graft.operators.Dedup.RepGateDupShare
     }
 
+  /** Block-size-derived salt width for the in-block pair joins: a
+    * block of `bn` rows splits its probe side into ceil(bn/SaltRows)
+    * sub-blocks, each joined against a replica of the full block.
+    * Without it a Zipf-labeled corpus serializes: the r14 Zipf smoke
+    * measured the ~5.6k-vector hot block (28 % of a 20k corpus) as
+    * ONE 237-second task — the hash partition by label is only ~1.4
+    * MB, far under AQE's skew-split byte threshold, so no runtime
+    * re-plan can save it; the salt splits it into ~22 tasks at
+    * identical pair output. Uniform small blocks get salt_n = 1: the
+    * same plan shape at one pmod + a 1-element explode of overhead.
+    */
+  private[operators] val SaltRows = 256
+
   /** The all-pairs branch of [[knnJoinBlocked]] — right when blocks
-    * hold (essentially) distinct vectors.
+    * hold (essentially) distinct vectors. `saltRows` is a test seam;
+    * production callers use the [[SaltRows]] default.
     */
   private[operators] def knnJoinDirect(emb: DataFrame, k: Int = KnnK,
-                                       blockCap: Int = 10000): DataFrame = {
+                                       blockCap: Int = 10000,
+                                       saltRows: Int = SaltRows): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     graft.functions.TopKByScore.register(emb.sparkSession)
     val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))
@@ -331,10 +346,28 @@ object Similarity {
       // always-true reference: without it column pruning drops bn —
       // and the raise_error guard with it — from the plan entirely
       .filter(col("bn") > 0)
-      .select(col("label"), col("vec_id"), col("embedding"))
-    val pairs = t.select(col("label"), col("vec_id"), col("embedding").as("ea"))
-      .join(t.select(col("label"), col("vec_id").as("nbr"),
-        col("embedding").as("eb")).hint("shuffle_hash"), Seq("label"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        ceil(col("bn").cast("double") / saltRows).cast("int").as("sn"))
+    // salted self-join (see [[SaltRows]]): probe rows hash into sn
+    // sub-blocks, index rows replicate into every sub-block — each
+    // (probe, index) pair meets in exactly the probe's salt, so the
+    // pair set is IDENTICAL to the unsalted join. The exchange is
+    // PINNED (explicit repartition count): the salt bins are only
+    // KB-to-MB of input bytes while their join OUTPUT is quadratic,
+    // so AQE's input-byte coalescing would merge them straight back
+    // into one task (the r14 Zipf smoke at m=2 measured exactly that:
+    // 29 tasks, one of 127 s holding ~all hot-block pairs) — a
+    // user-specified partition count is exempt from coalescing.
+    val numP = Parallelism.pinCount(emb)
+    val pairs = t.select(col("label"),
+        pmod(col("vec_id"), col("sn")).cast("int").as("salt"),
+        col("vec_id"), col("embedding").as("ea"))
+      .repartition(numP, col("label"), col("salt"))
+      .join(t.select(col("label"),
+          explode(sequence(lit(0), col("sn") - 1)).as("salt"),
+          col("vec_id").as("nbr"), col("embedding").as("eb"))
+        .repartition(numP, col("label"), col("salt"))
+        .hint("shuffle_hash"), Seq("label", "salt"))
       .filter(col("vec_id") =!= col("nbr"))
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine_sim(col("ea"), col("eb")))
@@ -365,7 +398,8 @@ object Similarity {
     * stays linear in copies instead of quadratic.
     */
   private[operators] def knnJoinReps(emb: DataFrame, k: Int = KnnK,
-                                     blockCap: Int = 10000): DataFrame = {
+                                     blockCap: Int = 10000,
+                                     saltRows: Int = SaltRows): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     graft.functions.TopKByScore.register(emb.sparkSession)
@@ -386,14 +420,24 @@ object Similarity {
         .otherwise(col("bn")))
     val t = groups.join(broadcast(checked), Seq("label"))
       .filter(col("bn") > 0) // keeps the raise_error guard in the plan
-      .select(col("label"), col("rep"), col("embedding"), col("gn"))
-    // rep-level directed pairs; the self-pair survives only when the
-    // group has a sibling to offer (gn ≥ 2)
-    val pairs = t.select(col("label"), col("rep").as("trep"),
-        col("embedding").as("ea"))
-      .join(t.select(col("label"), col("rep").as("srep"),
-        col("embedding").as("eb"), col("gn").as("sgn"))
-        .hint("shuffle_hash"), Seq("label"))
+      .select(col("label"), col("rep"), col("embedding"), col("gn"),
+        ceil(col("bn").cast("double") / saltRows).cast("int").as("sn"))
+    // rep-level directed pairs, salted + exchange-pinned like
+    // [[knnJoinDirect]] (see [[SaltRows]] — a hot label's
+    // DISTINCT-vector block serializes one task otherwise, and AQE
+    // coalescing would undo the salt); the self-pair survives only
+    // when the group has a sibling to offer (gn ≥ 2)
+    val numP = Parallelism.pinCount(emb)
+    val pairs = t.select(col("label"),
+        pmod(col("rep"), col("sn")).cast("int").as("salt"),
+        col("rep").as("trep"), col("embedding").as("ea"))
+      .repartition(numP, col("label"), col("salt"))
+      .join(t.select(col("label"),
+          explode(sequence(lit(0), col("sn") - 1)).as("salt"),
+          col("rep").as("srep"), col("embedding").as("eb"),
+          col("gn").as("sgn"))
+        .repartition(numP, col("label"), col("salt"))
+        .hint("shuffle_hash"), Seq("label", "salt"))
       .filter(col("trep") =!= col("srep") || col("sgn") >= 2)
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine_sim(col("ea"), col("eb")))

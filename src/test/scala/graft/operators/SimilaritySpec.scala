@@ -128,6 +128,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hot-block salting is invisible: salted ≡ unsalted on a Zipf-labeled corpus") {
+    // the r14 Zipf smoke's shape in miniature: one label holds most
+    // vectors (the smoke measured the unsalted hot block as ONE
+    // 237-second task). saltRows=3 forces multi-salt (sn up to 10)
+    // at unit scale; saltRows=MaxValue pins sn=1 — the unsalted
+    // reference join. Outputs must match row-for-row, including ties.
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 40L).map { i =>
+      val lbl = if (i <= 30) 0 else (i % 3 + 1).toInt // hot label 0: 30 rows
+      (i, lbl, Array.fill(6)(rnd.nextFloat() * 2 - 1))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val unsalted = canon(Similarity.knnJoinDirect(emb, k = 3, blockCap = 100,
+      saltRows = Int.MaxValue))
+    val salted = canon(Similarity.knnJoinDirect(emb, k = 3, blockCap = 100,
+      saltRows = 3))
+    assert(salted == unsalted, "salting changed the direct knn output")
+    // same invariant through the rep branch (duplicated hot vectors)
+    val dup = rows.flatMap { case (i, l, e) =>
+      Seq((i, l, e), (i + 1000L, l, e)) }.toDF("vec_id", "label", "embedding")
+    val repsUnsalted = canon(Similarity.knnJoinReps(dup, k = 3, blockCap = 100,
+      saltRows = Int.MaxValue))
+    val repsSalted = canon(Similarity.knnJoinReps(dup, k = 3, blockCap = 100,
+      saltRows = 3))
+    assert(repsSalted == repsUnsalted, "salting changed the reps knn output")
+    spark.catalog.clearCache()
+  }
+
   test("knn rep branch caps on DISTINCT vectors, not raw copies") {
     // 4 distinct vectors ×10 copies = 40 rows, cap 5: distinct count
     // 4 <= 5, so the rep branch must NOT raise
