@@ -694,17 +694,29 @@ object ProductAnalytics {
     // below) so executor loss can't kill a long convergence run —
     // ReliableCheckpointSpec proves the swap is output-identical and
     // the stats reset still fires on the reliable leaf.
-    // the uniform init is nd + a literal — no checkpoint needed, its
-    // lineage IS the cached node relation (one job saved)
+    // the init carries OUTDEG alongside the uniform rank (r13 verdict
+    // #6): the rank relation is node-complete by induction (init from
+    // nd; every round left-joins contributions onto it), so the old
+    // per-round nd-join was redundant, and carrying outdeg inside the
+    // checkpointed relation removes the per-round deg-join too — each
+    // round is now ONE shuffle_hash left join + one aggregate instead
+    // of three joins. outdeg is null for dangling nodes (the old
+    // inner deg-join's set, enforced by the isNotNull filter below);
+    // the 8 bytes/row it adds to the checkpoint are far cheaper than
+    // a node-sized join job per round (A/B at 10×: 32.3 → see
+    // BASELINE round-14). No checkpoint on the init: its lineage is
+    // two cached relations.
     var pr = nd
-      .select(col("part"), lit(if (n == 0) 0.0 else 1.0 / n).as("pr"))
+      .join(deg.withColumnRenamed("src", "part").hint("shuffle_hash"),
+        Seq("part"), "left")
+      .select(col("part"), lit(if (n == 0) 0.0 else 1.0 / n).as("pr"),
+        col("outdeg"))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val roundT0 = System.nanoTime()
-      val prw = pr.withColumnRenamed("part", "src")
-        .join(deg.hint("shuffle_hash"), Seq("src"))
-        .select(col("src"), (col("pr") / col("outdeg")).as("w"))
+      val prw = pr.filter(col("outdeg").isNotNull)
+        .select(col("part").as("src"), (col("pr") / col("outdeg")).as("w"))
       val contrib = ed
         .join(prw.hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst"))
@@ -713,29 +725,29 @@ object ProductAnalytics {
       // one cheap agg over the materialized node-sized relation
       // instead of a second join job over two checkpoints per round
       // stats reset is REQUIRED, not cosmetic: this plan references
-      // the previous checkpoint twice (contrib path + pr_old join), so
-      // the size-only join estimate SQUARES round-over-round and the
-      // eager stats rewrite inside checkpoint() goes super-exponential
-      // in driver CPU by round ~20 (BigInteger.multiplyToomCook3 on
-      // million-digit estimates — measured 161 s/round on a 4-node
-      // graph). Bound it to the honest 3-col row width × node count.
+      // the previous checkpoint twice (contrib path + the left-join
+      // base), so the size-only join estimate SQUARES round-over-round
+      // and the eager stats rewrite inside checkpoint() goes
+      // super-exponential in driver CPU by round ~20
+      // (BigInteger.multiplyToomCook3 on million-digit estimates —
+      // measured 161 s/round on a 4-node graph). Bound it to the
+      // honest 4-col UnsafeRow width × node count.
       val next = org.apache.spark.sql.graftshim.CheckpointStats
-        .withBoundedStats(truncate(nd
+        .withBoundedStats(truncate(pr
+          .withColumnRenamed("pr", "pr_old")
           .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
             Seq("part"), "left")
-          .join(pr.withColumnRenamed("pr", "pr_old").hint("shuffle_hash"),
-            Seq("part"))
           .select(col("part"),
             (lit(if (n == 0) 0.0 else 0.15 / n) +
               lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"),
-            col("pr_old"))), BigInt(n).max(1) * 32)
+            col("pr_old"), col("outdeg"))), BigInt(n).max(1) * 40)
       val ckptSec = (System.nanoTime() - roundT0) / 1e9
       // one exact decimal scalar per round: Σ|pr_new − pr_old|
       val delta = next
         .agg(sum(abs(col("pr").cast("decimal(38,18)") -
           col("pr_old").cast("decimal(38,18)"))).as("d"))
         .head().getDecimal(0)
-      pr = next.select(col("part"), col("pr")) // checkpointed; no job
+      pr = next.select(col("part"), col("pr"), col("outdeg")) // checkpointed; no job
       rounds += 1
       converged = delta == null || delta.compareTo(tol) < 0
       if (sys.env.contains("SPARK_GRAFT_PR_DEBUG"))
