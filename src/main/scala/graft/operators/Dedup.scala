@@ -881,12 +881,27 @@ object Dedup {
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("cosine"), 4).as("cosine"))
 
+    // under-cap blocks: direct quadratic compare, salted by block
+    // size exactly like Similarity.knnJoinDirect (see its SaltRows
+    // doc — an unsalted hot block serializes one task: the r14 Zipf
+    // smoke measured 237 s on the knn twin of this join) with the
+    // exchange pinned so AQE's input-byte coalescing can't merge the
+    // salt bins whose join output is quadratic. Pair set identical:
+    // each (a, b) meets exactly in a's salt.
     val small = t.filter(col("bn") <= blockCap)
+      .withColumn("sn",
+        ceil(col("bn").cast("double") / Similarity.SaltRows).cast("int"))
+    val numP = Parallelism.pinCount(emb)
     val smallPairs = scored(
-      small.select(col("label"), col("vec_id").as("vec_a"),
-          col("embedding").as("emb_a"))
-        .join(small.select(col("label"), col("vec_id").as("vec_b"),
-          col("embedding").as("emb_b")), Seq("label"))
+      small.select(col("label"),
+          pmod(col("vec_id"), col("sn")).cast("int").as("salt"),
+          col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        .repartition(numP, col("label"), col("salt"))
+        .join(small.select(col("label"),
+            explode(sequence(lit(0), col("sn") - 1)).as("salt"),
+            col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+          .repartition(numP, col("label"), col("salt"))
+          .hint("shuffle_hash"), Seq("label", "salt"))
         .filter(col("vec_a") < col("vec_b")))
 
     // big blocks: one row per (vector, band) with that band's 6-plane
