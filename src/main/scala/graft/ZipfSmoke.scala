@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *    distinct vectors — under the 10k knn block cap; past m=2 the
   *    hot block belongs to the IVF path by the cap's own contract).
   *
-  * Usage: runMain graft.ZipfSmoke [m] [op,op,...]
+  * Usage: runMain graft.ZipfSmoke [m] [op,op,...] [hotDocs]
+  * (hotDocs scales the boilerplate cluster alone — the "how big can
+  * the hot near-dup cluster get before the pair family bends" probe;
+  * its TRUE pair output grows quadratically in hotDocs by design, so
+  * judge those runs on pairs/sec, not wall.)
   */
 object ZipfSmoke {
 
@@ -42,6 +46,7 @@ object ZipfSmoke {
     private val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
     private val stageMaxMs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     @volatile var maxTaskDetail: String = ""
+    private val stageRows = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val d = e.taskInfo.duration
       val prev = maxTaskMs.getAndUpdate(m => math.max(m, d))
@@ -52,29 +57,52 @@ object ZipfSmoke {
           f"deser=${e.taskMetrics.executorDeserializeTime / 1000.0}%.1f " +
           f"shufw=${e.taskMetrics.shuffleWriteMetrics.writeTime / 1e9}%.1f " +
           f"spill=${e.taskMetrics.memoryBytesSpilled >> 20}MB"
+      if (e.taskMetrics != null)
+        stageRows.merge(e.stageId,
+          (e.taskMetrics.shuffleReadMetrics.recordsRead,
+            e.taskMetrics.shuffleWriteMetrics.recordsWritten,
+            e.taskMetrics.executorCpuTime / 1000000L),
+          (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
       stageMaxMs.merge(e.stageId, java.lang.Long.valueOf(d),
         (a, b) => java.lang.Long.valueOf(math.max(a, b)))
     }
-    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+    def rowsOf(id: Int): String = {
+      val (r, w, cpu) = stageRows.getOrDefault(id, (0L, 0L, 0L))
+      f"read=$r%,d written=$w%,d cpu_total=${cpu / 1000.0}%.1f s"
+    }
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      // the stage NAME for AQE-materialized stages is an opaque
+      // CompletableFuture callsite; the RDD scopes carry the SQL
+      // operator names that actually ran in the stage
+      val ops = e.stageInfo.rddInfos.flatMap(_.scope).map(_.name).distinct
+        .filterNot(Set("mapPartitionsInternal", "DeserializeToObject"))
       stageTasks.put(e.stageInfo.stageId,
-        (e.stageInfo.numTasks, e.stageInfo.name.takeWhile(_ != '\n')))
+        (e.stageInfo.numTasks, ops.mkString(">").take(120)))
+    }
     def reset(): Unit = { maxTaskMs.set(0); stageTasks.clear(); stageMaxMs.clear() }
     def maxTaskSec: Double = maxTaskMs.get() / 1000.0
     def dominantStages(opWallSec: Double): String = {
       import scala.jdk.CollectionConverters._
       if (opWallSec < 2.0) return ""
-      val dom = stageMaxMs.asScala.toSeq.collect {
+      val all = stageMaxMs.asScala.toSeq.sortBy(-_._2)
+      val dom = all.collect {
         case (id, mx) if mx > 0.5 * opWallSec * 1000 =>
           val (n, name) = stageTasks.getOrDefault(id, (-1, "?"))
           f"stage=$id($name) tasks=$n max_task=${mx / 1000.0}%.1f s"
       }
-      if (dom.isEmpty) "" else dom.mkString("  HOT[", "; ", "]")
+      val top = if (sys.env.contains("ZIPF_STAGES"))
+        all.take(4).map { case (id, mx) =>
+          val (n, name) = stageTasks.getOrDefault(id, (-1, "?"))
+          f"\n    stage=$id tasks=$n max_task=${mx / 1000.0}%5.1f s  ${rowsOf(id)}  $name"
+        }.mkString else ""
+      (if (dom.isEmpty) "" else dom.mkString("  HOT[", "; ", "]")) + top
     }
   }
 
   def main(args: Array[String]): Unit = {
     val m = args.headOption.map(_.toInt).getOrElse(1)
     val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
+    val hotDocs = args.lift(2).map(_.toLong).getOrElse(500L)
     val spark = GraftSession.local()
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
@@ -101,7 +129,7 @@ object ZipfSmoke {
         .cast("long").cast("string"))
     val docs = spark.range(1, nDocs + 1).select(col("id").as("doc_id"))
       .withColumn("grp",
-        when(col("doc_id") <= 500L, lit(0L))
+        when(col("doc_id") <= hotDocs, lit(0L))
           .otherwise(floor(col("doc_id") / lit(20L))))
       // 60 shared boilerplate tokens (contiguous, so word-shingles
       // overlap) + 20 doc-unique Zipf tokens
@@ -168,7 +196,13 @@ object ZipfSmoke {
       ProductAnalytics.triangleParticipation(und).count()
     }
     time("jaccard_prefix_join")(Dedup.jaccardPrefixJoin(docs).count())
-    time("dedup_minhash_lsh")(Dedup.minhashPairs(docs).count())
+    time("dedup_minhash_lsh") {
+      val df = Dedup.minhashPairs(docs)
+      val n = df.count()
+      if (sys.env.contains("ZIPF_PLAN"))
+        println(df.queryExecution.executedPlan.toString)
+      n
+    }
     time("knn_join_blocked")(Similarity.knnJoinBlocked(emb).count())
     spark.stop()
   }

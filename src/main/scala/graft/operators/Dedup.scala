@@ -692,8 +692,15 @@ object Dedup {
     // tighter certificate than the per-match-row bound (its α = 1
     // case), pruning pairs BEFORE the two verify joins shuffle the
     // full token arrays.
-    val cands = pfProbe.as("x")
-      .join(pfIndex.as("y").hint("shuffle_hash"),
+    // the token-keyed candidate exchange is PINNED: its input is a
+    // small (doc, token) relation while its output is quadratic in
+    // hot-token bucket sizes, so AQE's byte-based coalescing collapses
+    // the heavy pair-emission + partial pair-dedup stage to a handful
+    // of tasks (the r14 Zipf probe at a 4000-doc boilerplate cluster
+    // measured it at FOUR tasks, max task = half the op wall)
+    val candP = graft.operators.Parallelism.pinCount(docs)
+    val cands = pfProbe.repartition(candP, col("w")).as("x")
+      .join(pfIndex.repartition(candP, col("w")).as("y").hint("shuffle_hash"),
         col("x.w") === col("y.w") &&
           (col("x.n") < col("y.n") ||
             (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))) &&
@@ -1120,13 +1127,38 @@ object Dedup {
           posexplode(array((0 until NumPerms / BandRows).map(b => bandSig(b)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the bucket self-join shuffles on (band, sig) — bands is
-      // corpus×8 rows, so a broadcast of either side can't scale
-      bands.as("x")
-        .join(bands.as("y").hint("shuffle_hash"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // Bucket sizes make the self-join SKEW-PROOF and smaller at
+      // once (r14 Zipf probe: a 4000-member boilerplate bucket
+      // emitted its 8M candidate pairs from ONE task — the bucket
+      // key is the unit of parallelism):
+      //  - bn = 1 buckets (the vast majority) can never pair — the
+      //    INNER size join drops them before the pair join entirely;
+      //  - multi-member buckets salt like Similarity.knnJoinDirect:
+      //    probe rows hash into ceil(bn/SaltRows) sub-buckets, index
+      //    rows replicate into each — pair set identical, emission
+      //    spread over sn tasks.
+      // The sizes agg + join cost one extra pass over the persisted
+      // docs×bands relation; the exchanges are PINNED because their
+      // output is quadratic while their input is KBs (AQE byte-based
+      // coalescing would merge the salt bins straight back).
+      val sizes = bands.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") >= 2)
+      val multi = bands.join(sizes.hint("shuffle_hash"), Seq("band", "sig"))
+        .withColumn("sn",
+          ceil(col("bn").cast("double") / Similarity.SaltRows).cast("int"))
+      val numP = Parallelism.pinCount(sets)
+      multi.select(col("band"), col("sig"),
+          pmod(col("doc_id"), col("sn")).cast("int").as("salt"),
+          col("doc_id").as("doc_a"))
+        .repartition(numP, col("band"), col("sig"), col("salt"))
+        .join(multi.select(col("band"), col("sig"),
+            explode(sequence(lit(0), col("sn") - 1)).as("salt"),
+            col("doc_id").as("doc_b"))
+          .repartition(numP, col("band"), col("sig"), col("salt"))
+          .hint("shuffle_hash"),
+          Seq("band", "sig", "salt"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
         .distinct()
   }
 
@@ -1247,26 +1279,58 @@ object Dedup {
     * per-doc shingle relation `sets` (doc_id, toks) — shared by both
     * [[minhashPairs]] branches.
     *
-    * |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead
-    * of materializing the union array too.
+    * |A∪B| = |A|+|B|-|A∩B|: one intersect per pair instead of
+    * materializing the union array too. Intersection size needs
+    * token EQUALITY only, so — exactly like [[jaccardPrefixDirect]] —
+    * the verify runs on xxhash64 ids through the codegen two-pointer
+    * [[graft.functions.SortedIntersectCount]] (hash + sort ONCE per
+    * doc side, O(|A|+|B|) and allocation-free per pair). This
+    * matters doubly here because Catalyst collapses the jac ≥ t
+    * filter into the verify join's condition, re-evaluating the
+    * intersect per pair: the r14 Zipf probe measured the old
+    * array_intersect verify at ~50 µs/pair carrying ~90 % of the
+    * op's total CPU on a 4000-doc boilerplate cluster. Exactness
+    * guard: a memoized O(corpus) probe proves xxhash64 is injective
+    * on THIS corpus' shingles; a collision falls back to the string
+    * arrays (same contract as the prefix join's gate).
+    *
     * Verify joins are SHUFFLE-hash on doc_id, never broadcast:
     * `sets` is the whole corpus's shingle arrays, and a broadcast
     * would collect the corpus to the driver — a scale-killer at
     * 100 TB. Candidates ≪ corpus, so the shuffle is cheap.
     */
-  private def minhashVerify(cands: DataFrame, sets: DataFrame): DataFrame =
+  private def minhashVerify(cands: DataFrame, sets: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectCount.register(sets.sparkSession)
+    val useHash = memoVerdict(injectivityVerdicts,
+        sets.queryExecution.analyzed.canonicalized) {
+      sets.select(explode(col("toks")).as("w"))
+        .agg((count_distinct(col("w")) ===
+          count_distinct(xxhash64(col("w")))).as("ok"))
+        .head().getBoolean(0)
+    }
+    val side = if (useHash)
+      sets.select(col("doc_id"),
+        array_sort(transform(col("toks"), x => xxhash64(x))).as("vtoks"),
+        size(col("toks")).as("n"))
+    else sets.select(col("doc_id"), col("toks").as("vtoks"),
+      size(col("toks")).as("n"))
+    val interOf: (Column, Column) => Column =
+      if (useHash)
+        (a, b) => graft.functions.SortedIntersectCount.sorted_intersect_count(a, b)
+      else (a, b) => size(array_intersect(a, b))
     cands
-      .join(sets.select(col("doc_id").as("doc_a"),
-        col("toks").as("toks_a"), size(col("toks")).as("na"))
+      .join(side.select(col("doc_id").as("doc_a"),
+        col("vtoks").as("toks_a"), col("n").as("na"))
         .hint("shuffle_hash"), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"),
-        col("toks").as("toks_b"), size(col("toks")).as("nb"))
+      .join(side.select(col("doc_id").as("doc_b"),
+        col("vtoks").as("toks_b"), col("n").as("nb"))
         .hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter", interOf(col("toks_a"), col("toks_b")))
       .withColumn("jac", col("inter").cast("double") /
         greatest(col("na") + col("nb") - col("inter"), lit(1)).cast("double"))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+  }
 
   /** Relative edit-distance threshold for [[editPairs]]: a pair is a
     * near-duplicate when levenshtein ≤ 25% of the longer text. 0.25
