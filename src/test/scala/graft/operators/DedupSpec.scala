@@ -239,4 +239,31 @@ class DedupSpec extends SparkSpec {
       .groupBy($"h").agg(countDistinct($"simhash").as("nfp"))
     assert(joined.filter($"nfp" > 1).count() == 0)
   }
+
+  test("band candidates: hot-bucket salting and singleton drop preserve the pair set") {
+    // Regression guard for the r14 skew-proofing of the LSH bucket
+    // self-join: a bucket with bn > SaltRows (256) must salt into
+    // ceil(bn/256) sub-buckets WITHOUT losing or duplicating pairs,
+    // and bn = 1 buckets must be dropped before the pair join.
+    // 300 exact copies share every band signature → one 300-member
+    // bucket per band (sn = 2); 3 copies of another text exercise the
+    // multi-member-but-unsalted path (sn = 1); 5 unique texts land in
+    // singleton buckets and must never pair. Expected candidate set is
+    // exactly the within-family pairs: C(300,2) + C(3,2).
+    val hot = (0 until 300).map(i =>
+      (1000L + i, "shared boilerplate header repeated across the mirrored corpus"))
+    val small = (0 until 3).map(i =>
+      (2000L + i, "a second distinct family of identical documents"))
+    val unique = (0 until 5).map(i => // fully disjoint shingle sets
+      (3000L + i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val docs = (hot ++ small ++ unique).toDF("doc_id", "text")
+    val got = Dedup.minhashBandCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected =
+      (for { a <- 1000L until 1300L; b <- (a + 1) until 1300L } yield (a, b)).toSet ++
+        (for { a <- 2000L until 2003L; b <- (a + 1) until 2003L } yield (a, b)).toSet
+    assert(got.size == 44850 + 3, s"candidate count ${got.size}")
+    assert(got == expected,
+      s"pair set mismatch: missing ${(expected -- got).take(5)}, extra ${(got -- expected).take(5)}")
+  }
 }
