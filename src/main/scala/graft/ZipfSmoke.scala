@@ -204,6 +204,15 @@ object ZipfSmoke {
       n
     }
     time("knn_join_blocked")(Similarity.knnJoinBlocked(emb).count())
+    // the asymmetric containment twin: BOTH roles fan out on the
+    // boilerplate cluster (every member probes every other), and the
+    // texts are DISTINCT (unique suffixes) so rep composition cannot
+    // collapse the family — the prefix machinery itself must absorb it
+    time("dedup_containment")(Dedup.containmentPrefixJoin(docs).count())
+    // drives embeddingPairsBlocked's SALTED under-cap direct compare
+    // on the hot label block (5.6k·m distinct vectors, one label —
+    // the unsalted twin of the 237 s knn task)
+    time("dedup_embedding_pairs")(Dedup.embeddingPairsBlocked(emb).count())
     spark.stop()
   }
 }
