@@ -1143,20 +1143,43 @@ object Dedup {
       // coalescing would merge the salt bins straight back).
       val sizes = bands.groupBy(col("band"), col("sig"))
         .agg(count(lit(1)).as("bn")).filter(col("bn") >= 2)
-      val multi = bands.join(sizes.hint("shuffle_hash"), Seq("band", "sig"))
-        .withColumn("sn",
-          ceil(col("bn").cast("double") / Similarity.SaltRows).cast("int"))
+      // ADAPTIVE: one bounded scalar over the persisted bands decides
+      // the join shape. When no bucket exceeds SaltRows every salt
+      // count would be 1 and the salted machinery (sizes join + two
+      // pinned exchanges) is pure overhead — the plain self-join is
+      // output-identical (singleton buckets only produce (a,a) rows
+      // the a<b filter kills) and three stages shorter; the bench
+      // corpus takes this path (the always-salted shape cost it
+      // +0.7 s cold for skew protection it didn't need). Any corpus
+      // with real boilerplate has a bucket past SaltRows and takes
+      // the salted + singleton-dropped path. The gate job is one agg
+      // over the already-persisted docs×8 relation — AQE's
+      // measure-then-pick-the-plan philosophy, as a driver scalar.
+      val maxBn = Option(sizes.agg(max(col("bn"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       val numP = Parallelism.pinCount(sets)
-      multi.select(col("band"), col("sig"),
-          pmod(col("doc_id"), col("sn")).cast("int").as("salt"),
-          col("doc_id").as("doc_a"))
-        .repartition(numP, col("band"), col("sig"), col("salt"))
-        .join(multi.select(col("band"), col("sig"),
-            explode(sequence(lit(0), col("sn") - 1)).as("salt"),
-            col("doc_id").as("doc_b"))
-          .repartition(numP, col("band"), col("sig"), col("salt"))
-          .hint("shuffle_hash"),
-          Seq("band", "sig", "salt"))
+      val pairs =
+        if (maxBn <= Similarity.SaltRows)
+          bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+            .join(bands.select(col("band"), col("sig"),
+                col("doc_id").as("doc_b")).hint("shuffle_hash"),
+              Seq("band", "sig"))
+        else {
+          val multi = bands.join(sizes.hint("shuffle_hash"), Seq("band", "sig"))
+            .withColumn("sn",
+              ceil(col("bn").cast("double") / Similarity.SaltRows).cast("int"))
+          multi.select(col("band"), col("sig"),
+              pmod(col("doc_id"), col("sn")).cast("int").as("salt"),
+              col("doc_id").as("doc_a"))
+            .repartition(numP, col("band"), col("sig"), col("salt"))
+            .join(multi.select(col("band"), col("sig"),
+                explode(sequence(lit(0), col("sn") - 1)).as("salt"),
+                col("doc_id").as("doc_b"))
+              .repartition(numP, col("band"), col("sig"), col("salt"))
+              .hint("shuffle_hash"),
+              Seq("band", "sig", "salt"))
+        }
+      pairs
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
