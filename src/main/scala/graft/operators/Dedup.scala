@@ -1157,6 +1157,9 @@ object Dedup {
       // measure-then-pick-the-plan philosophy, as a driver scalar.
       val maxBn = Option(sizes.agg(max(col("bn"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (sys.env.contains("SPARK_GRAFT_LSH_DEBUG"))
+        System.err.println(s"bandCandidates: maxBn=$maxBn -> " +
+          (if (maxBn <= Similarity.SaltRows) "plain" else "salted"))
       val numP = Parallelism.pinCount(sets)
       val pairs =
         if (maxBn <= Similarity.SaltRows)

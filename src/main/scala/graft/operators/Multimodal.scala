@@ -55,6 +55,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-cached streams (see encoder)
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.content))
@@ -155,6 +156,13 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // ImageIO defaults to DISK-backed stream caching: every
+      // write/read spills through a temp file in java.io.tmpdir —
+      // measured 2.5× slower single-threaded and the source of
+      // 10× rep swings under 32 concurrent tasks + neighbor IO
+      // (each image paid a file create/delete). Static + idempotent,
+      // so setting it per partition is free.
+      javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
         val (w, h) = synthDims(id)
         val img = new java.awt.image.BufferedImage(
@@ -186,6 +194,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-cached streams (see encoder)
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.content))
