@@ -290,6 +290,14 @@ object Bench {
       graft.functions.TopKByScore.register(spark)
       graft.operators.ProductAnalytics
         .pageRankRatios(nodes, e, rounds = 3).count()
+      // the CONVERGED loop's round plan is a different shape since the
+      // r14 restructure (one left join over the carried-outdeg
+      // checkpoint + edge contrib agg) — without its own warm its
+      // generated classes hit C2 inside the timed window: measured
+      // round-1 checkpoint 5.9 s cold vs 1.1 s warm at sf0.1, doubling
+      // the query's cold in every r14 attempt until this line.
+      graft.operators.ProductAnalytics
+        .pageRankConverged(nodes, e, maxRounds = 3)._1.count()
       graft.operators.ProductAnalytics
         .bfsHopHistogram(e, maxHops = 3).count()
       graft.operators.ProductAnalytics
@@ -298,6 +306,28 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+    }
+    // JIT QUIESCE: the AOT warm queues hundreds of C2 compiles; if the
+    // timed window opens while the queue drains, compiler threads
+    // compete with the 32 executor threads and tax whichever queries
+    // run first (r14 attempt 8: part_triangles cold 10.8 s vs 3.2 s
+    // warm on a zero-steal box). Poll the compiler MXBean until its
+    // accumulated compile time goes quiet (< 50 ms growth over 500 ms,
+    // twice in a row) or 30 s — the warm's compiles then finish on
+    // setup's dime, which is the AOT warm's whole billing argument.
+    locally {
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (jit != null && jit.isCompilationTimeMonitoringSupported) {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var quiet = 0
+        var last = jit.getTotalCompilationTime
+        while (quiet < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(500)
+          val cur = jit.getTotalCompilationTime
+          if (cur - last < 50) quiet += 1 else quiet = 0
+          last = cur
+        }
+      }
     }
     // a crashing query must surface as an err entry, not be billed a
     // fast "time" inside a clean-looking total
