@@ -304,6 +304,14 @@ object Dedup {
   private val injectivityVerdicts = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
 
+  /** Memoized "a band bucket exceeds SaltRows" verdicts for
+    * [[bandCandidatesFromSets]]'s adaptive join shape, keyed like
+    * [[injectivityVerdicts]]. Both branches are output-identical, so
+    * a stale verdict can never change results — only plan choice.
+    */
+  private val saltVerdicts = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
+
   /** Verdict-map size cap: each key RETAINS a whole logical plan, so
     * a long-lived service probing ever-fresh plans (e.g. per-batch
     * temp views) would grow without bound. Past the cap the map is
@@ -1155,14 +1163,21 @@ object Dedup {
       // the salted + singleton-dropped path. The gate job is one agg
       // over the already-persisted docs×8 relation — AQE's
       // measure-then-pick-the-plan philosophy, as a driver scalar.
-      val maxBn = Option(sizes.agg(max(col("bn"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (sys.env.contains("SPARK_GRAFT_LSH_DEBUG"))
-        System.err.println(s"bandCandidates: maxBn=$maxBn -> " +
-          (if (maxBn <= Similarity.SaltRows) "plain" else "salted"))
+      // memoized like the injectivity/dup-rate gates (one probe job
+      // per distinct input relation per JVM, evicted past the cap) —
+      // warm repetitions of the same query skip the scalar job
+      val needSalt = memoVerdict(saltVerdicts,
+          sets.queryExecution.analyzed.canonicalized) {
+        val maxBn = Option(sizes.agg(max(col("bn"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (sys.env.contains("SPARK_GRAFT_LSH_DEBUG"))
+          System.err.println(s"bandCandidates: maxBn=$maxBn -> " +
+            (if (maxBn <= Similarity.SaltRows) "plain" else "salted"))
+        maxBn > Similarity.SaltRows
+      }
       val numP = Parallelism.pinCount(sets)
       val pairs =
-        if (maxBn <= Similarity.SaltRows)
+        if (!needSalt)
           bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
             .join(bands.select(col("band"), col("sig"),
                 col("doc_id").as("doc_b")).hint("shuffle_hash"),
