@@ -640,7 +640,7 @@ object Bench {
     // warm3 ran 110 s on the quiet tail) — route it aside on its own.
     val hostContended = (stealCores > 0.2 && stealShareRun > 0.05) ||
       iowaitCores > 2.0 || degradedPasses.size >= 2 ||
-      degradedPasses.exists(_.label == "cold")
+      degradedPasses.exists(p => p.label == "cold" || p.label == "cold_stream")
     if (hostContended)
       flags += f"""{"q":"_suite","kind":"host_contention","steal_cores":$stealCores%.2f,"steal_share":$stealShareRun%.3f,"iowait_cores":$iowaitCores%.2f,"degraded_passes":[${degradedPasses.map(p => "\"" + p.label + "\"").mkString(",")}],"pass_steal_cores":[${passHosts.map(p => f"${p.stealCores}%.2f").mkString(",")}],"pass_load1":[${passHosts.map(p => f"${p.load1End}%.1f").mkString(",")}],"pass_host_busy_cores":[${passHosts.map(p => f"${p.hostBusyCores}%.1f").mkString(",")}]}"""
     val contended = warmUnstableCount > 10 || foreignCores > 0.5 || hostContended

@@ -307,7 +307,10 @@ object Dedup {
   /** Memoized "a band bucket exceeds SaltRows" verdicts for
     * [[bandCandidatesFromSets]]'s adaptive join shape, keyed like
     * [[injectivityVerdicts]]. Both branches are output-identical, so
-    * a stale verdict can never change results — only plan choice.
+    * a stale verdict can never change results — only plan choice;
+    * and only TRUE (salted) verdicts are ever stored, because the
+    * salted plan is safe on any data while a stale plain verdict
+    * would disable the skew guard (see the probe site).
     */
   private val saltVerdicts = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
@@ -1163,24 +1166,42 @@ object Dedup {
       // the salted + singleton-dropped path. The gate job is one agg
       // over the already-persisted docs×8 relation — AQE's
       // measure-then-pick-the-plan philosophy, as a driver scalar.
-      // memoized like the injectivity/dup-rate gates (one probe job
-      // per distinct input relation per JVM, evicted past the cap) —
-      // warm repetitions of the same query skip the scalar job
-      val needSalt = memoVerdict(saltVerdicts,
-          sets.queryExecution.analyzed.canonicalized) {
+      // ASYMMETRICALLY memoized: only the SALTED verdict is cached
+      // (one probe per distinct input relation per JVM, like the
+      // injectivity/dup-rate gates). A cached "plain" verdict would
+      // be the dangerous direction — if the data behind the same
+      // plan later grows a hot bucket (files appended to the scanned
+      // path in a long-lived session), a stale plain verdict would
+      // silently disable the skew guard and resurrect the one-task
+      // 237 s-class pathology. Plain corpora therefore re-pay the
+      // probe each call — one agg over the already-persisted docs×8
+      // relation — while the salted verdict (always-safe: sn = 1
+      // buckets keep their shape inside the salted plan) sticks.
+      val key = sets.queryExecution.analyzed.canonicalized
+      val needSalt = Option(saltVerdicts.get(key)).exists(_.booleanValue()) || {
         val maxBn = Option(sizes.agg(max(col("bn"))).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         if (sys.env.contains("SPARK_GRAFT_LSH_DEBUG"))
           System.err.println(s"bandCandidates: maxBn=$maxBn -> " +
             (if (maxBn <= Similarity.SaltRows) "plain" else "salted"))
-        maxBn > Similarity.SaltRows
+        if (maxBn > Similarity.SaltRows) { memoVerdict(saltVerdicts, key)(true); true }
+        else false
       }
       val numP = Parallelism.pinCount(sets)
       val pairs =
         if (!needSalt)
+          // the exchanges stay PINNED here too: buckets can sit just
+          // under SaltRows (up to 256× row amplification through the
+          // join), and AQE's input-byte coalescing would merge the
+          // KB-sized shuffle inputs of this quadratic-output stage
+          // into a few giant-output tasks (measured on the jaccard
+          // candidate stage: collapsed to 4 tasks before pinning)
           bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+            .repartition(numP, col("band"), col("sig"))
             .join(bands.select(col("band"), col("sig"),
-                col("doc_id").as("doc_b")).hint("shuffle_hash"),
+                col("doc_id").as("doc_b"))
+              .repartition(numP, col("band"), col("sig"))
+              .hint("shuffle_hash"),
               Seq("band", "sig"))
         else {
           val multi = bands.join(sizes.hint("shuffle_hash"), Seq("band", "sig"))
