@@ -111,9 +111,16 @@ object Bench {
       d.take(4).map("%02x".format(_)).mkString
     } catch { case _: Throwable => "n/a" }
 
+  /** `stealCores`/`iowaitCores` are HOST rates sampled over this
+    * query run's own wall window (r14 verdict #6): the two r14
+    * warm_unstable flags were caused by ONE 0.31-steal warm pass, but
+    * pass-level attribution couldn't say which REP ate it — a flag
+    * now carries its own exoneration or indictment.
+    */
   private case class QueryRun(sec: Double, gcMs: Long, heapUsedMb: Long,
                               rssMbAfter: Long, load1Before: Double,
-                              plan: String)
+                              plan: String, stealCores: Double = -1.0,
+                              iowaitCores: Double = -1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -315,7 +322,12 @@ object Bench {
     // accumulated compile time goes quiet (< 50 ms growth over 500 ms,
     // twice in a row) or 30 s — the warm's compiles then finish on
     // setup's dime, which is the AOT warm's whole billing argument.
-    locally {
+    // …and RECORD how long the quiesce took (r14 advice): the cold
+    // definition here is "first timed run in a fully compiled JVM",
+    // and the artifact itself must carry what that setup choice cost
+    // (like gate_wait_sec) so it stays auditable.
+    val jitQuiesceSec = locally {
+      val q0 = System.nanoTime()
       val jit = java.lang.management.ManagementFactory.getCompilationMXBean
       if (jit != null && jit.isCompilationTimeMonitoringSupported) {
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
@@ -328,6 +340,7 @@ object Bench {
           last = cur
         }
       }
+      (System.nanoTime() - q0) / 1e9
     }
     // a crashing query must surface as an err entry, not be billed a
     // fast "time" inside a clean-looking total
@@ -349,6 +362,7 @@ object Bench {
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QueryRun = {
       val loadBefore = load1()
       val gc0 = gcMillis()
+      val h0 = procSample()
       var df: org.apache.spark.sql.DataFrame = null
       val t0 = System.nanoTime()
       try { df = fn(spark, sfDir); df.count() } catch {
@@ -365,10 +379,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       val sec = (System.nanoTime() - t0) / 1e9
+      val h1 = procSample()
+      val (qSteal, qIowait) =
+        if (h0.busy < 0 || h1.busy < 0 || sec <= 0) (-1.0, -1.0)
+        else (math.max(0L, h1.steal - h0.steal) / (100.0 * sec),
+          math.max(0L, h1.iowait - h0.iowait) / (100.0 * sec))
       val gcDelta = gcMillis() - gc0
       val (heapUsed, _) = heapMb()
       QueryRun(sec, gcDelta, heapUsed, rssMb(), loadBefore,
-        if (df == null) "err" else planHash(df))
+        if (df == null) "err" else planHash(df), qSteal, qIowait)
     }
 
     // deterministic (sorted) order so per-query times are comparable
@@ -548,10 +567,14 @@ object Bench {
       // on a ≥ 1 s query — the signature of environment drift (the r9
       // warm inflation) as opposed to a code regression, which moves
       // every rep together
-      val reps = warmRepsByQuery(name).map(_.sec)
+      val warmRuns = warmRepsByQuery(name)
+      val reps = warmRuns.map(_.sec)
       if (reps.nonEmpty && reps.max >= 1.0 &&
           reps.max > 2.0 * math.max(reps.min, 0.05))
-        flags += f"""{"q":"$name","kind":"warm_unstable","cold":${fmt(c)},"ref":${fmt(reps.min)},"ratio":${fmt(reps.max / math.max(reps.min, 0.05))},"reps":[${reps.map(fmt).mkString(",")}]}"""
+        // per-REP host steal/iowait (r14 verdict #6): the flag carries
+        // the evidence to attribute its own outlier rep — foreign
+        // steal during that rep's window exonerates the code
+        flags += f"""{"q":"$name","kind":"warm_unstable","cold":${fmt(c)},"ref":${fmt(reps.min)},"ratio":${fmt(reps.max / math.max(reps.min, 0.05))},"reps":[${reps.map(fmt).mkString(",")}],"rep_steal_cores":[${warmRuns.map(r => fmt(r.stealCores)).mkString(",")}],"rep_iowait_cores":[${warmRuns.map(r => fmt(r.iowaitCores)).mkString(",")}]}"""
     }
     // ---- RSS leak detector (r9 verdict #5) --------------------------
     // End-of-run RSS must stay within 1.5× the post-warmup floor — a
@@ -585,7 +608,7 @@ object Bench {
     // changes across passes (only queries whose hash moved — an AQE
     // replan under identical code is exactly what this catches)
     val telemetryJson = cold.map { case (n, q) =>
-      f""""$n":{"gc_ms":${q.gcMs},"heap_mb":${q.heapUsedMb},"rss_mb":${q.rssMbAfter},"load1":${q.load1Before}%.2f,"plan":"${q.plan}"}"""
+      f""""$n":{"gc_ms":${q.gcMs},"heap_mb":${q.heapUsedMb},"rss_mb":${q.rssMbAfter},"load1":${q.load1Before}%.2f,"steal_cores":${fmt(q.stealCores)},"iowait_cores":${fmt(q.iowaitCores)},"plan":"${q.plan}"}"""
     }.mkString("{", ",", "}")
     val warmRepsJson = cold.map { case (n, _) =>
       s""""$n":[${warmRepsByQuery(n).map(r => fmt(r.sec)).mkString(",")}]"""
@@ -662,7 +685,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","contended":$contended,
          |"warm_total":${fmt(warmTotal)},"warm_reps":$warmReps,
          |"wall_sec":${fmt(wallSec)},"self_cpu_sec":${fmt(selfCpuSec)},"foreign_cpu_sec":${fmt(foreignCpuSec)},"steal_cpu_sec":${fmt(stealCpuSec)},"iowait_cpu_sec":${fmt(iowaitCpuSec)},
-         |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},"pass_gate_wait_sec":${fmt(passGateWaitTotal)},
+         |"idle_gate_pre_cores":${fmt(preGateCores)},"idle_gate_wait_sec":${fmt(math.max(0.0, idleWaitSec))},"idle_gate_last_cores":${fmt(lastSample)},"pass_gate_wait_sec":${fmt(passGateWaitTotal)},"jit_quiesce_sec":${fmt(jitQuiesceSec)},
          |"rss_pre_suite_mb":$rssPreSuiteMb,"rss_post_cold_mb":$rssPostColdMb,"rss_baseline_mb":$rssBaselineMb,"rss_end_mb":$rssEndMb,"rss_hwm_mb":${rssMb("VmHWM")},"rss_bound_ok":$rssBoundOk,
          |"errors":${jsmap(errors.toSeq)},
          |"flags":${flags.mkString("[", ",", "]")},

@@ -30,11 +30,22 @@ import org.apache.spark.sql.functions._
   *    distinct vectors — under the 10k knn block cap; past m=2 the
   *    hot block belongs to the IVF path by the cap's own contract).
   *
-  * Usage: runMain graft.ZipfSmoke [m] [op,op,...] [hotDocs]
+  * Usage: runMain graft.ZipfSmoke [m] [op,op,...] [hotDocs] [--grow]
   * (hotDocs scales the boilerplate cluster alone — the "how big can
   * the hot near-dup cluster get before the pair family bends" probe;
   * its TRUE pair output grows quadratically in hotDocs by design, so
   * judge those runs on pairs/sec, not wall.)
+  *
+  * GROWING-HUB mode (`--grow`, r14 verdict #4): fixed hot-spot sizes
+  * are right for judging LINEARITY, but a real power-law hub grows
+  * with the corpus — the largest degree / cluster in a Zipf draw of n
+  * items scales ~√n-ish, not O(1). With --grow the hub degree and the
+  * boilerplate cluster scale by √m (10⁴·√m-degree hub, 500·√m-doc
+  * cluster), so true pair output grows ~linearly in m for the hub
+  * families and the right judgment is ROWS/SEC + max_task, both
+  * printed per op: a healthy op holds throughput roughly flat and
+  * keeps max_task bounded by the salt width; a serialized stage shows
+  * up as max_task ≈ wall.
   */
 object ZipfSmoke {
 
@@ -100,16 +111,20 @@ object ZipfSmoke {
   }
 
   def main(args: Array[String]): Unit = {
-    val m = args.headOption.map(_.toInt).getOrElse(1)
-    val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
-    val hotDocs = args.lift(2).map(_.toLong).getOrElse(500L)
+    val grow = args.contains("--grow")
+    val pos = args.filterNot(_.startsWith("--"))
+    val m = pos.headOption.map(_.toInt).getOrElse(1)
+    val only: Option[Set[String]] = pos.lift(1).map(_.split(",").toSet)
+    val sqrtM = math.sqrt(m.toDouble)
+    val hotDocs = pos.lift(2).map(_.toLong)
+      .getOrElse(if (grow) (500L * sqrtM).toLong else 500L)
     val spark = GraftSession.local()
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
 
-    // ---- Zipf graph: one ~10⁴-degree hub, ring connectivity --------
+    // ---- Zipf graph: one mega-degree hub, ring connectivity --------
     val n = 50000L * m
-    val hubDeg = 10000L
+    val hubDeg = if (grow) (10000L * sqrtM).toLong else 10000L
     val zin = spark.range(1, n + 1).select(col("id").as("dst"))
       .select(col("dst"), explode(sequence(lit(0L),
         greatest(lit(0L), floor(lit(hubDeg) / col("dst")) - lit(1L)))).as("k"))
@@ -172,14 +187,18 @@ object ZipfSmoke {
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftshim.ListenerBusSync.waitUntilEmpty(spark.sparkContext)
-      println(f"$name%-24s $sec%7.1f s  rows=$rows%-9d max_task=${stats.maxTaskSec}%5.1f s" +
+      // rows/sec is the judgment axis for growing-hub runs (true pair
+      // output grows with the hub, so wall alone conflates output
+      // growth with plan defects)
+      println(f"$name%-24s $sec%7.1f s  rows=$rows%-9d rows_per_sec=${rows / math.max(sec, 0.001)}%9.0f  max_task=${stats.maxTaskSec}%5.1f s" +
         stats.dominantStages(sec) +
         (if (stats.maxTaskSec > 0.5 * sec && sec > 2.0)
           s"  [${stats.maxTaskDetail}]" else ""))
     }
 
-    println(s"zipf smoke m=$m: nodes=${nodes.count()} edges=${edges.count()} " +
-      s"docs=${docs.count()} vectors=${emb.count()} " +
+    println(s"zipf smoke m=$m grow=$grow: nodes=${nodes.count()} " +
+      s"edges=${edges.count()} docs=${docs.count()} (hot cluster $hotDocs, " +
+      s"hub degree ~$hubDeg) vectors=${emb.count()} " +
       s"hot_label=${emb.groupBy(col("label")).count().agg(max(col("count"))).head().getLong(0)}")
 
     import graft.operators.{Dedup, ProductAnalytics, Similarity}

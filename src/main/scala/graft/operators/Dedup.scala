@@ -304,17 +304,6 @@ object Dedup {
   private val injectivityVerdicts = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
 
-  /** Memoized "a band bucket exceeds SaltRows" verdicts for
-    * [[bandCandidatesFromSets]]'s adaptive join shape, keyed like
-    * [[injectivityVerdicts]]. Both branches are output-identical, so
-    * a stale verdict can never change results — only plan choice;
-    * and only TRUE (salted) verdicts are ever stored, because the
-    * salted plan is safe on any data while a stale plain verdict
-    * would disable the skew guard (see the probe site).
-    */
-  private val saltVerdicts = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
-
   /** Verdict-map size cap: each key RETAINS a whole logical plan, so
     * a long-lived service probing ever-fresh plans (e.g. per-batch
     * temp views) would grow without bound. Past the cap the map is
@@ -1114,13 +1103,9 @@ object Dedup {
   }
 
   /** The banding half of [[minhashBandCandidates]], taking an
-    * ALREADY-SHINGLED (doc_id, toks) relation — so a caller that also
-    * needs the shingle arrays for verification ([[minhashPairs]])
-    * shingles the corpus ONCE and feeds both stages from the same
-    * persisted relation (r12 verdict #2: the tokenize + zip_with
-    * shingle map was the query's duplicated corpus pass). The empty-
-    * shingle filter here is exactly the ≥ 2 words gate (a 1-word doc
-    * has an empty bigram set), so candidates are unchanged.
+    * ALREADY-SHINGLED (doc_id, toks) relation. The empty-shingle
+    * filter here is exactly the ≥ 2 words gate (a 1-word doc has an
+    * empty bigram set), so candidates are unchanged.
     */
   private def bandCandidatesFromSets(sets: DataFrame): DataFrame = {
       graft.functions.MinHash60.register(sets.sparkSession)
@@ -1130,97 +1115,105 @@ object Dedup {
       val minhashes = sets.filter(size(col("toks")) >= 1)
         .select(col("doc_id"),
           graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
-      // (doc_id, band, sig) is tiny (docs × 8 rows) but feeds both
-      // sides of the candidate self-join — persist so the hash-heavy
-      // minhash stage runs once, not once per join side.
+      bandCandidatesFromSigs(minhashes, Parallelism.pinCount(sets))
+  }
+
+  /** The bucket-join half of the LSH candidate stage, taking an
+    * ALREADY-SIGNED (doc_id, mh) relation — so a caller that computes
+    * the signature inside a shared exchange ([[minhashPairsFused]])
+    * feeds the banding without re-running the hash-heavy map.
+    */
+  private def bandCandidatesFromSigs(minhashes: DataFrame,
+                                     numP: Int): DataFrame = {
+      // (doc_id, band, sig) is tiny (docs × 8 rows). NOT persisted
+      // (r15): its single consumer is the pinned (band, sig) exchange
+      // below — the shuffle files ARE the materialization every
+      // downstream reader shares, and a persist here would be filled
+      // RACING by whichever concurrent stage reads it first (the r14
+      // probe action used to prime it sequentially; with the probe
+      // gone, a cache above a multi-consumer node costs duplicated
+      // minhash CPU instead of saving it).
       val bands = minhashes
         .select(col("doc_id"),
           posexplode(array((0 until NumPerms / BandRows).map(b => bandSig(b)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Bucket sizes make the self-join SKEW-PROOF and smaller at
-      // once (r14 Zipf probe: a 4000-member boilerplate bucket
-      // emitted its 8M candidate pairs from ONE task — the bucket
-      // key is the unit of parallelism):
-      //  - bn = 1 buckets (the vast majority) can never pair — the
-      //    INNER size join drops them before the pair join entirely;
-      //  - multi-member buckets salt like Similarity.knnJoinDirect:
-      //    probe rows hash into ceil(bn/SaltRows) sub-buckets, index
-      //    rows replicate into each — pair set identical, emission
-      //    spread over sn tasks.
-      // The sizes agg + join cost one extra pass over the persisted
-      // docs×bands relation; the exchanges are PINNED because their
-      // output is quadratic while their input is KBs (AQE byte-based
-      // coalescing would merge the salt bins straight back).
-      val sizes = bands.groupBy(col("band"), col("sig"))
-        .agg(count(lit(1)).as("bn")).filter(col("bn") >= 2)
-      // ADAPTIVE: one bounded scalar over the persisted bands decides
-      // the join shape. When no bucket exceeds SaltRows every salt
-      // count would be 1 and the salted machinery (sizes join + two
-      // pinned exchanges) is pure overhead — the plain self-join is
-      // output-identical (singleton buckets only produce (a,a) rows
-      // the a<b filter kills) and three stages shorter; the bench
-      // corpus takes this path (the always-salted shape cost it
-      // +0.7 s cold for skew protection it didn't need). Any corpus
-      // with real boilerplate has a bucket past SaltRows and takes
-      // the salted + singleton-dropped path. The gate job is one agg
-      // over the already-persisted docs×8 relation — AQE's
-      // measure-then-pick-the-plan philosophy, as a driver scalar.
-      // ASYMMETRICALLY memoized: only the SALTED verdict is cached
-      // (one probe per distinct input relation per JVM, like the
-      // injectivity/dup-rate gates). A cached "plain" verdict would
-      // be the dangerous direction — if the data behind the same
-      // plan later grows a hot bucket (files appended to the scanned
-      // path in a long-lived session), a stale plain verdict would
-      // silently disable the skew guard and resurrect the one-task
-      // 237 s-class pathology. Plain corpora therefore re-pay the
-      // probe each call — one agg over the already-persisted docs×8
-      // relation — while the salted verdict (always-safe: sn = 1
-      // buckets keep their shape inside the salted plan) sticks.
-      val key = sets.queryExecution.analyzed.canonicalized
-      val needSalt = Option(saltVerdicts.get(key)).exists(_.booleanValue()) || {
-        val maxBn = Option(sizes.agg(max(col("bn"))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        if (sys.env.contains("SPARK_GRAFT_LSH_DEBUG"))
-          System.err.println(s"bandCandidates: maxBn=$maxBn -> " +
-            (if (maxBn <= Similarity.SaltRows) "plain" else "salted"))
-        if (maxBn > Similarity.SaltRows) { memoVerdict(saltVerdicts, key)(true); true }
-        else false
-      }
-      val numP = Parallelism.pinCount(sets)
-      val pairs =
-        if (!needSalt)
-          // the exchanges stay PINNED here too: buckets can sit just
-          // under SaltRows (up to 256× row amplification through the
-          // join), and AQE's input-byte coalescing would merge the
-          // KB-sized shuffle inputs of this quadratic-output stage
-          // into a few giant-output tasks (measured on the jaccard
-          // candidate stage: collapsed to 4 tasks before pinning)
-          bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-            .repartition(numP, col("band"), col("sig"))
-            .join(bands.select(col("band"), col("sig"),
-                col("doc_id").as("doc_b"))
-              .repartition(numP, col("band"), col("sig"))
-              .hint("shuffle_hash"),
-              Seq("band", "sig"))
-        else {
-          val multi = bands.join(sizes.hint("shuffle_hash"), Seq("band", "sig"))
-            .withColumn("sn",
-              ceil(col("bn").cast("double") / Similarity.SaltRows).cast("int"))
-          multi.select(col("band"), col("sig"),
-              pmod(col("doc_id"), col("sn")).cast("int").as("salt"),
-              col("doc_id").as("doc_a"))
+      // FULLY LAZY and skew-proof by construction (r15; replaces
+      // r14's driver-side maxBn probe + adaptive join-shape gate,
+      // which bought plain corpora a shorter plan but paid with a
+      // Spark ACTION at DataFrame-construction time, a per-call
+      // re-probe, and a JVM-lifetime salted-verdict memo). The whole
+      // candidate stage hangs off the ONE pinned (band, sig)
+      // exchange above — the query's only corpus-sized exchange and,
+      // through [[minhashPairsFused]], its only leaf stage.
+      //
+      // Bucket size bn via a COUNT WINDOW over that exchange — not a
+      // separate groupBy+join subtree: column pruning makes a
+      // groupBy-sizes subtree diverge from the pair-side subtree
+      // (different ReadSchema → ReuseExchange can't fire), so the
+      // whole upstream signature pipeline would execute once per
+      // consumer. The window is spill-safe on a mega-bucket (sort +
+      // streamed frame), unlike a collect_list over an unbounded
+      // bucket.
+      val w = Window.partitionBy(col("band"), col("sig"))
+      val bandsW = bands.repartition(numP, col("band"), col("sig"))
+        .withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") >= 2)
+      // SMALL buckets (2 ≤ bn ≤ SaltRows — every bucket of a corpus
+      // without pathological boilerplate) emit their C(bn, 2) pairs
+      // IN-STAGE: the collect_list is bounded by the bn ≤ SaltRows
+      // filter (≤ 256 ids — no unbounded agg buffer), its clustering
+      // is satisfied by the window's partitioning (no exchange), and
+      // sort_array makes the slice-emission canonical (doc_a < doc_b)
+      // regardless of agg input order. This keeps the common case at
+      // ONE corpus-sized exchange total — the r14 self-join shape
+      // paid two more pinned exchanges and a join barrier for pairs
+      // that were computable where the rows already sat.
+      val small = bandsW.filter(col("bn") <= Similarity.SaltRows)
+        .groupBy(col("band"), col("sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("m"))
+      val smallPairs = small
+        .select(col("m"), posexplode(col("m")))
+        .select(col("col").as("doc_a"),
+          explode(slice(col("m"), col("pos") + lit(2), size(col("m")))).as("doc_b"))
+      // BIG buckets (bn > SaltRows) take the salted self-join: probe
+      // rows hash into sn = ceil(bn/SaltRows) sub-buckets, index rows
+      // replicate into each — pair set identical, emission spread
+      // over sn tasks (the r14 Zipf probe measured a 4000-member
+      // bucket emitting its 8M pairs from ONE task without this).
+      // On a corpus with no such bucket this branch is EMPTY and
+      // AQE's empty-relation propagation erases its stages at
+      // runtime; when it fires, its exchanges are PINNED because
+      // their output is quadratic while their input is KBs (AQE
+      // byte-based coalescing would merge the salt bins straight
+      // back — measured on the jaccard candidate stage: collapsed to
+      // 4 tasks before pinning).
+      val big = bandsW.filter(col("bn") > Similarity.SaltRows)
+        .withColumn("sn",
+          ceil(col("bn").cast("double") / Similarity.SaltRows).cast("int"))
+      val bigPairs =
+        big.select(col("band"), col("sig"),
+            pmod(col("doc_id"), col("sn")).cast("int").as("salt"),
+            col("doc_id").as("doc_a"))
+          .repartition(numP, col("band"), col("sig"), col("salt"))
+          .join(big.select(col("band"), col("sig"),
+              explode(sequence(lit(0), col("sn") - 1)).as("salt"),
+              col("doc_id").as("doc_b"))
             .repartition(numP, col("band"), col("sig"), col("salt"))
-            .join(multi.select(col("band"), col("sig"),
-                explode(sequence(lit(0), col("sn") - 1)).as("salt"),
-                col("doc_id").as("doc_b"))
-              .repartition(numP, col("band"), col("sig"), col("salt"))
-              .hint("shuffle_hash"),
-              Seq("band", "sig", "salt"))
-        }
-      pairs
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
+            .hint("shuffle_hash"),
+            Seq("band", "sig", "salt"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+      // Dedup band-collision multiplicity (a pair can collide in up
+      // to all 8 bands) behind an EXPLICIT doc_a exchange: hash
+      // partitioning on a subset of the distinct keys still clusters
+      // equal pairs together, so the aggregate runs exchange-free on
+      // it — and the downstream verify join on doc_a reads the SAME
+      // partitioning, saving the ENSURE_REQUIREMENTS exchange the
+      // (doc_a, doc_b)-keyed distinct would otherwise force. Pairs
+      // per doc_a are bounded by bands × bucket size — linear, not a
+      // skew hazard.
+      smallPairs.unionAll(bigPairs)
+        .repartition(numP, col("doc_a"))
         .distinct()
   }
 
@@ -1315,54 +1308,60 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame =
     if (essentiallyDupFree(docs)) {
-      // the shingle relation is CPU-heavy to build (regex tokenize +
-      // bigram assembly per doc), persists ONCE, and feeds BOTH the
-      // banding stage (via bandCandidatesFromSets) and the two verify
-      // joins — the banding used to re-shingle the corpus from text,
-      // a duplicated full pass (r12 verdict #2). Without the pinned
-      // spread it computes on the raw scan's split count (often ONE
-      // task for a single parquet file) and the cache freezes that
-      // partitioning.
-      val sets = shingleSets(
-          if (spreadInput) spread(docs, col("doc_id")) else docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      minhashVerify(bandCandidatesFromSets(sets), sets)
+      minhashPairsFused(docs, spreadInput)
     } else {
       val groups = textGroups(docs)
       val reps = groups.select(col("rep").as("doc_id"), col("text"))
-      val sets = shingleSets(reps)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val repPairs = minhashVerify(bandCandidatesFromSets(sets), sets)
+      val repPairs = minhashPairsFused(reps, spreadInput = false)
       intraGroupPairs(groups, Seq(lit(1.0).as("jaccard")))
         .unionAll(expandRepPairs(repPairs, groups, Seq("jaccard")))
     }
 
-  /** Exact-Jaccard verification of LSH candidate pairs against the
-    * per-doc shingle relation `sets` (doc_id, toks) — shared by both
-    * [[minhashPairs]] branches.
+  /** The LSH-candidates + exact-Jaccard-verify pipeline on `docs`
+    * directly (no rep indirection) — shared by both [[minhashPairs]]
+    * branches.
     *
-    * |A∪B| = |A|+|B|-|A∩B|: one intersect per pair instead of
-    * materializing the union array too. Intersection size needs
-    * token EQUALITY only, so — exactly like [[jaccardPrefixDirect]] —
-    * the verify runs on xxhash64 ids through the codegen two-pointer
-    * [[graft.functions.SortedIntersectCount]] (hash + sort ONCE per
-    * doc side, O(|A|+|B|) and allocation-free per pair). This
-    * matters doubly here because Catalyst collapses the jac ≥ t
-    * filter into the verify join's condition, re-evaluating the
-    * intersect per pair: the r14 Zipf probe measured the old
-    * array_intersect verify at ~50 µs/pair carrying ~90 % of the
-    * op's total CPU on a 4000-doc boilerplate cluster. Exactness
-    * guard: a memoized O(corpus) probe proves xxhash64 is injective
-    * on THIS corpus' shingles; a collision falls back to the string
-    * arrays (same contract as the prefix join's gate).
+    * Exchange topology (r15; replaces the r14 persisted-shingle
+    * shape): ALL per-doc CPU — regex tokenize, bigram assembly,
+    * xxhash64 + sort of the verify arrays, the 16-permutation minhash
+    * signature — is computed in ONE projection BELOW one pinned
+    * doc_id exchange, and every downstream consumer (the banding
+    * stage and both verify join sides) reads THAT exchange. The r14
+    * shape persisted the shingle relation instead, which only works
+    * when something fills the cache sequentially before the
+    * consumers race: its salt-probe action happened to do that, and
+    * once the probe was removed, three concurrent stages each
+    * recomputed the CPU-heavy shingle map against a cold cache
+    * (measured +0.8 s at sf0.1). Shuffle files are a materialization
+    * every reader shares without a race, and ReuseExchange makes the
+    * three consumers read one physical exchange. The verify sides are
+    * alias-projections of the exchange output, already partitioned on
+    * their join key, so each verify shuffle_hash join exchanges ONLY
+    * the candidate side (pairs ≪ corpus).
     *
-    * Verify joins are SHUFFLE-hash on doc_id, never broadcast:
-    * `sets` is the whole corpus's shingle arrays, and a broadcast
-    * would collect the corpus to the driver — a scale-killer at
-    * 100 TB. Candidates ≪ corpus, so the shuffle is cheap.
+    * Verify math is unchanged from r14: |A∪B| = |A|+|B|−|A∩B|, one
+    * codegen two-pointer merge-intersect per pair over the
+    * value-sorted xxhash64 ids ([[graft.functions.SortedIntersectCount]],
+    * O(|A|+|B|), allocation-free — array_intersect was ~50 µs/pair
+    * and ~90 % of the op's CPU at the r14 Zipf boilerplate cluster).
+    * Exactness guard: a memoized O(corpus) probe proves xxhash64 is
+    * injective on THIS corpus' shingles; a collision falls back to
+    * the string arrays (same contract as the prefix join's gate).
+    * The corpus-side relations are never broadcast — at 100 TB the
+    * shingle relation is corpus-sized; candidates are what's small.
+    *
+    * The ≥ 2 words filter up front (⟺ ≥ 1 bigram shingle) drops docs
+    * that cannot band — they could never appear in a candidate pair,
+    * so pre-filtering the verify side too is output-identical and
+    * keeps sub-2-word docs out of the exchange payload.
     */
-  private def minhashVerify(cands: DataFrame, sets: DataFrame): DataFrame = {
-    graft.functions.SortedIntersectCount.register(sets.sparkSession)
+  private def minhashPairsFused(docs: DataFrame,
+                                spreadInput: Boolean): DataFrame = {
+    graft.functions.MinHash60.register(docs.sparkSession)
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val filtered = docs.filter(size(split(trim(col("text")), "\\s+")) >= 2)
+    val sets = shingleSets(
+      if (spreadInput) spread(filtered, col("doc_id")) else filtered)
     val useHash = memoVerdict(injectivityVerdicts,
         sets.queryExecution.analyzed.canonicalized) {
       sets.select(explode(col("toks")).as("w"))
@@ -1370,21 +1369,41 @@ object Dedup {
           count_distinct(xxhash64(col("w")))).as("ok"))
         .head().getBoolean(0)
     }
-    val side = if (useHash)
-      sets.select(col("doc_id"),
-        array_sort(transform(col("toks"), x => xxhash64(x))).as("vtoks"),
-        size(col("toks")).as("n"))
-    else sets.select(col("doc_id"), col("toks").as("vtoks"),
-      size(col("toks")).as("n"))
+    val vtoks =
+      if (useHash) array_sort(transform(col("toks"), x => xxhash64(x)))
+      else col("toks")
     val interOf: (Column, Column) => Column =
       if (useHash)
         (a, b) => graft.functions.SortedIntersectCount.sorted_intersect_count(a, b)
       else (a, b) => size(array_intersect(a, b))
+    val numP = Parallelism.pinCount(docs)
+    // THE shared materialization: all per-doc CPU lands in one
+    // PERSISTED projection sitting on the spread's doc_id
+    // partitioning. Why a persist and not exchange-sharing: column
+    // pruning specializes each consumer's scan (banding keeps mh,
+    // verify keeps vtoks+n), so the consumers' subtrees stop being
+    // canonically equal and ReuseExchange cannot fire — measured this
+    // round as N independent scan+tokenize+signature pipelines. Why
+    // the persist doesn't race (the r14 hazard that made its probe
+    // action load-bearing): the banding exchange inside
+    // [[bandCandidatesFromSigs]] is the query's ONLY leaf stage — the
+    // verify joins' corpus side is this cache read DIRECTLY (its
+    // reported doc_id partitioning satisfies the join, see
+    // canChangeCachedPlanOutputPartitioning in GraftSession), inside
+    // a join stage that cannot start before the candidate side is
+    // shuffled. So the fill happens exactly once, sequentially,
+    // lazily — no action at construction time.
+    val enriched = sets.select(col("doc_id"), vtoks.as("vtoks"),
+        size(col("toks")).as("n"),
+        graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands =
+      bandCandidatesFromSigs(enriched.select(col("doc_id"), col("mh")), numP)
     cands
-      .join(side.select(col("doc_id").as("doc_a"),
+      .join(enriched.select(col("doc_id").as("doc_a"),
         col("vtoks").as("toks_a"), col("n").as("na"))
         .hint("shuffle_hash"), Seq("doc_a"))
-      .join(side.select(col("doc_id").as("doc_b"),
+      .join(enriched.select(col("doc_id").as("doc_b"),
         col("vtoks").as("toks_b"), col("n").as("nb"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("inter", interOf(col("toks_a"), col("toks_b")))

@@ -30,6 +30,47 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
                                  height: Int, n_frames: Long, mean_luma: Double)
 
+  /** Decode a PNG payload through an EXPLICIT memory-cached ImageIO
+    * stream. ImageIO defaults to DISK-backed stream caching — every
+    * read/write spills through a temp file in java.io.tmpdir, measured
+    * 2.5× slower single-threaded and the source of 10× rep swings
+    * under 32 concurrent tasks + neighbor IO (r14). r14 disabled it
+    * with `ImageIO.setUseCache(false)`, but that is a JVM-GLOBAL
+    * static mutation performed inside executor tasks: it silently
+    * changed stream caching for every other ImageIO user in the
+    * process (driver included in local mode) and was never restored.
+    * Wrapping the byte stream in [[javax.imageio.stream.MemoryCacheImageInputStream]]
+    * scopes the no-disk-cache choice to exactly these operators.
+    * Payloads here are KB-scale PNGs, so the in-heap cache is a few
+    * pages per in-flight image — not a heap-pressure concern even at
+    * 32 concurrent tasks (and a 100 TB deployment would budget decode
+    * heap per-payload regardless of the cache strategy).
+    *
+    * `ImageIO.read(ImageInputStream)` closes the stream itself on
+    * every path that found a reader; the no-reader path returns null
+    * (turned into a require failure here) and the unclosed wrapper
+    * over a ByteArrayInputStream holds no OS resource.
+    */
+  private def readPng(bytes: Array[Byte], docId: Long): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    img
+  }
+
+  /** PNG-encode through an explicit memory-cached ImageIO stream (see
+    * [[readPng]] — same rationale, write direction). `close()` flushes
+    * the memory cache's tail into the byte sink, so it must run before
+    * `toByteArray`.
+    */
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+    bos.toByteArray
+  }
+
   /** documents.text re-framed as an opaque binary payload column with
     * typed metadata — the ingest shape for image/audio/video blobs.
     */
@@ -55,11 +96,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // memory-cached streams (see encoder)
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
-        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val img = readPng(r.content, r.doc_id)
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         var sum = 0L
@@ -156,13 +194,6 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      // ImageIO defaults to DISK-backed stream caching: every
-      // write/read spills through a temp file in java.io.tmpdir —
-      // measured 2.5× slower single-threaded and the source of
-      // 10× rep swings under 32 concurrent tasks + neighbor IO
-      // (each image paid a file create/delete). Static + idempotent,
-      // so setting it per partition is free.
-      javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
         val (w, h) = synthDims(id)
         val img = new java.awt.image.BufferedImage(
@@ -174,9 +205,7 @@ object Multimodal {
           while (x < w) { raster.setSample(x, y, 0, synthLuma(id, x, y)); x += 1 }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRow(id, bos.toByteArray, "image/png")
+        MediaRow(id, encodePng(img), "image/png")
       }
     }
   }
@@ -194,11 +223,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // memory-cached streams (see encoder)
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
-        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val img = readPng(r.content, r.doc_id)
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         var sum = 0L
