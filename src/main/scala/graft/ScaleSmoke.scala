@@ -24,6 +24,14 @@ object ScaleSmoke {
     // the whole battery at that scale)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val spark = GraftSession.local()
+    // SPARK_GRAFT_CHECKPOINT_DIR=/path drives the RELIABLE-checkpoint
+    // regime (r14 verdict #7): with a checkpoint dir set,
+    // pageRankConverged's per-round truncation swaps localCheckpoint →
+    // Dataset.checkpoint automatically (DEPLOY.md's cluster contract).
+    // Combine with SPARK_GRAFT_PR_DEBUG=1 to get per-round cost so the
+    // reliable-vs-local delta is a measured number, not an argument.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     val t = graft.catalog.Tables(spark, sfDir)
 
     // copy offset far above any real id (ids at larger sf can pass

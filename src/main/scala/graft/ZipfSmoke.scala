@@ -184,7 +184,14 @@ object ZipfSmoke {
       org.apache.spark.graftshim.ListenerBusSync.waitUntilEmpty(spark.sparkContext)
       stats.reset()
       val t0 = System.nanoTime()
-      val rows = body
+      // a BY-CONTRACT refusal (e.g. knnJoinBlocked's over-cap
+      // raise_error at --grow m ≥ 3) must not kill the ops after it
+      val rows = try body catch {
+        case t: Throwable =>
+          println(s"$name REFUSED: " + String.valueOf(t.getMessage)
+            .linesIterator.next().take(160))
+          return
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftshim.ListenerBusSync.waitUntilEmpty(spark.sparkContext)
       // rows/sec is the judgment axis for growing-hub runs (true pair

@@ -888,27 +888,33 @@ object Dedup {
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("cosine"), 4).as("cosine"))
 
-    // under-cap blocks: direct quadratic compare, salted by block
-    // size exactly like Similarity.knnJoinDirect (see its SaltRows
-    // doc — an unsalted hot block serializes one task: the r14 Zipf
-    // smoke measured 237 s on the knn twin of this join) with the
-    // exchange pinned so AQE's input-byte coalescing can't merge the
-    // salt bins whose join output is quadratic. Pair set identical:
-    // each (a, b) meets exactly in a's salt.
+    // under-cap blocks: direct quadratic compare, 2-D salted by block
+    // size exactly like Similarity.knnJoinDirect (see its SaltRows /
+    // IdxChunkRows docs — an unsalted hot block serializes one task:
+    // the r14 Zipf smoke measured 237 s on the knn twin of this join;
+    // a probe-side-only salt still grows the task linearly with the
+    // block's index replica) with the exchange pinned so AQE's
+    // input-byte coalescing can't merge the salt bins whose join
+    // output is quadratic. Pair set identical: each (a, b) meets
+    // exactly in cell (pmod(a, sn), pmod(b, si)).
     val small = t.filter(col("bn") <= blockCap)
       .withColumn("sn",
         ceil(col("bn").cast("double") / Similarity.SaltRows).cast("int"))
+      .withColumn("si",
+        ceil(col("bn").cast("double") / Similarity.IdxChunkRows).cast("int"))
     val numP = Parallelism.pinCount(emb)
     val smallPairs = scored(
       small.select(col("label"),
           pmod(col("vec_id"), col("sn")).cast("int").as("salt"),
-          col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-        .repartition(numP, col("label"), col("salt"))
+          col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("si"))
+        .withColumn("isalt", explode(sequence(lit(0), col("si") - 1)))
+        .repartition(numP, col("label"), col("salt"), col("isalt"))
         .join(small.select(col("label"),
-            explode(sequence(lit(0), col("sn") - 1)).as("salt"),
-            col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-          .repartition(numP, col("label"), col("salt"))
-          .hint("shuffle_hash"), Seq("label", "salt"))
+            pmod(col("vec_id"), col("si")).cast("int").as("isalt"),
+            col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("sn"))
+          .withColumn("salt", explode(sequence(lit(0), col("sn") - 1)))
+          .repartition(numP, col("label"), col("salt"), col("isalt"))
+          .hint("shuffle_hash"), Seq("label", "salt", "isalt"))
         .filter(col("vec_a") < col("vec_b")))
 
     // big blocks: one row per (vector, band) with that band's 6-plane

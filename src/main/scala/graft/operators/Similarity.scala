@@ -326,13 +326,30 @@ object Similarity {
     */
   private[operators] val SaltRows = 256
 
+  /** Index-side chunk width for the 2-D salt (r15): the probe-side
+    * salt alone bounds PROBES per task at [[SaltRows]] but each task
+    * still scans the whole block's index replica, so max_task grows
+    * LINEARLY with block size — the growing-hub Zipf smoke measured
+    * the hot-block partial top-k task at 2.8 s (block 5.6k) → 6.7 s
+    * (block 8.8k). Chunking the index side too caps a task's pair
+    * work at SaltRows × IdxChunkRows ≈ 0.5M scored pairs (~1 s at the
+    * measured ~2 µs/pair of cosine + heap insert) no matter how big
+    * the block grows. Exactness is free: the per-cell partial top-k
+    * heaps merge into the global per-probe top-k in the final
+    * aggregate exactly as 1-D salt partials did. Blocks under
+    * IdxChunkRows get si = 1 — the same plan at one pmod of overhead.
+    */
+  private[operators] val IdxChunkRows = 2048
+
   /** The all-pairs branch of [[knnJoinBlocked]] — right when blocks
-    * hold (essentially) distinct vectors. `saltRows` is a test seam;
-    * production callers use the [[SaltRows]] default.
+    * hold (essentially) distinct vectors. `saltRows`/`idxChunkRows`
+    * are test seams; production callers use the [[SaltRows]] /
+    * [[IdxChunkRows]] defaults.
     */
   private[operators] def knnJoinDirect(emb: DataFrame, k: Int = KnnK,
                                        blockCap: Int = 10000,
-                                       saltRows: Int = SaltRows): DataFrame = {
+                                       saltRows: Int = SaltRows,
+                                       idxChunkRows: Int = IdxChunkRows): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     graft.functions.TopKByScore.register(emb.sparkSession)
     val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("bn"))
@@ -347,11 +364,15 @@ object Similarity {
       // and the raise_error guard with it — from the plan entirely
       .filter(col("bn") > 0)
       .select(col("label"), col("vec_id"), col("embedding"),
-        ceil(col("bn").cast("double") / saltRows).cast("int").as("sn"))
-    // salted self-join (see [[SaltRows]]): probe rows hash into sn
-    // sub-blocks, index rows replicate into every sub-block — each
-    // (probe, index) pair meets in exactly the probe's salt, so the
-    // pair set is IDENTICAL to the unsalted join. The exchange is
+        ceil(col("bn").cast("double") / saltRows).cast("int").as("sn"),
+        ceil(col("bn").cast("double") / idxChunkRows).cast("int").as("si"))
+    // 2-D salted self-join (see [[SaltRows]] and [[IdxChunkRows]]):
+    // probe rows hash into sn sub-blocks and replicate across the si
+    // index chunks; index rows hash into si chunks and replicate
+    // across the sn probe sub-blocks — each (probe, index) pair meets
+    // in exactly the cell (pmod(probe, sn), pmod(index, si)), so the
+    // pair set is IDENTICAL to the unsalted join while no task scores
+    // more than saltRows × idxChunkRows pairs. The exchange is
     // PINNED (explicit repartition count): the salt bins are only
     // KB-to-MB of input bytes while their join OUTPUT is quadratic,
     // so AQE's input-byte coalescing would merge them straight back
@@ -361,13 +382,15 @@ object Similarity {
     val numP = Parallelism.pinCount(emb)
     val pairs = t.select(col("label"),
         pmod(col("vec_id"), col("sn")).cast("int").as("salt"),
-        col("vec_id"), col("embedding").as("ea"))
-      .repartition(numP, col("label"), col("salt"))
+        col("vec_id"), col("embedding").as("ea"), col("si"))
+      .withColumn("isalt", explode(sequence(lit(0), col("si") - 1)))
+      .repartition(numP, col("label"), col("salt"), col("isalt"))
       .join(t.select(col("label"),
-          explode(sequence(lit(0), col("sn") - 1)).as("salt"),
-          col("vec_id").as("nbr"), col("embedding").as("eb"))
-        .repartition(numP, col("label"), col("salt"))
-        .hint("shuffle_hash"), Seq("label", "salt"))
+          pmod(col("vec_id"), col("si")).cast("int").as("isalt"),
+          col("vec_id").as("nbr"), col("embedding").as("eb"), col("sn"))
+        .withColumn("salt", explode(sequence(lit(0), col("sn") - 1)))
+        .repartition(numP, col("label"), col("salt"), col("isalt"))
+        .hint("shuffle_hash"), Seq("label", "salt", "isalt"))
       .filter(col("vec_id") =!= col("nbr"))
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine_sim(col("ea"), col("eb")))
@@ -421,23 +444,28 @@ object Similarity {
     val t = groups.join(broadcast(checked), Seq("label"))
       .filter(col("bn") > 0) // keeps the raise_error guard in the plan
       .select(col("label"), col("rep"), col("embedding"), col("gn"),
-        ceil(col("bn").cast("double") / saltRows).cast("int").as("sn"))
-    // rep-level directed pairs, salted + exchange-pinned like
-    // [[knnJoinDirect]] (see [[SaltRows]] — a hot label's
-    // DISTINCT-vector block serializes one task otherwise, and AQE
-    // coalescing would undo the salt); the self-pair survives only
-    // when the group has a sibling to offer (gn ≥ 2)
+        ceil(col("bn").cast("double") / saltRows).cast("int").as("sn"),
+        ceil(col("bn").cast("double") / IdxChunkRows).cast("int").as("si"))
+    // rep-level directed pairs, 2-D salted + exchange-pinned like
+    // [[knnJoinDirect]] (see [[SaltRows]]/[[IdxChunkRows]] — a hot
+    // label's DISTINCT-vector block serializes one task otherwise,
+    // the index replica grows the task linearly without the second
+    // dimension, and AQE coalescing would undo the salt); the
+    // self-pair survives only when the group has a sibling to offer
+    // (gn ≥ 2)
     val numP = Parallelism.pinCount(emb)
     val pairs = t.select(col("label"),
         pmod(col("rep"), col("sn")).cast("int").as("salt"),
-        col("rep").as("trep"), col("embedding").as("ea"))
-      .repartition(numP, col("label"), col("salt"))
+        col("rep").as("trep"), col("embedding").as("ea"), col("si"))
+      .withColumn("isalt", explode(sequence(lit(0), col("si") - 1)))
+      .repartition(numP, col("label"), col("salt"), col("isalt"))
       .join(t.select(col("label"),
-          explode(sequence(lit(0), col("sn") - 1)).as("salt"),
+          pmod(col("rep"), col("si")).cast("int").as("isalt"),
           col("rep").as("srep"), col("embedding").as("eb"),
-          col("gn").as("sgn"))
-        .repartition(numP, col("label"), col("salt"))
-        .hint("shuffle_hash"), Seq("label", "salt"))
+          col("gn").as("sgn"), col("sn"))
+        .withColumn("salt", explode(sequence(lit(0), col("sn") - 1)))
+        .repartition(numP, col("label"), col("salt"), col("isalt"))
+        .hint("shuffle_hash"), Seq("label", "salt", "isalt"))
       .filter(col("trep") =!= col("srep") || col("sgn") >= 2)
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine_sim(col("ea"), col("eb")))
