@@ -328,6 +328,85 @@ object Dedup {
     cache.computeIfAbsent(key, _ => probe)
   }
 
+  /** Disk-backed verdict memo (r15). The [[memoVerdict]] caches are
+    * per-JVM, so every fresh session re-paid the O(corpus) exactness
+    * probes (xxhash64 injectivity ~0.8 s, dup-share ~0.3 s at sf0.1)
+    * on the first use of each pipeline — inside the bench's cold
+    * window, and on a cluster inside the first query of every new
+    * driver. A probe verdict is a CORPUS STATISTIC, so it persists
+    * across sessions exactly like the other derived artifacts
+    * ([[DerivedLayout]]): keyed by md5 of (probe kind, the
+    * CANONICALIZED plan — exprIds normalized, deterministic across
+    * JVMs — and the leaf files' fingerprint: names, sizes, mtimes),
+    * under `target/derived/verdicts/`. The disk tier applies only
+    * when EVERY leaf of the plan is a file scan — a synthetic
+    * in-memory relation has no stable content key, so those (tests,
+    * smokes) stay JVM-memoized only and probe per session as before.
+    * Staleness is impossible by construction: changing any input file
+    * changes the fingerprint, changing the query changes the
+    * canonical form — the same contract that keeps the cluster
+    * assignment and the partitioned fact copy fresh.
+    */
+  private[operators] def memoVerdictDisk(
+      cache: java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean],
+      df: DataFrame, kind: String)(probe: => Boolean): Boolean = {
+    val key = df.queryExecution.analyzed.canonicalized
+    Option(cache.get(key)) match {
+      case Some(v) => v.booleanValue()
+      case None =>
+        val computed = diskVerdictKey(df, kind) match {
+          case Some(dk) =>
+            val f = new java.io.File(s"target/derived/verdicts/$dk")
+            if (f.exists())
+              new String(java.nio.file.Files.readAllBytes(f.toPath),
+                "UTF-8").trim == "true"
+            else {
+              val v = probe
+              f.getParentFile.mkdirs()
+              java.nio.file.Files.write(f.toPath,
+                (if (v) "true" else "false").getBytes("UTF-8"))
+              v
+            }
+          case None => probe
+        }
+        memoVerdict(cache, key)(computed)
+    }
+  }
+
+  /** Stable cross-session key for [[memoVerdictDisk]]: Some(md5) when
+    * every leaf of `df`'s plan is a file scan, None otherwise.
+    */
+  private def diskVerdictKey(df: DataFrame, kind: String): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed.canonicalized
+    val leaves = plan.collectLeaves()
+    if (leaves.isEmpty) return None
+    val parts = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val roots = fs.location.rootPaths.map(_.toUri.getPath).sorted
+          if (roots.isEmpty) None
+          else Some(roots.map { p =>
+            val root = new java.io.File(p)
+            val files = if (root.isDirectory)
+              root.listFiles().sortBy(_.getName).toSeq else Seq(root)
+            p + "=" + files.map(x =>
+              s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
+          }.mkString("|"))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val raw = kind + "\n" + plan.toString + "\n" + parts.flatten.mkString("|")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8"))
+      Some(d.map("%02x".format(_)).mkString)
+    }
+  }
+
   /** Duplicate share above which the exact-then-near REP composition
     * pays for itself. Both branches are exact, so the gate can never
     * change output — it only decides whether the textGroups shuffle +
@@ -349,7 +428,7 @@ object Dedup {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
 
   private def essentiallyDupFree(docs: DataFrame): Boolean =
-    memoVerdict(dupFreeVerdicts, docs.queryExecution.analyzed.canonicalized) {
+    memoVerdictDisk(dupFreeVerdicts, docs, "dupfree") {
       // count_distinct skips NULLs, so null texts must be counted as
       // ONE distinct group (textGroups treats them that way) — not as
       // n_null "duplicates" that would misroute a dup-free corpus
@@ -579,7 +658,7 @@ object Dedup {
     // files UNDER an identical plan within one JVM reuses the verdict
     // — same staleness class as Spark's own file-index cache.)
     val useHash =
-      memoVerdict(injectivityVerdicts, docs.queryExecution.analyzed.canonicalized) {
+      memoVerdictDisk(injectivityVerdicts, docs, "xxinj_vocab") {
         tokDf.agg(count(lit(1)) === count_distinct(xxhash64(col("w"))))
           .head().getBoolean(0)
       }
@@ -1368,8 +1447,7 @@ object Dedup {
     val filtered = docs.filter(size(split(trim(col("text")), "\\s+")) >= 2)
     val sets = shingleSets(
       if (spreadInput) spread(filtered, col("doc_id")) else filtered)
-    val useHash = memoVerdict(injectivityVerdicts,
-        sets.queryExecution.analyzed.canonicalized) {
+    val useHash = memoVerdictDisk(injectivityVerdicts, sets, "xxinj_bigram") {
       sets.select(explode(col("toks")).as("w"))
         .agg((count_distinct(col("w")) ===
           count_distinct(xxhash64(col("w")))).as("ok"))

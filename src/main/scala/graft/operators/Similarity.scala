@@ -304,8 +304,7 @@ object Similarity {
   private val embDupVerdicts = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Boolean]()
   private def embeddingsDupFree(emb: DataFrame): Boolean =
-    graft.operators.Dedup.memoVerdict(embDupVerdicts,
-        emb.queryExecution.analyzed.canonicalized) {
+    graft.operators.Dedup.memoVerdictDisk(embDupVerdicts, emb, "embdupfree") {
       val r = emb.agg(count(lit(1)),
         count_distinct(xxhash64(col("label"), col("embedding")))).head()
       val n = r.getLong(0)

@@ -60,4 +60,42 @@ class VerdictCacheSpec extends SparkSpec {
     assert(after == before, "eviction flipped a verdict")
     assert(before == (1 to 8).map(i => i -> verdictFor(i)).toMap)
   }
+
+  // ---- disk tier (r15): verdicts are corpus statistics -------------
+
+  private def writeDocs(dir: java.io.File, rows: Seq[(Long, String)]): Unit = {
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+  }
+
+  test("disk tier: same files skip the probe across fresh caches; changed files re-probe") {
+    val dir = java.nio.file.Files.createTempDirectory("verdict-disk").toFile
+    try {
+      writeDocs(dir, Seq(1L -> "a b c", 2L -> "d e f"))
+      def df() = spark.read.parquet(dir.getAbsolutePath)
+      var probes = 0
+      val kind = s"spec_${System.nanoTime()}" // unique per test run
+      val v1 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; true }
+      // FRESH in-memory cache — only the disk tier can satisfy this
+      val v2 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; false }
+      assert(v1 && v2, "disk tier must return the stored verdict")
+      assert(probes == 1, s"same-fingerprint corpus re-probed ($probes probes)")
+      // grow the corpus: fingerprint changes (size/mtime), must re-probe
+      writeDocs(dir, Seq(1L -> "a b c", 2L -> "d e f", 3L -> "g h i"))
+      val v3 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; false }
+      assert(!v3, "changed corpus must re-probe, not serve the stale verdict")
+      assert(probes == 2, s"changed corpus did not re-probe ($probes probes)")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("disk tier: non-file relations stay JVM-memoized only (probe per cache)") {
+    var probes = 0
+    val df = Seq((1L, "x y")).toDF("doc_id", "text") // LocalRelation leaf
+    Dedup.memoVerdictDisk(freshCache(), df, "spec_mem") { probes += 1; true }
+    Dedup.memoVerdictDisk(freshCache(), df, "spec_mem") { probes += 1; true }
+    assert(probes == 2,
+      "a synthetic relation has no stable content key and must re-probe per cache")
+  }
 }
