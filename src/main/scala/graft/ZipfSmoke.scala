@@ -237,8 +237,29 @@ object ZipfSmoke {
     time("dedup_containment")(Dedup.containmentPrefixJoin(docs).count())
     // drives embeddingPairsBlocked's SALTED under-cap direct compare
     // on the hot label block (5.6k·m distinct vectors, one label —
-    // the unsalted twin of the 237 s knn task)
+    // the unsalted twin of the 237 s knn task); past the cap (m ≥ 4
+    // at --grow) the hot block falls to the banded path, whose
+    // sub-bucket self-join is 2-D salted as of r16
     time("dedup_embedding_pairs")(Dedup.embeddingPairsBlocked(emb).count())
+    // r16 verdict #5: a pathological LONG-CHAIN duplicate graph
+    // (diameter ≈ rounds — 500 propagation rounds here) must converge
+    // with BOUNDED plan size. Each round references the previous label
+    // relation TWICE (union base + message join), so without the
+    // periodic lineage checkpoint the plan tree has 2^rounds paths and
+    // Catalyst analysis hangs around round ~25; with it, plan size is
+    // capped at 2^LabelPropCheckpointEvery-ish regardless of diameter.
+    time("label_prop_chain") {
+      val links = spark.range(0, 500)
+        .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      val labels = Dedup.labelPropagation(links)
+      val c = labels.count()
+      val planNodes = labels.queryExecution.analyzed
+        .collect { case p => p }.size
+      val allZero = labels.agg(max(col("cluster_id"))).head().getLong(0) == 0L
+      println(s"  chain=500 plan_nodes=$planNodes all_in_cluster_0=$allZero")
+      require(allZero, "chain must collapse into one cluster")
+      c
+    }
     spark.stop()
   }
 }

@@ -339,12 +339,18 @@ object Dedup {
     * CANONICALIZED plan — exprIds normalized, deterministic across
     * JVMs — and the leaf files' fingerprint: names, sizes, mtimes),
     * under `target/derived/verdicts/`. The disk tier applies only
-    * when EVERY leaf of the plan is a file scan — a synthetic
-    * in-memory relation has no stable content key, so those (tests,
-    * smokes) stay JVM-memoized only and probe per session as before.
-    * Staleness is impossible by construction: changing any input file
-    * changes the fingerprint, changing the query changes the
-    * canonical form — the same contract that keeps the cluster
+    * when EVERY leaf of the plan is a LOCAL-filesystem file scan — a
+    * synthetic in-memory relation has no stable content key, and a
+    * remote scheme (hdfs://, s3a://) cannot be fingerprinted with
+    * local file metadata (r16 ADVICE: the old java.io.File probe
+    * yielded a constant `name:0:0` fingerprint off-box, silently
+    * serving stale verdicts) — so those stay JVM-memoized only and
+    * probe per session. Staleness is impossible by construction ON
+    * THE QUALIFYING PATH: the fingerprint enumerates the relation's
+    * own FileIndex leaf files recursively (nested partition dirs
+    * included) with sizes + mtimes, so changing any input file
+    * changes the key; changing the query changes the canonical
+    * semantic hash — the same contract that keeps the cluster
     * assignment and the partitioned fact copy fresh.
     */
   private[operators] def memoVerdictDisk(
@@ -364,8 +370,16 @@ object Dedup {
             else {
               val v = probe
               f.getParentFile.mkdirs()
-              java.nio.file.Files.write(f.toPath,
+              // temp-file + atomic rename: a concurrent JVM sharing
+              // target/derived must never read a half-written verdict
+              // (a partial file parses as false — plan-only-safe
+              // today, but the memo must not depend on that asymmetry)
+              val tmp = java.nio.file.Files.createTempFile(
+                f.getParentFile.toPath, f.getName, ".tmp")
+              java.nio.file.Files.write(tmp,
                 (if (v) "true" else "false").getBytes("UTF-8"))
+              java.nio.file.Files.move(tmp, f.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
               v
             }
           case None => probe
@@ -375,7 +389,23 @@ object Dedup {
   }
 
   /** Stable cross-session key for [[memoVerdictDisk]]: Some(md5) when
-    * every leaf of `df`'s plan is a file scan, None otherwise.
+    * every leaf of `df`'s plan is a local-filesystem file scan, None
+    * otherwise.
+    *
+    * Two keying rules, both load-bearing (r16 ADVICE):
+    *  - FILES come from the relation's own FileIndex (`allFiles()`:
+    *    every leaf file's full path + length + mtime, RECURSIVE
+    *    through nested partition dirs like root/a=1/b=2/part-*.parquet)
+    *    — never from a java.io.File directory listing, which is
+    *    non-recursive (a changed nested file leaves parent-dir mtimes
+    *    untouched) and meaningless for remote schemes. Paths whose
+    *    scheme isn't local (null/"file") or that don't exist locally
+    *    disqualify the plan from the disk tier entirely.
+    *  - The PLAN is keyed by its canonicalized semanticHash + full
+    *    (untruncated) schema JSON — `plan.toString` truncates at
+    *    spark.sql.maxToStringFields (default 25), so two distinct
+    *    wide-schema plans over the same files could alias to one md5
+    *    and swap verdicts across queries of the same kind.
     */
   private def diskVerdictKey(df: DataFrame, kind: String): Option[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -385,22 +415,24 @@ object Dedup {
     val parts = leaves.map {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          val roots = fs.location.rootPaths.map(_.toUri.getPath).sorted
-          if (roots.isEmpty) None
-          else Some(roots.map { p =>
-            val root = new java.io.File(p)
-            val files = if (root.isDirectory)
-              root.listFiles().sortBy(_.getName).toSeq else Seq(root)
-            p + "=" + files.map(x =>
-              s"${x.getName}:${x.length}:${x.lastModified}").mkString(",")
-          }.mkString("|"))
+          val roots = fs.location.rootPaths
+          val local = roots.nonEmpty && roots.forall { p =>
+            val scheme = p.toUri.getScheme
+            (scheme == null || scheme == "file") &&
+              new java.io.File(p.toUri.getPath).exists()
+          }
+          if (!local) None
+          else Some(fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+            .sorted.mkString(","))
         case _ => None
       }
       case _ => None
     }
     if (parts.exists(_.isEmpty)) None
     else {
-      val raw = kind + "\n" + plan.toString + "\n" + parts.flatten.mkString("|")
+      val raw = kind + "\n" + plan.semanticHash().toString + "\n" +
+        plan.schema.json + "\n" + parts.flatten.mkString("|")
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(raw.getBytes("UTF-8"))
       Some(d.map("%02x".format(_)).mkString)
@@ -998,18 +1030,58 @@ object Dedup {
 
     // big blocks: one row per (vector, band) with that band's 6-plane
     // signature; candidates collide in ANY band, dedup'd BEFORE the
-    // (heavier) embedding fetch + cosine verify
+    // (heavier) embedding fetch + cosine verify.
+    //
+    // The sub-bucket self-join is 2-D SALTED (r16, closing the one
+    // residual unsalted hot-bucket shape the r15 Zipf battery named:
+    // 6.9 s max_task at m=4 from ONE task emitting a giant near-dup
+    // cluster's C(bn,2) sig-collision pairs). Bucket size comes from
+    // a count window over the single pinned (label, band, sig)
+    // exchange — the same sizing the Jaccard banding uses
+    // ([[bandCandidatesFromSigs]]): a separate groupBy-sizes subtree
+    // would diverge under column pruning and re-run the hyperplane
+    // map per consumer. Probe rows hash into sn = ceil(bn/SaltRows)
+    // sub-buckets and replicate across si = ceil(bn/IdxChunkRows)
+    // index chunks; index rows mirror — each colliding (a, b) meets
+    // in exactly the cell (pmod(a, sn), pmod(b, si)), so the
+    // candidate set is IDENTICAL while no task emits more than
+    // SaltRows × IdxChunkRows pairs (the knnJoinDirect pattern, see
+    // Similarity.SaltRows/IdxChunkRows). Sub-salt-width buckets get
+    // sn = si = 1: the same plan at two pmods of overhead. The salt
+    // exchanges are PINNED — their input is KBs while their join
+    // output is quadratic, so AQE's byte-based coalescing would merge
+    // the bins straight back into one task.
     val big = t.filter(col("bn") > blockCap)
     val bands = big.select(col("label"), col("vec_id"),
       posexplode(array((0 until EmbBands).map(b =>
         Similarity.hyperplaneBucketSeeded(col("embedding"), s"eb$b:")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    val cands = bands.as("x")
-      .join(bands.as("y").hint("shuffle_hash"),
-        col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
-          col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.label").as("label"), col("x.vec_id").as("vec_a"),
-        col("y.vec_id").as("vec_b"))
+    val wB = Window.partitionBy(col("label"), col("band"), col("sig"))
+    val bandsW = bands.repartition(numP, col("label"), col("band"), col("sig"))
+      .withColumn("bbn", count(lit(1)).over(wB))
+      .filter(col("bbn") >= 2)
+      .withColumn("bsn",
+        ceil(col("bbn").cast("double") / Similarity.SaltRows).cast("int"))
+      .withColumn("bsi",
+        ceil(col("bbn").cast("double") / Similarity.IdxChunkRows).cast("int"))
+    val cands = bandsW
+      .select(col("label"), col("band"), col("sig"),
+        pmod(col("vec_id"), col("bsn")).cast("int").as("salt"),
+        col("vec_id").as("vec_a"), col("bsi"))
+      .withColumn("isalt", explode(sequence(lit(0), col("bsi") - 1)))
+      .repartition(numP, col("label"), col("band"), col("sig"),
+        col("salt"), col("isalt"))
+      .join(bandsW
+        .select(col("label"), col("band"), col("sig"),
+          pmod(col("vec_id"), col("bsi")).cast("int").as("isalt"),
+          col("vec_id").as("vec_b"), col("bsn"))
+        .withColumn("salt", explode(sequence(lit(0), col("bsn") - 1)))
+        .repartition(numP, col("label"), col("band"), col("sig"),
+          col("salt"), col("isalt"))
+        .hint("shuffle_hash"),
+        Seq("label", "band", "sig", "salt", "isalt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"))
       .distinct()
     val bigPairs = scored(cands
       .join(big.select(col("label"), col("vec_id").as("vec_a"),
@@ -1128,7 +1200,22 @@ object Dedup {
     * never enter the loop; callers label them in a final left join.
     * One driver action per round (the label-sum fixpoint scalar).
     */
-  private[operators] def labelPropagation(edges: DataFrame): DataFrame = {
+  /** Lineage-truncation cadence for [[labelPropagation]] (r16,
+    * verdict item 5): a persist caches DATA but keeps the logical
+    * lineage, so a long-diameter duplicate graph (a chain of near-dup
+    * links converges in ~diameter rounds) used to grow an
+    * O(rounds)-deep plan that Catalyst re-analyzes every round —
+    * driver CPU/heap in plan strings, not data. Every N rounds the
+    * label vector is checkpointed instead (the same reliable/local
+    * swap + bounded-stats reset pagerank uses), so plan depth is
+    * bounded by N regardless of graph diameter. 8 keeps typical
+    * near-dup graphs (diameter ≤ a few) on the cheap persist path
+    * while capping pathological chains; LabelPropChainSpec drives a
+    * long chain through several truncations.
+    */
+  private[operators] val LabelPropCheckpointEvery = 8
+
+  private[graft] def labelPropagation(edges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val undirected = edges
       .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -1141,19 +1228,41 @@ object Dedup {
       .agg(least(min(col("doc_b")), col("doc_a")).as("cluster_id"))
       .persist(MEMORY_AND_DISK)
     // coalesce: sum over an empty vertex set (no near-dup pairs at
-    // small SFs) is NULL, and an empty set is already converged
-    var prevSum = labels.agg(coalesce(sum(col("cluster_id")), lit(0L)))
-      .head().getLong(0)
+    // small SFs) is NULL, and an empty set is already converged.
+    // The seed action also captures the vertex count — the honest
+    // stats bound for the periodic checkpoints below (the label
+    // vector stays vertex-sized in every round).
+    val seed = labels.agg(coalesce(sum(col("cluster_id")), lit(0L)),
+      count(lit(1))).head()
+    var prevSum = seed.getLong(0)
+    val nVerts = seed.getLong(1)
     var converged = prevSum == 0L
+    // same cluster contract as pageRankConverged: with a reliable
+    // checkpoint dir configured the truncation survives executor
+    // loss; locally the executor-resident variant is used
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    var rounds = 0
     while (!converged) {
       val msgs = undirected
         .join(labels, undirected("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("cluster_id"))
-      val next = labels.select(col("id"), col("cluster_id"))
+      val next0 = labels.select(col("id"), col("cluster_id"))
         .unionAll(msgs)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(MEMORY_AND_DISK)
+      rounds += 1
+      // every [[LabelPropCheckpointEvery]] rounds: checkpoint (lineage
+      // cut to a materialized vertex-sized leaf, stats re-rooted to
+      // 16B/row × nVerts so join estimates can't compound) instead of
+      // persist (which would keep the whole round chain live in the
+      // plan — see LabelPropCheckpointEvery)
+      val next =
+        if (rounds % LabelPropCheckpointEvery == 0)
+          org.apache.spark.sql.graftshim.CheckpointStats
+            .withBoundedStats(truncate(next0), BigInt(nVerts).max(1) * 32)
+        else next0.persist(MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
       labels.unpersist()
       labels = next
@@ -1260,6 +1369,11 @@ object Dedup {
         .select(col("m"), posexplode(col("m")))
         .select(col("col").as("doc_a"),
           explode(slice(col("m"), col("pos") + lit(2), size(col("m")))).as("doc_b"))
+        // duplicate doc_id rows in the input (unenforced contract)
+        // sort adjacent and would slice out as (a, a) self-pairs —
+        // the big-bucket branch's strict `<` already drops them;
+        // match it here (cheap, no-op on well-formed input)
+        .filter(col("doc_a") =!= col("doc_b"))
       // BIG buckets (bn > SaltRows) take the salted self-join: probe
       // rows hash into sn = ceil(bn/SaltRows) sub-buckets, index rows
       // replicate into each — pair set identical, emission spread
@@ -1388,8 +1502,14 @@ object Dedup {
     * (see [[textGroups]] — output-identical, and copy-heavy corpora
     * pay candidate/verify cost once per distinct text instead of
     * once per copy pair; ScaleSmoke: 4–23×). `spreadInput` only
-    * affects the direct branch (the rep relation is already the
-    * output of the groups shuffle).
+    * affects the direct branch; the rep branch ALWAYS spreads on
+    * doc_id (r16 ADVICE): the groups relation sits on md5(text)
+    * partitioning, which does NOT satisfy the fused verify joins'
+    * doc_a/doc_b clustering — without the spread,
+    * EnsureRequirements adds exchanges on the verify sides whose
+    * map stages are extra leaf stages racing the banding stage on a
+    * cold `enriched` cache, re-paying the shingle CPU the single-
+    * leaf-stage no-race argument exists to avoid.
     */
   def minhashPairs(docs: DataFrame, spreadInput: Boolean = true): DataFrame =
     if (essentiallyDupFree(docs)) {
@@ -1397,7 +1517,7 @@ object Dedup {
     } else {
       val groups = textGroups(docs)
       val reps = groups.select(col("rep").as("doc_id"), col("text"))
-      val repPairs = minhashPairsFused(reps, spreadInput = false)
+      val repPairs = minhashPairsFused(reps, spreadInput = true)
       intraGroupPairs(groups, Seq(lit(1.0).as("jaccard")))
         .unionAll(expandRepPairs(repPairs, groups, Seq("jaccard")))
     }
@@ -1476,7 +1596,12 @@ object Dedup {
     // canChangeCachedPlanOutputPartitioning in GraftSession), inside
     // a join stage that cannot start before the candidate side is
     // shuffled. So the fill happens exactly once, sequentially,
-    // lazily — no action at construction time.
+    // lazily — no action at construction time. This argument REQUIRES
+    // the cache to sit on doc_id partitioning, which is why every
+    // caller spreads on doc_id (the rep branch included, r16 ADVICE:
+    // on the groups relation's md5(text) partitioning the verify
+    // sides would grow EnsureRequirements exchanges — extra leaf
+    // stages racing the banding stage on a cold cache).
     val enriched = sets.select(col("doc_id"), vtoks.as("vtoks"),
         size(col("toks")).as("n"),
         graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))

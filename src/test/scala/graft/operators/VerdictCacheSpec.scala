@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
 
 /** Pins the bounded plan-keyed verdict memo (`Dedup.memoVerdict`) that
   * the jaccard-injectivity, rep-composition, and embedding-dup gates
@@ -97,5 +98,89 @@ class VerdictCacheSpec extends SparkSpec {
     Dedup.memoVerdictDisk(freshCache(), df, "spec_mem") { probes += 1; true }
     assert(probes == 2,
       "a synthetic relation has no stable content key and must re-probe per cache")
+  }
+
+  // ---- r16 ADVICE: fingerprint must survive nesting, schemes, width --
+
+  test("disk tier: a changed file under NESTED partition dirs re-probes") {
+    // root/a=?/b=?/part-*.parquet — the java.io.File root listing the
+    // old fingerprint used was non-recursive: appending a file two
+    // levels down left the listed child-dir mtimes untouched and
+    // served the stale verdict. The FileIndex fingerprint enumerates
+    // leaf files, so any nested change re-keys.
+    val dir = java.nio.file.Files.createTempDirectory("verdict-nested").toFile
+    try {
+      def write(rows: Seq[(Long, Int, Int, String)], mode: String): Unit =
+        rows.toDF("doc_id", "a", "b", "text").coalesce(1)
+          .write.partitionBy("a", "b").mode(mode).parquet(dir.getAbsolutePath)
+      write(Seq((1L, 1, 1, "x y"), (2L, 1, 2, "p q")), "overwrite")
+      // freeze every dir mtime so ONLY leaf-file knowledge can detect
+      // the change below (belt over the non-recursion argument: on
+      // some filesystems the append bumps b=1's mtime, which the old
+      // code never listed anyway)
+      def df() = spark.read.parquet(dir.getAbsolutePath)
+      var probes = 0
+      val kind = s"spec_nested_${System.nanoTime()}"
+      val v1 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; true }
+      val v2 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; false }
+      assert(v1 && v2 && probes == 1,
+        s"partitioned corpus must qualify for the disk tier ($probes probes)")
+      write(Seq((3L, 1, 1, "z w")), "append") // new leaf file at depth 2
+      val v3 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; false }
+      assert(!v3 && probes == 2,
+        "a new leaf file two partition levels down must re-probe")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("disk tier: a remote-scheme relation is disqualified (probe per cache)") {
+    // s3a:// through the in-process object store: the path does not
+    // exist on the local filesystem, so local file metadata can never
+    // fingerprint it — the old java.io.File probe produced a CONSTANT
+    // fingerprint here and served verdicts across data changes.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[graft.sources.InMemObjectStore].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.outputcommitter.factory.scheme.s3a", "")
+    val path = "s3a://graft-verdict/docs"
+    Seq((1L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    def df() = spark.read.parquet(path)
+    var probes = 0
+    val kind = s"spec_s3a_${System.nanoTime()}"
+    Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; true }
+    Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; true }
+    assert(probes == 2,
+      "a non-local scheme must stay JVM-memoized only, never disk-keyed")
+  }
+
+  test("disk tier: two distinct wide plans over the same files don't alias") {
+    // 30-column schema: plan.toString truncates the output list at
+    // spark.sql.maxToStringFields (25), so the old md5 could collide
+    // two different projections/filters of the same table and swap
+    // verdicts; the semanticHash + full-schema key cannot.
+    val dir = java.nio.file.Files.createTempDirectory("verdict-wide").toFile
+    try {
+      val cols = (0 until 30).map(i => s"c$i")
+      spark.range(4).select(
+          (col("id") +: (1 until 30).map(i => (col("id") * i).as(s"x$i"))): _*)
+        .toDF(cols: _*)
+        .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      def base() = spark.read.parquet(dir.getAbsolutePath)
+      val kind = s"spec_wide_${System.nanoTime()}"
+      var probes = 0
+      val v1 = Dedup.memoVerdictDisk(freshCache(),
+        base().filter(col("c1") > 0), kind) { probes += 1; true }
+      val v2 = Dedup.memoVerdictDisk(freshCache(),
+        base().filter(col("c2") > 0), kind) { probes += 1; false }
+      assert(v1 && !v2 && probes == 2,
+        "distinct plans over the same files must key separately")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 }
