@@ -401,11 +401,17 @@ object Dedup {
     *    untouched) and meaningless for remote schemes. Paths whose
     *    scheme isn't local (null/"file") or that don't exist locally
     *    disqualify the plan from the disk tier entirely.
-    *  - The PLAN is keyed by its canonicalized semanticHash + full
-    *    (untruncated) schema JSON — `plan.toString` truncates at
-    *    spark.sql.maxToStringFields (default 25), so two distinct
-    *    wide-schema plans over the same files could alias to one md5
-    *    and swap verdicts across queries of the same kind.
+    *  - The PLAN is keyed by its canonicalized UNTRUNCATED treeString
+    *    (explicit maxFields, not the spark.sql.maxToStringFields
+    *    default of 25) + full schema JSON, so two distinct wide-schema
+    *    plans over the same files can never alias to one md5 and swap
+    *    verdicts across queries of the same kind. NOT semanticHash():
+    *    that is the canonicalized plan's hashCode, and HadoopFsRelation
+    *    hashes its FileIndex by IDENTITY — a different value in every
+    *    JVM, which silently degraded the disk tier to per-session
+    *    (measured in the r16 recording session: every bench attempt
+    *    re-probed and re-trained under fresh keys, putting ~1.1 s of
+    *    probe jobs back inside dedup_minhash_lsh's cold window).
     */
   private def diskVerdictKey(df: DataFrame, kind: String): Option[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -431,7 +437,9 @@ object Dedup {
     }
     if (parts.exists(_.isEmpty)) None
     else {
-      val raw = kind + "\n" + plan.semanticHash().toString + "\n" +
+      val raw = kind + "\n" +
+        plan.treeString(verbose = false, addSuffix = false,
+          maxFields = Int.MaxValue, printOperatorId = false) + "\n" +
         plan.schema.json + "\n" + parts.flatten.mkString("|")
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(raw.getBytes("UTF-8"))
