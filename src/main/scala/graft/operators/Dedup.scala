@@ -364,10 +364,11 @@ object Dedup {
         val computed = diskVerdictKey(df, kind) match {
           case Some(dk) =>
             val f = new java.io.File(s"target/derived/verdicts/$dk")
-            if (f.exists())
+            if (f.exists()) {
+              DerivedStore.touch(f)
               new String(java.nio.file.Files.readAllBytes(f.toPath),
                 "UTF-8").trim == "true"
-            else {
+            } else {
               val v = probe
               f.getParentFile.mkdirs()
               // temp-file + atomic rename: a concurrent JVM sharing
@@ -380,6 +381,7 @@ object Dedup {
                 (if (v) "true" else "false").getBytes("UTF-8"))
               java.nio.file.Files.move(tmp, f.toPath,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              DerivedStore.evictPast(f.getParentFile, DerivedStore.VerdictCap)
               v
             }
           case None => probe
@@ -453,11 +455,18 @@ object Dedup {
     * real warehouse trains its quantizer ONCE and stores it with the
     * index; it does not re-run Lloyd's algorithm inside every query's
     * cold latency. Same keying contract as [[memoVerdictDisk]]
-    * (canonicalized-plan semantic hash + full schema + recursive
-    * local-FS leaf-file fingerprint via [[diskVerdictKey]], so a
-    * regenerated corpus always retrains), same atomic-rename write,
-    * same fall-through for non-file relations (tests/smokes train per
-    * JVM). Output safety does NOT rest on the model being byte-stable:
+    * (canonicalized UNTRUNCATED treeString + full schema JSON +
+    * recursive local-FS leaf-file fingerprint via [[diskVerdictKey]] —
+    * never semanticHash, which is JVM-unstable; see the diskVerdictKey
+    * doc — so a regenerated corpus always retrains), same
+    * atomic-rename write, same fall-through for non-file relations
+    * (tests/smokes train per JVM). Callers must VERSION their `kind`
+    * string (e.g. a `v1:` prefix) and bump it with any trainer or
+    * encode/decode format change: the key otherwise carries only
+    * hyperparams + corpus, so old-code models would silently serve
+    * (exact output either way, but a decode could crash on an
+    * old-format file and cross-round training-cost comparisons would
+    * mix code versions). Output safety does NOT rest on the model being byte-stable:
     * the consumers are certificate-exact w.r.t. the model (ivfTopK's
     * registered query probes every cell; ivfpqTopK's rerank pool is
     * bound-certified ⊇ the true top-k), so WHICH converged model is
@@ -472,35 +481,36 @@ object Dedup {
       df: DataFrame, kind: String)(
       train: => T)(encode: T => String)(decode: String => T): T = {
     val key = df.queryExecution.analyzed.canonicalized
-    Option(cache.get(key)) match {
-      case Some(v) => v.asInstanceOf[T]
-      case None =>
-        val computed: T = diskVerdictKey(df, kind) match {
-          case Some(dk) =>
-            val f = new java.io.File(s"target/derived/models/$dk")
-            if (f.exists())
-              decode(new String(
-                java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-            else {
-              val v = train
-              f.getParentFile.mkdirs()
-              val tmp = java.nio.file.Files.createTempFile(
-                f.getParentFile.toPath, f.getName, ".tmp")
-              java.nio.file.Files.write(tmp, encode(v).getBytes("UTF-8"))
-              java.nio.file.Files.move(tmp, f.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              v
-            }
-          case None => train
-        }
-        // bounded like [[memoVerdict]]: each key retains a whole plan
-        while (cache.size() > VerdictCacheMax) {
-          val it = cache.keySet().iterator()
-          if (it.hasNext) { it.next(); it.remove() }
-        }
-        cache.put(key, computed)
-        computed
+    // bounded like [[memoVerdict]]: each key retains a whole plan
+    while (cache.size() > VerdictCacheMax) {
+      val it = cache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
     }
+    // computeIfAbsent, matching memoVerdict's contract (r16 ADVICE):
+    // two threads racing the first call for one plan must not both
+    // run training — the old get → compute → put let both pay the
+    // Lloyd cost (benign last-wins result, duplicated work)
+    cache.computeIfAbsent(key, _ =>
+      diskVerdictKey(df, kind) match {
+        case Some(dk) =>
+          val f = new java.io.File(s"target/derived/models/$dk")
+          if (f.exists()) {
+            DerivedStore.touch(f)
+            decode(new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          } else {
+            val v = train
+            f.getParentFile.mkdirs()
+            val tmp = java.nio.file.Files.createTempFile(
+              f.getParentFile.toPath, f.getName, ".tmp")
+            java.nio.file.Files.write(tmp, encode(v).getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp, f.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            DerivedStore.evictPast(f.getParentFile, DerivedStore.ModelCap)
+            v
+          }
+        case None => train
+      }).asInstanceOf[T]
   }
 
   /** Duplicate share above which the exact-then-near REP composition
@@ -1319,7 +1329,9 @@ object Dedup {
       rounds += 1
       // every [[LabelPropCheckpointEvery]] rounds: checkpoint (lineage
       // cut to a materialized vertex-sized leaf, stats re-rooted to
-      // 16B/row × nVerts so join estimates can't compound) instead of
+      // 32 B/row × nVerts — the UnsafeRow footprint of (id, cluster_id):
+      // 8 B null bitset + 2×8 B longs, rounded up — so join estimates
+      // can't compound) instead of
       // persist (which would keep the whole round chain live in the
       // plan — see LabelPropCheckpointEvery)
       val next =

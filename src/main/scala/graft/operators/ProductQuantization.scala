@@ -161,8 +161,10 @@ object ProductQuantization {
     */
   private[operators] def trainedPqModels(
       emb: DataFrame): (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    // `v1:` versions the trainer+codec — bump with any collectSample/
+    // lloyd/encode-format change (see [[Dedup.memoModelDisk]] doc)
     Dedup.memoModelDisk(pqMemo, emb,
-      s"pq_models:m$M:k$CodebookK:c$CoarseCells:i$Iters:t$TrainSample")({
+      s"v1:pq_models:m$M:k$CodebookK:c$CoarseCells:i$Iters:t$TrainSample")({
       val raw = collectSample(emb)
       (lloyd(raw.map(_.map(_.toDouble).toArray),
         raw.take(CoarseCells).map(_.map(_.toDouble).toArray), Iters),

@@ -594,8 +594,11 @@ object Similarity {
     // ([[Dedup.memoModelDisk]] — see its exactness argument: the
     // registered query probes every cell, so the served model can
     // never change output).
+    // the `v1:` token versions the TRAINER+CODEC, not the hyperparams
+    // (r16 ADVICE): bump it with any lloyd/sample/encodeMatrix change
+    // so old-format files can never be served to new decode code
     Dedup.memoModelDisk(centroidMemo, emb,
-      s"ivf_centroids:k$Cells:i$LloydIters:s$SamplePerCell")(
+      s"v1:ivf_centroids:k$Cells:i$LloydIters:s$SamplePerCell")(
       trainCentroidsNow(emb))(encodeMatrix)(decodeMatrix)
 
   private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[

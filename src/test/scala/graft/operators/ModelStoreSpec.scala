@@ -65,6 +65,41 @@ class ModelStoreSpec extends SparkSpec {
       "a synthetic relation has no stable content key and must train per cache")
   }
 
+  test("derived-store LRU: eviction drops oldest past the cap, touch refreshes") {
+    // r16 verdict item 6: target/derived/{models,verdicts} accumulate
+    // one entry per corpus fingerprint forever. The stores are caches
+    // (a stale eviction only costs a retrain/re-probe), so they are
+    // bounded LRU-by-mtime: memoModelDisk/memoVerdictDisk touch on
+    // disk-hit and evict past DerivedStore.{ModelCap,VerdictCap} on
+    // write — this spec drives the shared mechanism directly.
+    val dir = java.nio.file.Files.createTempDirectory("derived-lru").toFile
+    try {
+      def mk(name: String, ageSec: Long): java.io.File = {
+        val f = new java.io.File(dir, name)
+        java.nio.file.Files.writeString(f.toPath, "x")
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageSec * 1000))
+        f
+      }
+      (1 to 6).foreach(i => mk(s"m$i", ageSec = 100 - i)) // m1 oldest
+      mk("half.tmp", ageSec = 1000) // in-flight write: never a victim
+      DerivedStore.evictPast(dir, cap = 4)
+      val left = dir.listFiles().map(_.getName).toSet
+      assert(left == Set("m3", "m4", "m5", "m6", "half.tmp"),
+        s"oldest-2 eviction expected, got $left")
+      // a disk-hit touch must move its entry to the LRU front
+      DerivedStore.touch(new java.io.File(dir, "m3"))
+      mk("m7", ageSec = 0)
+      DerivedStore.evictPast(dir, cap = 4)
+      val left2 = dir.listFiles().map(_.getName).toSet
+      assert(left2 == Set("m3", "m5", "m6", "m7", "half.tmp"),
+        s"touched m3 must survive and untouched-oldest m4 must go, got $left2")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("pq pair codec round-trips coarse + nested codebooks exactly") {
     val dir = java.nio.file.Files.createTempDirectory("model-pq").toFile
     try {

@@ -114,10 +114,6 @@ class VerdictCacheSpec extends SparkSpec {
         rows.toDF("doc_id", "a", "b", "text").coalesce(1)
           .write.partitionBy("a", "b").mode(mode).parquet(dir.getAbsolutePath)
       write(Seq((1L, 1, 1, "x y"), (2L, 1, 2, "p q")), "overwrite")
-      // freeze every dir mtime so ONLY leaf-file knowledge can detect
-      // the change below (belt over the non-recursion argument: on
-      // some filesystems the append bumps b=1's mtime, which the old
-      // code never listed anyway)
       def df() = spark.read.parquet(dir.getAbsolutePath)
       var probes = 0
       val kind = s"spec_nested_${System.nanoTime()}"
@@ -125,7 +121,20 @@ class VerdictCacheSpec extends SparkSpec {
       val v2 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; false }
       assert(v1 && v2 && probes == 1,
         s"partitioned corpus must qualify for the disk tier ($probes probes)")
+      // snapshot every DIRECTORY mtime before the append and restore
+      // after, so ONLY leaf-file knowledge can detect the change below
+      // (belt over the non-recursion argument: on some filesystems the
+      // append bumps b=1's mtime, which the old code never listed
+      // anyway — freezing closes that accidental detection channel)
+      def dirsUnder(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) Seq.empty
+        else f +: f.listFiles().toSeq.flatMap(dirsUnder)
+      val frozen = dirsUnder(dir).map(d => d -> d.lastModified())
       write(Seq((3L, 1, 1, "z w")), "append") // new leaf file at depth 2
+      frozen.foreach { case (d, t) =>
+        java.nio.file.Files.setLastModifiedTime(d.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(t))
+      }
       val v3 = Dedup.memoVerdictDisk(freshCache(), df(), kind) { probes += 1; false }
       assert(!v3 && probes == 2,
         "a new leaf file two partition levels down must re-probe")
@@ -162,7 +171,9 @@ class VerdictCacheSpec extends SparkSpec {
     // 30-column schema: plan.toString truncates the output list at
     // spark.sql.maxToStringFields (25), so the old md5 could collide
     // two different projections/filters of the same table and swap
-    // verdicts; the semanticHash + full-schema key cannot.
+    // verdicts; the untruncated-treeString + full-schema-JSON key
+    // cannot (NOT semanticHash — that is JVM-unstable, see
+    // diskVerdictKey's doc).
     val dir = java.nio.file.Files.createTempDirectory("verdict-wide").toFile
     try {
       val cols = (0 until 30).map(i => s"c$i")
