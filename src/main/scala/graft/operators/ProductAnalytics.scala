@@ -641,11 +641,14 @@ object ProductAnalytics {
     * round CAP spends exactly what the graph needs, bounded).
     * Returns (ranks, roundsUsed).
     *
-    * Unlike the fixed-3 unroll, each round MATERIALIZES (persist +
-    * one scalar delta aggregate) — intrinsic to convergence testing:
-    * the stop decision needs the round's Σ|Δpr| on the driver (one
-    * 16-byte decimal per round, the same bounded-collect budget as
-    * the BPE merge loop). The delta is EXACT and order-invariant —
+    * Unlike the fixed-3 unroll, rounds MATERIALIZE — intrinsic to
+    * convergence testing: the stop decision needs Σ|Δpr| on the driver
+    * (one 16-byte decimal per round, the same bounded-collect budget
+    * as the BPE merge loop) — but the deltas are collected in
+    * contraction-predicted BATCHES (one union-of-aggregates action per
+    * batch, not one barrier per round; r16 verdict item 3), scanned in
+    * round order so the first round under tolerance still defines k.
+    * The delta is EXACT and order-invariant —
     * both rank vectors cast to decimal(38,18) before |new − old| and
     * the sum is decimal addition — so the round count is
     * deterministic under shuffle nondeterminism and identical at any
@@ -713,47 +716,120 @@ object ProductAnalytics {
         col("outdeg"))
     var rounds = 0
     var converged = false
+    // ---- batched convergence barrier (r16 verdict item 3) -----------
+    // The old loop collected one delta scalar per round (2 driver
+    // barriers/round: eager checkpoint + delta agg) — driver-paced on
+    // slow-mixing graphs. Rounds between checks are now built LAZILY
+    // (persist, not checkpoint: each round's rank relation is
+    // referenced TWICE by round r+1 — contrib path + left-join base —
+    // so an uncached chain would recompute 2^j-fold; the cache dedups
+    // both readers) and ONE union-of-aggregates action per batch
+    // collects EVERY round's exact decimal Σ|Δpr| — the identical
+    // per-round expression as before, scanned in round order, so the
+    // FIRST round under tolerance still wins: k and the returned ranks
+    // are bit-identical to the per-round loop (PageRankSpec pins this
+    // against the fixed unroll; the oracle's min-r selection matches).
+    // Batch size is CONTRACTION-PREDICTED from the last two observed
+    // deltas (rounds-to-tol at the observed ρ, floored so mispredicts
+    // land short — an extra small batch, never wasted rounds), capped
+    // at 4. The cap is MEASURED, not aesthetic (ZipfSmoke m=1, 15
+    // rounds to tol, steal≈0 box): per-round loop 14.7 s total; a
+    // batch of 4 ran at 0.55 s/round (2× faster than per-round — the
+    // saved checkpoint writes + barriers) but a batch of 8 at 8.4
+    // s/round — 15× worse: with the intra-batch rounds persisted but
+    // UNMATERIALIZED, each round's cache has 3 racing consumer stages
+    // (next round's contrib + base, its own delta branch), and past
+    // ~4 levels the duplicated cache-population work compounds down
+    // the chain instead of being absorbed by first-writer-wins blocks.
+    // Per batch: 1 delta action + 1 checkpoint action instead of 2 per
+    // round — and the per-round checkpoint WRITES are gone too; only
+    // batch boundaries pay the lineage truncation.
+    var dPrev = Option.empty[Double]
+    var dLast = Option.empty[Double]
+    val tolD = tol.doubleValue()
+    def nextBatch(remaining: Int): Int = {
+      val cap = math.min(4, remaining)
+      (dPrev, dLast) match {
+        case (Some(p), Some(l)) if l > 0 && p > 0 && l < p && tolD > 0 =>
+          // observed contraction ρ = l/p; rounds to tol ≈ log_ρ(tol/l)
+          val m = math.log(tolD / l) / math.log(l / p)
+          math.max(1, math.min(cap, math.floor(m).toInt))
+        case _ if dLast.isEmpty => math.max(1, math.min(2, cap)) // need 2 deltas for ρ
+        case _ => cap // not contracting (or tol unreachable): run the cap
+      }
+    }
     while (!converged && rounds < maxRounds) {
-      val roundT0 = System.nanoTime()
-      val prw = pr.filter(col("outdeg").isNotNull)
-        .select(col("part").as("src"), (col("pr") / col("outdeg")).as("w"))
-      val contrib = ed
-        .join(prw.hint("shuffle_hash"), Seq("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("w").cast("decimal(38,18)")).as("s"))
-      // the OLD rank rides along into the checkpoint so the delta is
-      // one cheap agg over the materialized node-sized relation
-      // instead of a second join job over two checkpoints per round
-      // stats reset is REQUIRED, not cosmetic: this plan references
-      // the previous checkpoint twice (contrib path + the left-join
-      // base), so the size-only join estimate SQUARES round-over-round
-      // and the eager stats rewrite inside checkpoint() goes
-      // super-exponential in driver CPU by round ~20
-      // (BigInteger.multiplyToomCook3 on million-digit estimates —
-      // measured 161 s/round on a 4-node graph). Bound it to the
-      // honest 4-col UnsafeRow width × node count.
-      val next = org.apache.spark.sql.graftshim.CheckpointStats
-        .withBoundedStats(truncate(pr
+      val batchT0 = System.nanoTime()
+      val batch = nextBatch(maxRounds - rounds)
+      val roundDfs = new scala.collection.mutable.ArrayBuffer[DataFrame](batch)
+      var cur = pr
+      for (_ <- 1 to batch) {
+        val prw = cur.filter(col("outdeg").isNotNull)
+          .select(col("part").as("src"), (col("pr") / col("outdeg")).as("w"))
+        val contrib = ed
+          .join(prw.hint("shuffle_hash"), Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("w").cast("decimal(38,18)")).as("s"))
+        // the OLD rank rides along so each round's delta is one agg
+        // over the round's own (cached) node-sized relation
+        val nxt = cur
           .withColumnRenamed("pr", "pr_old")
           .join(contrib.withColumnRenamed("dst", "part").hint("shuffle_hash"),
             Seq("part"), "left")
           .select(col("part"),
             (lit(if (n == 0) 0.0 else 0.15 / n) +
               lit(0.85) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"),
-            col("pr_old"), col("outdeg"))), BigInt(n).max(1) * 40)
-      val ckptSec = (System.nanoTime() - roundT0) / 1e9
-      // one exact decimal scalar per round: Σ|pr_new − pr_old|
-      val delta = next
-        .agg(sum(abs(col("pr").cast("decimal(38,18)") -
+            col("pr_old"), col("outdeg"))
+          .persist(MEMORY_AND_DISK)
+        roundDfs += nxt
+        cur = nxt.select(col("part"), col("pr"), col("outdeg"))
+      }
+      // ONE action per batch: every round's exact decimal Σ|pr−pr_old|
+      // (the shuffle map stages are shared across the union's branches
+      // by the scheduler; only cache-read probe work can duplicate)
+      val deltas = roundDfs.zipWithIndex.map { case (df, i) =>
+        df.agg(sum(abs(col("pr").cast("decimal(38,18)") -
           col("pr_old").cast("decimal(38,18)"))).as("d"))
-        .head().getDecimal(0)
-      pr = next.select(col("part"), col("pr"), col("outdeg")) // checkpointed; no job
-      rounds += 1
-      converged = delta == null || delta.compareTo(tol) < 0
+          .select(lit(i).as("i"), col("d"))
+      }.reduce(_.unionAll(_)).collect()
+        .map(r => r.getInt(0) -> r.getDecimal(1)).toMap
       if (sys.env.contains("SPARK_GRAFT_PR_DEBUG"))
-        System.err.println(f"pagerank_converged round=$rounds delta_l1=$delta " +
-          f"round_sec=${(System.nanoTime() - roundT0) / 1e9}%.2f " +
-          f"ckpt_sec=$ckptSec%.2f")
+        (0 until batch).foreach(i => System.err.println(
+          f"pagerank_converged round=${rounds + i + 1} delta_l1=${deltas(i)} " +
+            f"batch_sec=${(System.nanoTime() - batchT0) / 1e9}%.2f"))
+      // first round under tolerance wins — exact-k semantics preserved
+      val hit = (0 until batch).find { i =>
+        deltas(i) == null || deltas(i).compareTo(tol) < 0
+      }
+      hit match {
+        case Some(i) =>
+          rounds += i + 1
+          converged = true
+          pr = roundDfs(i).select(col("part"), col("pr"), col("outdeg"))
+          roundDfs.zipWithIndex.filter(_._2 != i).foreach(_._1.unpersist())
+        case None =>
+          rounds += batch
+          // batch-boundary lineage truncation + honest stats re-root:
+          // stats reset is REQUIRED, not cosmetic — the round plan
+          // references its base twice, so the size-only join estimate
+          // SQUARES round-over-round and the eager stats rewrite
+          // inside checkpoint() goes super-exponential in driver CPU
+          // (BigInteger.multiplyToomCook3 on million-digit estimates —
+          // measured 161 s/round on a 4-node graph before the shim).
+          // Bound = 3-col UnsafeRow width × node count.
+          pr = org.apache.spark.sql.graftshim.CheckpointStats
+            .withBoundedStats(truncate(
+              roundDfs.last.select(col("part"), col("pr"), col("outdeg"))),
+              BigInt(n).max(1) * 32)
+          if (batch >= 2) {
+            dPrev = Some(deltas(batch - 2).doubleValue())
+            dLast = Some(deltas(batch - 1).doubleValue())
+          } else {
+            dPrev = dLast
+            dLast = Some(deltas(batch - 1).doubleValue())
+          }
+          roundDfs.foreach(_.unpersist())
+      }
     }
     val ranks = pr
       .select(col("part"), round(col("pr") * lit(n.toDouble), 6).as("pr_ratio"))

@@ -28,11 +28,13 @@ class LabelPropChainSpec extends SparkSpec {
     assert(out.size == links + 1, "every chain vertex must be labeled")
     assert(out.values.forall(_ == 0L),
       s"every vertex joins cluster 0 (got ${out.filter(_._2 != 0L)})")
-    // ~20 propagation rounds with truncations at 8 and 16: the exit
-    // plan carries at most LabelPropCheckpointEvery-1 rounds of
-    // lineage above a LogicalRDD leaf. Without the checkpoint this
-    // plan would have ~2^20 root-to-leaf paths and this collect (and
-    // the loop itself) would not finish.
+    // ~20 propagation rounds (plus the ≤ 7-round fixpoint overshoot of
+    // the batched sum checks — identical labels, see labelPropagation)
+    // with truncations every 8: the exit plan carries at most
+    // LabelPropCheckpointEvery-1 rounds of lineage above a LogicalRDD
+    // leaf. Without the checkpoint this plan would have ~2^20
+    // root-to-leaf paths and this collect (and the loop itself) would
+    // not finish.
     val planNodes = labels.queryExecution.analyzed.collect { case p => p }.size
     assert(planNodes < 4000,
       s"plan grew to $planNodes nodes — lineage truncation not firing")
