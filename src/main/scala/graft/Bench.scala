@@ -277,10 +277,15 @@ object Bench {
     // index-build cost, not query latency; the r15 cold_vs_warm flags
     // on ann_ivf_topk (3.42×) / ann_ivfpq_topk (2.42×) were exactly
     // this training re-running inside every cold window.
-    if (Seq("ann_ivf_topk", "ann_ivfpq_topk").exists(selected)) {
+    if (Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_ivf_pruned_recall")
+        .exists(selected)) {
       val emb = graft.catalog.Tables(spark, sfDir).embeddings
-      graft.operators.Similarity.trainCentroids(emb)
-      graft.operators.ProductQuantization.trainCodebooks(emb)
+      if (selected("ann_ivf_topk")) graft.operators.Similarity.trainCentroids(emb)
+      if (selected("ann_ivfpq_topk"))
+        graft.operators.ProductQuantization.trainCodebooks(emb)
+      // the pruned-recall row's deterministic 32-cell quantizer
+      if (selected("ann_ivf_pruned_recall"))
+        graft.operators.Similarity.trainCentroidsExact(emb)
     }
     // AOT warm (r11 verdict #7): the graph family's residual cold:warm
     // gap is C2/JIT warming of the iterative keyed join+agg dataflow's
