@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Chunked/resumable bench recording (r16 verdict item 1).
+#
+# The hostile-host problem: quiet windows on this box are shorter than
+# one 12-14 min full-board recording, so 13/13 r16 attempts failed the
+# whole-run steal/IO guard. This loop runs graft.Bench in LEDGER mode:
+# each attempt is a fresh JVM that re-runs ONLY the queries whose
+# previous windows were dirty (per-query steal/iowait sampled over the
+# query's own wall), folds the clean ones into bench_ledger.json, and
+# stops when every query on the board has a guard-clean cold + all-warm
+# record — then Bench assembles bench_full.json with per-query attempt
+# provenance embedded.
+#
+# Usage: tools/record_bench.sh [max_attempts] [sf_dir]
+set -u
+MAX=${1:-20}
+SF=${2:-/root/testdata/sf0.1}
+cd "$(dirname "$0")/.."
+rm -f bench_ledger.json
+for i in $(seq 1 "$MAX"); do
+  echo "=== ledger attempt $i/$MAX ==="
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_LEDGER=bench_ledger.json \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -E '"metric"|ledger:' | tail -5
+  if python3 - <<'EOF'
+import json, sys
+# the ledger is JSONL: meta line first, then one line per adopted query
+try:
+    meta = json.loads(open("bench_ledger.json").readline())
+except Exception:
+    sys.exit(1)
+sys.exit(0 if not meta.get("pending", True) else 1)
+EOF
+  then
+    echo "=== ledger complete after $i attempt(s); bench_full.json assembled ==="
+    exit 0
+  fi
+done
+echo "=== ledger INCOMPLETE after $MAX attempts — see bench_ledger.json ==="
+exit 1
