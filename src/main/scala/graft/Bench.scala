@@ -508,9 +508,21 @@ object Bench {
                               load1End: Double) {
       def stealShare: Double =
         if (hostBusyCores > 0) stealCores / hostBusyCores else 0.0
+      /** The r13 regime (runnable+D-state load high while host CPU is
+        * near-idle) — the ONE signal per-query windows cannot carry,
+        * because load1 is a minute-scale EMA. Kept as its own test so
+        * ledger adoption can veto on exactly this without inheriting
+        * the coarser pass-level steal/iowait tests (whose per-query
+        * equivalents are stricter AND correctly scoped — a 15-min
+        * campaign attempt dies entirely on one dirty warm pass
+        * otherwise: r17 attempts 1-2 adopted 0/195 each because a
+        * neighbor burst during the warm passes vetoed 173 clean colds).
+        */
+      def loadDivergent: Boolean =
+        load1End > 12.0 && hostBusyCores >= 0 && hostBusyCores < 3.0
       def degraded: Boolean =
         (stealCores > 0.2 && stealShare > 0.05) || iowaitCores > 2.0 ||
-          (load1End > 12.0 && hostBusyCores >= 0 && hostBusyCores < 3.0)
+          loadDivergent
     }
     val passHosts = scala.collection.mutable.ArrayBuffer[PassHost]()
     def passStamp(label: String, t: Double, gatePre: Double,
@@ -617,16 +629,22 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     // ---- ledger adoption (r16 verdict #1) ---------------------------
     // A query is adopted when its cold window AND every warm-rep
-    // window were individually clean (per-window host steal/iowait
-    // under the bounds) AND no containing pass was `degraded` (the
-    // pass-level test also sees the r13 load-vs-busy divergence
-    // regime, which per-window steal cannot) AND the query didn't
-    // error. -1 window samples (/proc unavailable) count as clean —
-    // on such a host there is no guard at all, matching the
-    // pass-level rules, and the record still carries the -1 to audit.
+    // window were individually clean (per-window host steal, iowait,
+    // AND foreign-process cores under the bounds) AND no containing
+    // pass showed the r13 load-vs-busy divergence regime (the one
+    // signal a per-query window cannot carry — load1 is a minute-scale
+    // EMA) AND the query didn't error. The pass-level steal/iowait
+    // tests are deliberately NOT inherited here: their per-window
+    // equivalents are stricter and correctly scoped, and vetoing a
+    // whole pass throws away every clean window in it (r17 attempts
+    // 1-2: 0/195 adopted despite 173 clean cold windows, because a
+    // neighbor burst during the warm passes marked them degraded).
+    // -1 window samples (/proc unavailable) count as clean — on such
+    // a host there is no guard at all, matching the pass-level rules,
+    // and the record still carries the -1 to audit.
     ledgerPath.foreach { lp =>
       val degradedByPass: Map[String, Boolean] =
-        passHosts.map(p => p.label -> p.degraded).toMap
+        passHosts.map(p => p.label -> p.loadDivergent).toMap
       def windowClean(steal: Double, iowait: Double,
                       foreign: Double): Boolean =
         (steal < 0 || steal <= cleanStealCores) &&

@@ -12,11 +12,14 @@
 # provenance embedded.
 #
 # Usage: tools/record_bench.sh [max_attempts] [sf_dir]
+#
+# Resumes an existing bench_ledger.json by default (adopted records
+# survive an interrupted campaign); pass FRESH=1 to start over.
 set -u
 MAX=${1:-20}
 SF=${2:-/root/testdata/sf0.1}
 cd "$(dirname "$0")/.."
-rm -f bench_ledger.json
+if [ "${FRESH:-0}" = "1" ]; then rm -f bench_ledger.json; fi
 for i in $(seq 1 "$MAX"); do
   echo "=== ledger attempt $i/$MAX ==="
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_LEDGER=bench_ledger.json \
