@@ -262,12 +262,15 @@ object Bench {
     // of it. Comma-separated globs over query names; unset = full
     // suite — the driver recording never sets it, so the committed
     // protocol is unchanged. (Shared impl — see graft.Subset.)
-    // In ledger mode the board additionally excludes already-adopted
-    // queries — this also gates the family setup/AOT-warm blocks
-    // below, so late (small-board) attempts don't pay setup for
-    // families that already have clean records.
+    // In ledger mode the board additionally excludes COMPLETE records
+    // (clean cold + warmReps clean warm reps) — this also gates the
+    // family setup/AOT-warm blocks below, so late (small-board)
+    // attempts don't pay setup for families that already have clean
+    // records. Partial records (cold adopted, warm reps still short)
+    // keep their query on the board to harvest the missing reps.
     def selected(name: String): Boolean =
-      Subset.selected(name) && !ledgerPrior.contains(name)
+      Subset.selected(name) &&
+        !ledgerPrior.get(name).exists(_.warm.size >= warmReps)
     if (selected("dpp_quarter_revenue"))
       graft.operators.PartitionedFacts.partitionedLineitem(spark, sfDir)
     // same argument for the near-dup cluster assignment: ONE
@@ -643,7 +646,7 @@ object Bench {
     // a host there is no guard at all, matching the pass-level rules,
     // and the record still carries the -1 to audit.
     ledgerPath.foreach { lp =>
-      val degradedByPass: Map[String, Boolean] =
+      val divergentByPass: Map[String, Boolean] =
         passHosts.map(p => p.label -> p.loadDivergent).toMap
       def windowClean(steal: Double, iowait: Double,
                       foreign: Double): Boolean =
@@ -651,33 +654,59 @@ object Bench {
           (iowait < 0 || iowait <= cleanIowaitCores) &&
           (foreign < 0 || foreign <= cleanForeignCores)
       val attempt = ledgerAttempts + 1
-      val adopted = cold.flatMap { case (name, q) =>
+      // Cold and warm adopt INDEPENDENTLY (r17): cold needs this
+      // attempt's cold window clean; each warm rep only needs its own
+      // window clean, and missing reps are harvested from later
+      // attempts (Rec.warmAttempts records which). Requiring all four
+      // windows clean in ONE attempt starved the multi-second-window
+      // tail for 6 straight attempts under a flickering neighbor
+      // whose bursts always hit at least one warm pass.
+      val updated = cold.flatMap { case (name, q) =>
         val sfx = if (rocksDbQueries(name)) "_stream" else ""
-        val warmRuns = warmRepsByQuery(name)
-        val ok = !errors.contains(name) &&
-          !degradedByPass.getOrElse("cold" + sfx, true) &&
-          windowClean(q.stealCores, q.iowaitCores, q.foreignCores) &&
-          warmRuns.zipWithIndex.forall { case (r, i) =>
-            !degradedByPass.getOrElse(s"warm${i + 1}$sfx", true) &&
-              windowClean(r.stealCores, r.iowaitCores, r.foreignCores)
-          }
-        if (ok) Some(name -> BenchLedger.Rec(name, attempt, q.sec,
-          q.gcMs, q.heapUsedMb, q.rssMbAfter, q.load1Before,
-          q.stealCores, q.iowaitCores, q.foreignCores, q.plan,
-          warmRuns.map(_.sec),
-          warmRuns.map(_.stealCores), warmRuns.map(_.iowaitCores),
-          warmRuns.map(_.foreignCores), warmRuns.map(_.plan)))
-        else None
+        val cleanWarm = warmRepsByQuery(name).zipWithIndex.collect {
+          case (r, i)
+            if !divergentByPass.getOrElse(s"warm${i + 1}$sfx", true) &&
+              windowClean(r.stealCores, r.iowaitCores, r.foreignCores) => r
+        }
+        if (errors.contains(name)) None
+        else ledgerPrior.get(name) match {
+          case Some(prev) => // cold adopted earlier; top up warm reps
+            val take = cleanWarm.take(warmReps - prev.warm.size)
+            if (take.isEmpty) None
+            else Some(name -> prev.copy(
+              warm = prev.warm ++ take.map(_.sec),
+              warmSteal = prev.warmSteal ++ take.map(_.stealCores),
+              warmIowait = prev.warmIowait ++ take.map(_.iowaitCores),
+              warmForeign = prev.warmForeign ++ take.map(_.foreignCores),
+              warmAttempts = prev.warmAttempts ++ take.map(_ => attempt),
+              warmPlans = prev.warmPlans ++ take.map(_.plan)))
+          case None =>
+            val coldOk = !divergentByPass.getOrElse("cold" + sfx, true) &&
+              windowClean(q.stealCores, q.iowaitCores, q.foreignCores)
+            if (!coldOk) None
+            else {
+              val take = cleanWarm.take(warmReps)
+              Some(name -> BenchLedger.Rec(name, attempt, q.sec,
+                q.gcMs, q.heapUsedMb, q.rssMbAfter, q.load1Before,
+                q.stealCores, q.iowaitCores, q.foreignCores, q.plan,
+                take.map(_.sec), take.map(_.stealCores),
+                take.map(_.iowaitCores), take.map(_.foreignCores),
+                take.map(_ => attempt), take.map(_.plan)))
+            }
+        }
       }.toMap
-      val doneAll = ledgerPrior ++ adopted
+      val doneAll = ledgerPrior ++ updated
+      def complete(r: BenchLedger.Rec) = r.warm.size >= warmReps
       val board = SparkEntry.queries.keys.toSeq
         .filter(Subset.selected).sorted
-      val pending = board.filterNot(doneAll.contains)
+      val pending =
+        board.filterNot(n => doneAll.get(n).exists(complete))
       BenchLedger.write(lp, attempt, sfDir, cpus, warmReps,
         cleanStealCores, cleanIowaitCores, doneAll, pending)
-      System.err.println(s"ledger: attempt $attempt adopted " +
-        s"${adopted.size}/${cold.size} this run; ${pending.size} " +
-        s"pending of ${board.size}")
+      val nFull = doneAll.valuesIterator.count(complete)
+      System.err.println(s"ledger: attempt $attempt - $nFull " +
+        s"complete, ${doneAll.size - nFull} partial, " +
+        s"${pending.size} pending of ${board.size}")
       if (pending.isEmpty) {
         // a subset campaign covers a partial board — its assembly
         // must never clobber the committed full-board recording

@@ -55,6 +55,15 @@ object BenchLedger {
     */
   val DefaultCleanForeignCores = 1.00
 
+  /** One query's adopted numbers. `attempt` is the attempt whose COLD
+    * window was clean; warm reps ACCUMULATE across attempts (r17: the
+    * stubborn tail was multi-second-window queries whose cold + all
+    * three warm windows never landed clean in one attempt under a
+    * flickering neighbor — each rep only needs its OWN window clean,
+    * so reps are harvested from whichever attempt provides them, with
+    * `warmAttempts(i)` recording which one). A record is COMPLETE
+    * when warm.size reaches the campaign's warmReps.
+    */
   final case class Rec(name: String, attempt: Int, cold: Double,
                        gcMs: Long, heapMb: Long, rssMb: Long,
                        load1: Double, steal: Double, iowait: Double,
@@ -62,6 +71,7 @@ object BenchLedger {
                        plan: String, warm: Seq[Double],
                        warmSteal: Seq[Double], warmIowait: Seq[Double],
                        warmForeign: Seq[Double],
+                       warmAttempts: Seq[Int],
                        warmPlans: Seq[String]) {
     def warmMedian: Double = {
       val s = warm.sorted
@@ -78,6 +88,7 @@ object BenchLedger {
         s""""warm_steal":[${warmSteal.map(fmt).mkString(",")}],""" +
         s""""warm_iowait":[${warmIowait.map(fmt).mkString(",")}],""" +
         s""""warm_foreign":[${warmForeign.map(fmt).mkString(",")}],""" +
+        s""""warm_attempts":[${warmAttempts.mkString(",")}],""" +
         s""""warm_plans":[${warmPlans.map("\"" + _ + "\"").mkString(",")}]}"""
     }
   }
@@ -97,17 +108,26 @@ object BenchLedger {
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(_.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
 
-  def parseRec(line: String): Rec = Rec(
-    name = str(line, "q"), attempt = num(line, "attempt").toInt,
-    cold = num(line, "cold"), gcMs = num(line, "gc_ms").toLong,
-    heapMb = num(line, "heap_mb").toLong, rssMb = num(line, "rss_mb").toLong,
-    load1 = num(line, "load1"), steal = num(line, "steal_cores"),
-    iowait = num(line, "iowait_cores"),
-    foreign = num(line, "foreign_cores"), plan = str(line, "plan"),
-    warm = numArr(line, "warm"), warmSteal = numArr(line, "warm_steal"),
-    warmIowait = numArr(line, "warm_iowait"),
-    warmForeign = numArr(line, "warm_foreign"),
-    warmPlans = strArr(line, "warm_plans"))
+  def parseRec(line: String): Rec = {
+    val attempt = num(line, "attempt").toInt
+    val warm = numArr(line, "warm")
+    val wa = numArr(line, "warm_attempts").map(_.toInt)
+    Rec(
+      name = str(line, "q"), attempt = attempt,
+      cold = num(line, "cold"), gcMs = num(line, "gc_ms").toLong,
+      heapMb = num(line, "heap_mb").toLong, rssMb = num(line, "rss_mb").toLong,
+      load1 = num(line, "load1"), steal = num(line, "steal_cores"),
+      iowait = num(line, "iowait_cores"),
+      foreign = num(line, "foreign_cores"), plan = str(line, "plan"),
+      warm = warm, warmSteal = numArr(line, "warm_steal"),
+      warmIowait = numArr(line, "warm_iowait"),
+      warmForeign = numArr(line, "warm_foreign"),
+      // records written before warm accumulation carry no attempt
+      // list — all their reps came from the cold's attempt
+      warmAttempts = if (wa.size == warm.size) wa
+                     else Seq.fill(warm.size)(attempt),
+      warmPlans = strArr(line, "warm_plans"))
+  }
 
   /** (attempts recorded so far, adopted records by query name). */
   def read(path: String): (Int, Map[String, Rec]) = {
@@ -128,8 +148,9 @@ object BenchLedger {
   def write(path: String, attempts: Int, sf: String, cpus: String,
             warmReps: Int, cleanSteal: Double, cleanIowait: Double,
             done: Map[String, Rec], pendingNames: Seq[String]): Unit = {
+    val partialN = done.valuesIterator.count(_.warm.size < warmReps)
     val meta =
-      f"""{"meta":1,"attempts":$attempts,"sf":"$sf","cpus":$cpus,"warm_reps":$warmReps,"clean_steal":$cleanSteal%.2f,"clean_iowait":$cleanIowait%.2f,"pending":${pendingNames.nonEmpty},"pending_n":${pendingNames.size},"pending_queries":[${pendingNames.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+      f"""{"meta":1,"attempts":$attempts,"sf":"$sf","cpus":$cpus,"warm_reps":$warmReps,"clean_steal":$cleanSteal%.2f,"clean_iowait":$cleanIowait%.2f,"pending":${pendingNames.nonEmpty},"pending_n":${pendingNames.size},"partial_n":$partialN,"pending_queries":[${pendingNames.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
     val body = done.toSeq.sortBy(_._1).map(_._2.toJson)
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(path).toAbsolutePath.getParent, "ledger", ".tmp")
@@ -184,11 +205,15 @@ object BenchLedger {
     }.mkString("{", ",", "}")
     val attemptOf = recs.map(r => s""""${r.name}":${r.attempt}""")
       .mkString("{", ",", "}")
+    val warmAttemptOf = recs.map(r =>
+      s""""${r.name}":[${r.warmAttempts.mkString(",")}]""")
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sf","contended":false,
        |"assembled":true,"attempts":$attempts,"clean_steal_cores":${fmt(cleanSteal)},"clean_iowait_cores":${fmt(cleanIowait)},
        |"warm_total":${fmt(warmTotal)},"warm_reps":$warmReps,
        |"flags":${flags.mkString("[", ",", "]")},
        |"attempt_of":$attemptOf,
+       |"warm_attempt_of":$warmAttemptOf,
        |"telemetry":$telemetry,
        |"plan_changes":$planChanges,
        |"warm_rep_times":$warmRepTimes,

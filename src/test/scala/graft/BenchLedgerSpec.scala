@@ -17,6 +17,7 @@ class BenchLedgerSpec extends AnyFunSuite {
       foreign = 0.2, plan = "ab12cd34", warm = warm,
       warmSteal = warm.map(_ => 0.01), warmIowait = warm.map(_ => 0.0),
       warmForeign = warm.map(_ => 0.15),
+      warmAttempts = warm.map(_ => attempt),
       warmPlans = warm.map(_ => "ab12cd34"))
 
   test("Rec JSON round-trips losslessly at the 2-decimal precision") {
@@ -40,6 +41,21 @@ class BenchLedgerSpec extends AnyFunSuite {
     val r = rec("q", 1, 0.5, Seq(0.4)).copy(steal = -1.0, iowait = -1.0)
     val back = BenchLedger.parseRec(r.toJson)
     assert(back.steal == -1.0 && back.iowait == -1.0)
+  }
+
+  test("cross-attempt warm reps carry their attempt provenance") {
+    val r = rec("q", 2, 1.5, Seq(1.0, 1.1, 0.9))
+      .copy(warmAttempts = Seq(2, 5, 7))
+    val back = BenchLedger.parseRec(r.toJson)
+    assert(back.warmAttempts == Seq(2, 5, 7))
+  }
+
+  test("legacy records without warm_attempts backfill from the cold attempt") {
+    val legacy = rec("q", 3, 1.0, Seq(0.8, 0.9)).toJson
+      .replaceAll(""""warm_attempts":\[[^\]]*\],""", "")
+    assert(!legacy.contains("warm_attempts"))
+    val back = BenchLedger.parseRec(legacy)
+    assert(back.warmAttempts == Seq(3, 3))
   }
 
   test("write/read round-trips attempts, records, and pending meta") {
