@@ -20,7 +20,16 @@ object Bench {
       val busyTotal = stat.sum - stat(3) - stat(4) // minus idle + iowait
       val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
         .split("\\s+")
-      ProcSample(busyTotal, self(13).toLong + self(14).toLong, // utime+stime
+      // utime+stime PLUS cutime+cstime: the JVM forks short-lived
+      // children (Hadoop Shell chmod/stat per checkpoint file —
+      // thousands per RocksDB streaming micro-batch), whose CPU lands
+      // in host busy but only reaches the parent as reaped-child time.
+      // Without it, the streaming family self-reports 1.2–4.1 "foreign"
+      // cores in its own windows (r17 diag, host otherwise 0.05 busy)
+      // and the ledger's foreign guard starves it forever.
+      ProcSample(busyTotal,
+        self(13).toLong + self(14).toLong +
+          self(15).toLong + self(16).toLong,
         if (stat.length > 7) stat(7) else 0L, stat(4))
     } catch { case _: Throwable => ProcSample(-1L, -1L, -1L, -1L) }
 
