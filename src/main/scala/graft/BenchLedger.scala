@@ -63,6 +63,17 @@ object BenchLedger {
     * so reps are harvested from whichever attempt provides them, with
     * `warmAttempts(i)` recording which one). A record is COMPLETE
     * when warm.size reaches the campaign's warmReps.
+    *
+    * `cleanAttempt` is the adoption TIER (r17): true when the cold
+    * came from a whole-run UNcontended attempt. Per-window guards see
+    * scheduling interference (steal/iowait/foreign) but not the
+    * cache/membw contamination of a busy-but-not-stealing neighbor —
+    * the first assembled board measured a broad 1.12× median cold
+    * inflation on the 74 records window-cleanly adopted during two
+    * heavily contended attempts. A tier-2 (contended-attempt) cold is
+    * a valid fallback but stays UPGRADABLE: the first clean-attempt
+    * run with a clean cold window replaces it, direction-blind, and
+    * is then final (never best-of-N).
     */
   final case class Rec(name: String, attempt: Int, cold: Double,
                        gcMs: Long, heapMb: Long, rssMb: Long,
@@ -72,7 +83,8 @@ object BenchLedger {
                        warmSteal: Seq[Double], warmIowait: Seq[Double],
                        warmForeign: Seq[Double],
                        warmAttempts: Seq[Int],
-                       warmPlans: Seq[String]) {
+                       warmPlans: Seq[String],
+                       cleanAttempt: Boolean) {
     def warmMedian: Double = {
       val s = warm.sorted
       if (s.isEmpty) 0.0
@@ -89,6 +101,7 @@ object BenchLedger {
         s""""warm_iowait":[${warmIowait.map(fmt).mkString(",")}],""" +
         s""""warm_foreign":[${warmForeign.map(fmt).mkString(",")}],""" +
         s""""warm_attempts":[${warmAttempts.mkString(",")}],""" +
+        s""""clean_attempt":$cleanAttempt,""" +
         s""""warm_plans":[${warmPlans.map("\"" + _ + "\"").mkString(",")}]}"""
     }
   }
@@ -126,7 +139,11 @@ object BenchLedger {
       // list — all their reps came from the cold's attempt
       warmAttempts = if (wa.size == warm.size) wa
                      else Seq.fill(warm.size)(attempt),
-      warmPlans = strArr(line, "warm_plans"))
+      warmPlans = strArr(line, "warm_plans"),
+      // legacy records carry no tier — conservatively tier-2
+      // (upgradable): their adopting attempt's whole-run state is
+      // unknown, and an upgrade pass can only confirm or replace
+      cleanAttempt = line.contains("\"clean_attempt\":true"))
   }
 
   /** (attempts recorded so far, adopted records by query name). */
@@ -149,8 +166,10 @@ object BenchLedger {
             warmReps: Int, cleanSteal: Double, cleanIowait: Double,
             done: Map[String, Rec], pendingNames: Seq[String]): Unit = {
     val partialN = done.valuesIterator.count(_.warm.size < warmReps)
+    val upgradableN = done.valuesIterator
+      .count(r => r.warm.size >= warmReps && !r.cleanAttempt)
     val meta =
-      f"""{"meta":1,"attempts":$attempts,"sf":"$sf","cpus":$cpus,"warm_reps":$warmReps,"clean_steal":$cleanSteal%.2f,"clean_iowait":$cleanIowait%.2f,"pending":${pendingNames.nonEmpty},"pending_n":${pendingNames.size},"partial_n":$partialN,"pending_queries":[${pendingNames.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+      f"""{"meta":1,"attempts":$attempts,"sf":"$sf","cpus":$cpus,"warm_reps":$warmReps,"clean_steal":$cleanSteal%.2f,"clean_iowait":$cleanIowait%.2f,"pending":${pendingNames.nonEmpty},"pending_n":${pendingNames.size},"partial_n":$partialN,"upgradable_n":$upgradableN,"pending_queries":[${pendingNames.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
     val body = done.toSeq.sortBy(_._1).map(_._2.toJson)
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(path).toAbsolutePath.getParent, "ledger", ".tmp")
@@ -208,12 +227,18 @@ object BenchLedger {
     val warmAttemptOf = recs.map(r =>
       s""""${r.name}":[${r.warmAttempts.mkString(",")}]""")
       .mkString("{", ",", "}")
+    // colds still on tier 2 (adopted during a contended attempt, no
+    // clean-attempt window replaced them before the campaign ended) —
+    // named so the artifact discloses exactly which numbers carry
+    // possible cache/membw contamination the window guards can't see
+    val tier2 = recs.filterNot(_.cleanAttempt).map(_.name)
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sf","contended":false,
        |"assembled":true,"attempts":$attempts,"clean_steal_cores":${fmt(cleanSteal)},"clean_iowait_cores":${fmt(cleanIowait)},
        |"warm_total":${fmt(warmTotal)},"warm_reps":$warmReps,
        |"flags":${flags.mkString("[", ",", "]")},
        |"attempt_of":$attemptOf,
        |"warm_attempt_of":$warmAttemptOf,
+       |"cold_tier2_n":${tier2.size},"cold_tier2":[${tier2.sorted.map("\"" + _ + "\"").mkString(",")}],
        |"telemetry":$telemetry,
        |"plan_changes":$planChanges,
        |"warm_rep_times":$warmRepTimes,

@@ -18,7 +18,7 @@ class BenchLedgerSpec extends AnyFunSuite {
       warmSteal = warm.map(_ => 0.01), warmIowait = warm.map(_ => 0.0),
       warmForeign = warm.map(_ => 0.15),
       warmAttempts = warm.map(_ => attempt),
-      warmPlans = warm.map(_ => "ab12cd34"))
+      warmPlans = warm.map(_ => "ab12cd34"), cleanAttempt = true)
 
   test("Rec JSON round-trips losslessly at the 2-decimal precision") {
     val r = rec("dedup_minhash_lsh", 3, 2.45, Seq(1.31, 1.28, 1.35))
@@ -56,6 +56,27 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(!legacy.contains("warm_attempts"))
     val back = BenchLedger.parseRec(legacy)
     assert(back.warmAttempts == Seq(3, 3))
+  }
+
+  test("adoption tier round-trips; legacy records default to tier-2") {
+    val t1 = rec("q", 1, 1.0, Seq(0.8))
+    assert(BenchLedger.parseRec(t1.toJson).cleanAttempt)
+    val t2 = t1.copy(cleanAttempt = false)
+    assert(!BenchLedger.parseRec(t2.toJson).cleanAttempt)
+    // pre-tier records carry no clean_attempt key -> upgradable
+    val legacy = t1.toJson.replace("\"clean_attempt\":true,", "")
+    assert(!BenchLedger.parseRec(legacy).cleanAttempt)
+  }
+
+  test("assemble names the tier-2 colds") {
+    val done = Map(
+      "q_clean" -> rec("q_clean", 1, 1.0, Seq(0.9)),
+      "q_dirty" -> rec("q_dirty", 2, 1.0, Seq(0.9))
+        .copy(cleanAttempt = false))
+    val art = BenchLedger.assemble(done, Map.empty, "/sf0.1", 1, 2,
+      0.30, 1.50)
+    assert(art.contains("\"cold_tier2_n\":1"))
+    assert(art.contains("\"cold_tier2\":[\"q_dirty\"]"))
   }
 
   test("write/read round-trips attempts, records, and pending meta") {
