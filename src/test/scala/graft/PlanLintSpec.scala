@@ -37,6 +37,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_topk_agg" -> "bounded query-batch broadcast, heap-aggregated",
     "ann_recall_report" ->
       "exact-baseline side is the same bounded query-batch broadcast",
+    "ann_ivf_pruned_recall" ->
+      "exact-baseline side is the same bounded query-batch broadcast",
     "bm25_search" -> "bounded query-term broadcast over the posting scan",
     "vocab_coverage_curve" -> "1-row token-total broadcast",
     "rfm_segments" -> "1-row anchor-date and quintile-boundary broadcasts",
