@@ -1398,30 +1398,25 @@ object Dedup {
     */
   def minhashBandCandidates(docs: DataFrame,
                             spreadInput: Boolean = true): DataFrame = {
-      // The hash-heavy shingle×perm map (16 md5s per shingle) should
+      // The hash-heavy signature map (16 md5s per shingle) should
       // run spread across the cluster (see spreadInput above). The
       // ≥ 2 words pre-filter (⟺ ≥ 1 bigram) keeps its explode/groupBy
-      // row set (and the oracle's) without re-deriving the shingle
-      // array inside a Filter.
-      val filtered = docs.filter(size(split(trim(col("text")), "\\s+")) >= 2)
-      bandCandidatesFromSets(shingleSets(
-        if (spreadInput) spread(filtered, col("doc_id")) else filtered))
-  }
-
-  /** The banding half of [[minhashBandCandidates]], taking an
-    * ALREADY-SHINGLED (doc_id, toks) relation. The empty-shingle
-    * filter here is exactly the ≥ 2 words gate (a 1-word doc has an
-    * empty bigram set), so candidates are unchanged.
-    */
-  private def bandCandidatesFromSets(sets: DataFrame): DataFrame = {
-      graft.functions.MinHash60.register(sets.sparkSession)
-      // The signature is ONE codegen'd map over the shingle array
-      // (see MinHash60) — the old explode → 16-min aggregate shuffled
-      // a (doc, shingle) relation just to fold it straight back.
-      val minhashes = sets.filter(size(col("toks")) >= 1)
-        .select(col("doc_id"),
-          graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
-      bandCandidatesFromSigs(minhashes, Parallelism.pinCount(sets))
+      // row set (and the oracle's); token_count ≡ size(split(trim,
+      // "\\s+")) by ShingleKernelSpec, without a regex or an array.
+      // The signature comes straight from the text bytes in ONE
+      // fused pass (r17: MinHashText — min over a multiset equals
+      // min over its set, so the old split → slice → zip_with →
+      // array_distinct shingle materialization bought nothing here;
+      // measured 2× on the per-doc map at sf0.1, identical output).
+      graft.functions.ShingleKernel.register(docs.sparkSession)
+      val filtered = docs.filter(
+        graft.functions.ShingleKernel.token_count(col("text")) >= 2)
+      val minhashes =
+        (if (spreadInput) spread(filtered, col("doc_id")) else filtered)
+          .select(col("doc_id"),
+            graft.functions.ShingleKernel
+              .minhash60_text(col("text"), NumPerms).as("mh"))
+      bandCandidatesFromSigs(minhashes, Parallelism.pinCount(docs))
   }
 
   /** The bucket-join half of the LSH candidate stage, taking an
@@ -1676,18 +1671,23 @@ object Dedup {
                                 spreadInput: Boolean): DataFrame = {
     graft.functions.MinHash60.register(docs.sparkSession)
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
-    val filtered = docs.filter(size(split(trim(col("text")), "\\s+")) >= 2)
-    val sets = shingleSets(
-      if (spreadInput) spread(filtered, col("doc_id")) else filtered)
+    graft.functions.ShingleKernel.register(docs.sparkSession)
+    // token_count ≡ size(split(trim(text), "\\s+")) (ShingleKernelSpec)
+    // — same row set, no regex/array inside the Filter
+    val filtered = docs.filter(
+      graft.functions.ShingleKernel.token_count(col("text")) >= 2)
+    val spreadDocs =
+      if (spreadInput) spread(filtered, col("doc_id")) else filtered
+    // `sets` backs the (disk-memoized) injectivity probe and the
+    // non-injective fallback branch; on the normal path it never
+    // executes after the verdict is on disk
+    val sets = shingleSets(spreadDocs)
     val useHash = memoVerdictDisk(injectivityVerdicts, sets, "xxinj_bigram") {
       sets.select(explode(col("toks")).as("w"))
         .agg((count_distinct(col("w")) ===
           count_distinct(xxhash64(col("w")))).as("ok"))
         .head().getBoolean(0)
     }
-    val vtoks =
-      if (useHash) array_sort(transform(col("toks"), x => xxhash64(x)))
-      else col("toks")
     val interOf: (Column, Column) => Column =
       if (useHash)
         (a, b) => graft.functions.SortedIntersectCount.sorted_intersect_count(a, b)
@@ -1714,9 +1714,28 @@ object Dedup {
     // on the groups relation's md5(text) partitioning the verify
     // sides would grow EnsureRequirements exchanges — extra leaf
     // stages racing the banding stage on a cold cache).
-    val enriched = sets.select(col("doc_id"), vtoks.as("vtoks"),
-        size(col("toks")).as("n"),
-        graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
+    // On the (normal) injective path ALL per-doc CPU is ONE fused
+    // byte-level pass (r17, ShingleSigExpr): tokenize → bigrams →
+    // xx-distinct (→ vtoks sorted, n) → 16-perm minhash — replacing
+    // regex split + slice/zip_with/concat + array_distinct +
+    // xxhash64-transform + array_sort + per-perm UTF8String concat.
+    // Measured ~2× on the per-doc map at sf0.1; output bit-identical:
+    // mh is distinct-insensitive, and (vtoks, n) equal the string-
+    // distinct chain exactly under the injectivity verdict just
+    // proven above (xx-equality ⟺ string-equality on this corpus).
+    // The struct lands as ONE column so the single projection
+    // evaluates the kernel once; consumers read its fields.
+    val enriched = (if (useHash) {
+        val sig = graft.functions.ShingleKernel
+          .shingle_sig(col("text"), NumPerms)
+        spreadDocs.select(col("doc_id"), sig.as("s"))
+          .select(col("doc_id"), col("s.vtoks").as("vtoks"),
+            col("s.n").as("n"), col("s.mh").as("mh"))
+      } else {
+        sets.select(col("doc_id"), col("toks").as("vtoks"),
+          size(col("toks")).as("n"),
+          graft.functions.MinHash60.minhash60(col("toks"), NumPerms).as("mh"))
+      })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands =
       bandCandidatesFromSigs(enriched.select(col("doc_id"), col("mh")), numP)

@@ -86,17 +86,15 @@ object StreamingNearDup extends StreamingProvider {
     * batch path (band index + comma-joined member hashes).
     */
   private[streaming] def bandedSignatures(docs: DataFrame): DataFrame = {
-    graft.functions.MinHash60.register(docs.sparkSession)
-    val w = split(trim(col("text")), "\\s+")
-    val toks = array_distinct(zip_with(
-      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b)))
-    // ≥ 2 words ⟺ ≥ 1 bigram: drops zero-shingle docs without
-    // re-deriving the shingle array inside a Filter
-    docs.filter(size(w) >= 2)
-      .select(col("doc_id"), toks.as("toks"))
-      .withColumn("mh", graft.functions.MinHash60.minhash60(col("toks"), NumPerms))
+    graft.functions.ShingleKernel.register(docs.sparkSession)
+    // ≥ 2 words ⟺ ≥ 1 bigram, and the signature comes straight from
+    // the text bytes in one fused pass (r17: MinHashText — identical
+    // output to minhash60 over the distinct-bigram array, since a
+    // min is distinct-insensitive; token_count ≡ size(split(trim,
+    // "\\s+")), see ShingleKernelSpec)
+    docs.filter(graft.functions.ShingleKernel.token_count(col("text")) >= 2)
+      .withColumn("mh",
+        graft.functions.ShingleKernel.minhash60_text(col("text"), NumPerms))
       .select(col("doc_id"), col("mh"), posexplode(array(
         (0 until NumPerms / BandRows).map { b =>
           val members = (b * BandRows until (b + 1) * BandRows)
