@@ -145,15 +145,21 @@ object ShingleKernel {
     (lo, hi)
   }
 
-  /** Assemble bigram i into s.big; returns its byte length. */
-  private def assemble(s: Scratch, bytes: Array[Byte], i: Int): Int = {
-    val oa = s.tokOff(i); val la = s.tokEnd(i) - oa
-    val ob = s.tokOff(i + 1); val lb = s.tokEnd(i + 1) - ob
-    val len = la + 1 + lb
-    s.ensureBig(len)
-    System.arraycopy(bytes, oa, s.big, 0, la)
-    s.big(la) = ' '
-    System.arraycopy(bytes, ob, s.big, la + 1, lb)
+  /** Assemble the k-gram starting at token i (tokens joined by a
+    * single space, matching concat(tok, ' ', tok, …)) into s.big;
+    * returns its byte length.
+    */
+  private def assemble(s: Scratch, bytes: Array[Byte], i: Int, k: Int = 2): Int = {
+    var len = 0
+    var j = 0
+    while (j < k) {
+      val o = s.tokOff(i + j); val l = s.tokEnd(i + j) - o
+      if (j > 0) { s.ensureBig(len + 1); s.big(len) = ' '; len += 1 }
+      s.ensureBig(len + l)
+      System.arraycopy(bytes, o, s.big, len, l)
+      len += l
+      j += 1
+    }
     len
   }
 
@@ -219,6 +225,28 @@ object ShingleKernel {
       s.setSize, new GenericArrayData(mins)))
   }
 
+  /** Distinct-by-xx k-gram shingle hashes (insertion order) — the
+    * fused form of `explode(array_distinct(kgrams))` → `xxhash64(w)`
+    * for consumers that only ever see the hash (dfOrderedPrep's
+    * injective branch; the verdict that gates it proves xx-equality
+    * ⟺ string-equality on the corpus vocabulary, so the distinct
+    * set — and every df count built on it — is unchanged).
+    */
+  def shingleXx(str: UTF8String, k: Int): GenericArrayData = {
+    val s = scratch.get()
+    val bytes = str.getBytes
+    val (lo, hi) = trimRange(bytes)
+    tokenize(s, bytes, lo, hi)
+    s.resetSet()
+    var i = 0
+    while (i <= s.nTok - k) {
+      val len = assemble(s, bytes, i, k)
+      s.add(XXH64.hashUnsafeBytes(s.big, Platform.BYTE_ARRAY_OFFSET, len, Seed))
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(s.xs, s.setSize))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_count", exprs => TokenCount(exprs.head), "scala_udf")
@@ -228,9 +256,14 @@ object ShingleKernel {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_sig", exprs => ShingleSigExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_xx", exprs => ShingleXxExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   def token_count(c: Column): Column = call_function("token_count", c)
+  def shingle_xx(c: Column, k: Int): Column =
+    call_function("shingle_xx", c, lit(k))
   def minhash60_text(c: Column, numPerms: Int): Column =
     call_function("minhash60_text", c, lit(numPerms))
   def shingle_sig(c: Column, numPerms: Int): Column =
@@ -286,6 +319,26 @@ case class MinHashText(child: Expression, numPerms: Int) extends UnaryExpression
   * is by xx value; see the object scaladoc for why that is exact
   * under the caller's injectivity verdict (and only used there).
   */
+/** Distinct-by-xx k-gram shingle hashes straight from raw text — see
+  * [[ShingleKernel.shingleXx]] for the exactness contract (injective
+  * callers only).
+  */
+case class ShingleXxExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_xx"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and k > 0")
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.shingleXx(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingleXx($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleXxExpr =
+    copy(child = newChild)
+}
+
 case class ShingleSigExpr(child: Expression, numPerms: Int) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("vtoks", ArrayType(LongType, containsNull = false), nullable = false),

@@ -737,52 +737,62 @@ object Dedup {
   private def dfOrderedPrep(docs: DataFrame, threshold: Double,
                             shingleK: Int): (DataFrame, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // (doc_id, shingle) rows feed BOTH the df count and the prep
-    // join — persist so the regex tokenize + shingle explode runs
-    // once, not once per consumer (unpersisted below once prep is
-    // materialized, so repeated calls don't accumulate cache blocks)
-    val tok = shingleSetsK(spread(docs, col("doc_id")), shingleK)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-      .persist(MEMORY_AND_DISK)
-    // vocab-sized (one row per distinct shingle), feeds the
-    // injectivity check AND the df-order join — persist so the
-    // corpus-wide count runs once
-    val tokDf = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .persist(MEMORY_AND_DISK)
-    // Intersection size only needs token EQUALITY, so verify runs on
-    // xxhash64 ids (8-byte compares) instead of shingle strings —
-    // ~10× cheaper per candidate pair. Exactness guard: one tiny agg
-    // over the vocabulary proves the hash is injective on THIS corpus
+    graft.functions.ShingleKernel.register(docs.sparkSession)
+    // Intersection size only needs token EQUALITY, so the whole
+    // pipeline runs on xxhash64 ids (8-byte keys and compares)
+    // instead of shingle strings. Exactness guard: one tiny agg over
+    // the vocabulary proves the hash is injective on THIS corpus
     // (distinct shingles == distinct hashes); on a collision —
     // vanishingly rare, but data-dependent — fall back to the string
-    // arrays. The check is O(vocab), not O(corpus), and collision-free
-    // hashing never changes the output. The verdict is memoized per
-    // input plan (canonicalized — structural equality, so two
-    // distinct plans can never share an entry), so a re-invocation
-    // over the same relation — warm bench iterations, repeated
-    // pipeline stages — skips the extra job. (Caveat: replacing the
-    // files UNDER an identical plan within one JVM reuses the verdict
-    // — same staleness class as Spark's own file-index cache.)
+    // arrays. The check is O(vocab), not O(corpus), and
+    // collision-free hashing never changes the output. The verdict
+    // is memoized per input plan (canonicalized) and per shingleK —
+    // k changes the vocabulary the verdict speaks for. The probe
+    // builds its own throwaway string pipeline; it runs once per
+    // corpus fingerprint and is then a disk hit.
     val useHash =
-      memoVerdictDisk(injectivityVerdicts, docs, "xxinj_vocab") {
-        tokDf.agg(count(lit(1)) === count_distinct(xxhash64(col("w"))))
+      memoVerdictDisk(injectivityVerdicts, docs, s"xxinj_vocab_k$shingleK") {
+        shingleSetsK(spread(docs, col("doc_id")), shingleK)
+          .select(explode(col("toks")).as("w"))
+          .agg((count_distinct(col("w")) ===
+            count_distinct(xxhash64(col("w")))).as("ok"))
           .head().getBoolean(0)
       }
-    val idOf: Column => Column =
-      if (useHash) xxhash64(_) else identity
+    // (doc_id, shingle-id) rows feed BOTH the df count and the prep
+    // join — persist so the tokenize + shingle explode runs once,
+    // not once per consumer (unpersisted below once prep is
+    // materialized, so repeated calls don't accumulate cache blocks).
+    // On the (normal) injective path the per-doc distinct k-gram ids
+    // come from ONE fused byte-level pass (r17, ShingleXxExpr) and
+    // every exchange downstream carries longs; the fallback keeps
+    // the string chain verbatim.
+    val tok = (if (useHash)
+        spread(docs, col("doc_id")).select(col("doc_id"),
+          explode(graft.functions.ShingleKernel
+            .shingle_xx(col("text"), shingleK)).as("w"))
+      else shingleSetsK(spread(docs, col("doc_id")), shingleK)
+        .select(col("doc_id"), explode(col("toks")).as("w")))
+      .persist(MEMORY_AND_DISK)
+    // vocab-sized (one row per distinct shingle id)
+    val tokDf = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .persist(MEMORY_AND_DISK)
     // per-doc shingles in global (df, w) order + the filtering prefix;
     // feeds the prefix explode AND both verify sides — persist once.
     // The (df asc, w asc) total order puts each doc's RAREST shingles
     // in its prefix, which is what bounds candidate bucket sizes.
-    // `toks` stays in (df, w) order for prefix slicing; `vtoks` is
-    // the VALUE-sorted copy the verify stage merge-intersects (the
-    // codegen SortedIntersectCount needs ascending arrays). On the
-    // string fallback vtoks is unused.
+    // (Prefix filtering is exact under ANY corpus-wide total order;
+    // with df primary, the w tie-break — lexicographic strings
+    // before r17, numeric xx ids now — only shuffles equal-rarity
+    // shingles, so the verified output is unchanged while the sort
+    // compares 8-byte longs.) `toks` stays in (df, w) order for
+    // prefix slicing; `vtoks` is the VALUE-sorted copy the verify
+    // stage merge-intersects (the codegen SortedIntersectCount needs
+    // ascending arrays). On the string fallback vtoks is unused.
     val prep = tok.join(tokDf.hint("shuffle_hash"), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sorted"))
       .select(col("doc_id"),
-        transform(col("sorted"), x => idOf(x.getField("w"))).as("toks"),
+        transform(col("sorted"), x => x.getField("w")).as("toks"),
         size(col("sorted")).as("n"))
       .withColumn("vtoks",
         if (useHash) array_sort(col("toks")) else col("toks"))

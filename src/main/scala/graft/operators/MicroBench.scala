@@ -97,6 +97,18 @@ object MicroBench {
             transform(col("sorted"), x => xxhash64(x.getField("w"))).as("toks"),
             size(col("sorted")).as("n"))
       }),
+      "dfprep3x" -> (() => {
+        val tok = docs.repartition(32, col("doc_id"))
+          .select(col("doc_id"), explode(
+            graft.functions.ShingleKernel.shingle_xx(col("text"), 3)).as("w"))
+        val tokDf = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        tok.join(tokDf.hint("shuffle_hash"), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("sorted"))
+          .select(col("doc_id"),
+            transform(col("sorted"), x => x.getField("w")).as("toks"),
+            size(col("sorted")).as("n"))
+      }),
       "chain_sig" -> (() => {
         val toks = shingles(2)
         toks.select(col("doc_id"),

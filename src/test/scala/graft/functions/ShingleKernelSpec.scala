@@ -77,6 +77,20 @@ class ShingleKernelSpec extends SparkSpec {
       not(col("mh_fused") === col("mh_chain"))).count() === 0)
   }
 
+  test("shingle_xx(k=3) == xxhash64 over distinct 3-gram strings, in order") {
+    ShingleKernel.register(spark)
+    val w = split(trim(col("text")), "\\s+")
+    val m = greatest(size(w) - lit(2), lit(0))
+    val grams = array_distinct(zip_with(
+      zip_with(slice(w, lit(1), m), slice(w, lit(2), m),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(w, lit(3), m), (a, b) => concat(a, lit(" "), b)))
+    val d = docs.select(
+      ShingleKernel.shingle_xx(col("text"), 3).as("fused"),
+      transform(grams, x => xxhash64(x)).as("chain"))
+    assert(d.filter(not(col("fused") === col("chain"))).count() === 0)
+  }
+
   test("null text maps to null, matching the chain") {
     ShingleKernel.register(spark)
     import spark.implicits._
