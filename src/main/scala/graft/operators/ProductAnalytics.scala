@@ -128,12 +128,19 @@ object ProductAnalytics {
       val tri = triangleParticipation(
           und.select(col("a").as("u"), col("b").as("v")))
         .agg(expr("sum(n_tri) DIV 3").as("n_triangles"))
-      val mom = both
+      // assortativity moments from the UNDIRECTED list (r17): each
+      // stored edge (a,b) contributes both directed rows, so over
+      // `both`  m = 2·|und|,  Σdx = Σ(da+db),  Σdx·dy = 2·Σda·db,
+      // Σdx² = Σ(da²+db²) — identical long sums (each directed term
+      // is just counted where its undirected edge sits), from deg
+      // joins on m rows instead of 2m
+      val mom = und
         .join(deg.select(col("a"), col("deg").as("dx")), Seq("a"))
         .join(deg.select(col("a").as("b"), col("deg").as("dy")), Seq("b"))
-        .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
-          sum(col("dx") * col("dy")).as("sxy"),
-          sum(col("dx") * col("dx")).as("sxx"))
+        .agg((count(lit(1)) * 2).as("m"),
+          sum(col("dx") + col("dy")).as("sx"),
+          (sum(col("dx") * col("dy")) * 2).as("sxy"),
+          sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sxx"))
       nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
         .crossJoin(mom)
         .withColumn("num", expr(
